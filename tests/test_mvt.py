@@ -1,0 +1,84 @@
+"""MVT encoder round-trip tests (public Mapbox Vector Tile 2.1 spec;
+encode rules mirror /root/reference/src/tile_worker.cpp:98-301)."""
+
+import numpy as np
+
+from tilemaker_spark.kernels import mvt
+
+
+def test_point_roundtrip():
+    lb = mvt.LayerBuilder("poi")
+    cmds = mvt.encode_point_geom(np.array([[0.5, 0.5]]), 4096)
+    assert lb.add_feature(mvt.GEOM_POINT, cmds, {"name": "x"}, feature_id=1)
+    dec = mvt.decode_tile(mvt.build_tile([lb]))
+    f = dec["poi"]["features"][0]
+    assert f["type"] == mvt.GEOM_POINT
+    assert f["attrs"] == {"name": "x"}
+    # MoveTo(1), zigzag(2048), zigzag(2048)
+    assert f["cmds"][0] == (1 << 3) | 1
+    assert f["cmds"][1] == f["cmds"][2] == 2048 * 2
+
+
+def test_line_skips_degenerate():
+    # zero-length after quantization -> dropped (line needs >=2 grid pts)
+    cmds = mvt.encode_line_geom([np.array([[0.5, 0.5], [0.50001, 0.50001]])], 4096)
+    assert cmds == []
+
+
+def test_polygon_winding_and_rings():
+    outer = np.array([[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9], [0.1, 0.1]])
+    inner = np.array([[0.4, 0.4], [0.6, 0.4], [0.6, 0.6], [0.4, 0.6], [0.4, 0.4]])
+    cmds = mvt.encode_polygon_geom([[outer, inner]], 4096)
+    lb = mvt.LayerBuilder("landuse")
+    lb.add_feature(mvt.GEOM_POLYGON, cmds)
+    dec = mvt.decode_tile(mvt.build_tile([lb]))
+    f = dec["landuse"]["features"][0]
+    # two rings: 2x (MoveTo + LineTo + ClosePath)
+    close_cmds = [c for c in f["cmds"] if (c & 7) == 7]
+    assert len(close_cmds) == 2
+
+
+def test_small_ring_dropped():
+    # a ring that quantizes to <3 distinct points vanishes (reference rule)
+    tiny = np.array([[0.5, 0.5], [0.50005, 0.5], [0.5, 0.50005], [0.5, 0.5]])
+    assert mvt.encode_polygon_geom([[tiny]], 4096) == []
+
+
+def test_value_types():
+    lb = mvt.LayerBuilder("t")
+    cmds = mvt.encode_point_geom(np.array([[0.5, 0.5]]), 4096)
+    lb.add_feature(mvt.GEOM_POINT, cmds,
+                   {"s": "str", "i": 42, "f": 1.5, "b": True})
+    dec = mvt.decode_tile(mvt.build_tile([lb]))
+    attrs = dec["t"]["features"][0]["attrs"]
+    assert attrs == {"s": "str", "i": 42, "f": 1.5, "b": True}
+
+
+def test_shared_value_dictionary():
+    lb = mvt.LayerBuilder("t")
+    for i in range(5):
+        cmds = mvt.encode_point_geom(np.array([[0.1 * (i + 1), 0.5]]), 4096)
+        lb.add_feature(mvt.GEOM_POINT, cmds, {"class": "poi"})
+    dec = mvt.decode_tile(mvt.build_tile([lb]))
+    assert len(dec["t"]["values"]) == 1  # "poi" interned once
+    assert len(dec["t"]["features"]) == 5
+
+
+def test_compression_modes():
+    lb = mvt.LayerBuilder("t")
+    lb.add_feature(mvt.GEOM_POINT,
+                   mvt.encode_point_geom(np.array([[0.5, 0.5]]), 4096))
+    gz = mvt.build_tile([lb], compress="gzip")
+    assert gz[:2] == b"\x1f\x8b"
+    raw = mvt.build_tile([lb], compress="none")
+    assert mvt.decode_tile(gz) == mvt.decode_tile(raw)
+
+
+def test_extent_8192():
+    # high_resolution mode (reference src/coordinates_geom.cpp:22-31)
+    lb = mvt.LayerBuilder("t", extent=8192)
+    lb.add_feature(mvt.GEOM_POINT,
+                   mvt.encode_point_geom(np.array([[0.5, 0.5]]), 8192))
+    dec = mvt.decode_tile(mvt.build_tile([lb]))
+    assert dec["t"]["extent"] == 8192
+    assert dec["t"]["features"][0]["cmds"][1] == 4096 * 2

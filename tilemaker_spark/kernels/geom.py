@@ -1,0 +1,598 @@
+"""Vectorized geometry kernels (numpy only; no GEOS in this environment).
+
+Geometry representation used across the engine ("packed rings"):
+
+* a **ring / line** is an (N, 2) float64 array of (lon, lat) — or
+  (x, y) in whatever plane the caller works in;
+* a **polygon** is a list of rings, ring 0 = outer, rest = inners;
+* a **multipolygon** is a list of polygons.
+
+In DataFrames the same shapes are stored columnar as
+``coords: array<double>`` (flat x0,y0,x1,y1,...) plus
+``ring_sizes: array<int>`` and ``poly_ring_counts: array<int>`` — see
+:func:`pack_multipolygon` / :func:`unpack_multipolygon`.  This keeps Arrow
+transfer zero-copy-ish and lets every kernel work on contiguous numpy
+arrays.
+
+Algorithms mirror the reference engine's semantics (cited per-function)
+without porting its code: Sutherland–Hodgman box clipping with escalation
+(reference src/geom.cpp:297-383), Douglas–Peucker and Visvalingam–Whyatt
+simplification (src/geom.cpp:119-124, src/visvalingam.cpp), spherical area
+(boost spherical strategy at R=6371000, src/osm_lua_processing.cpp:529-578,
+here via the Chamberlain–Duquette discretization), and the
+supercover-raster + per-column fill tile assignment
+(src/coordinates_geom.cpp:112-199, src/coordinates.cpp:52-67).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .proj import RADIUS_METER, lat2latp, lat2tileyf, lon2tilexf
+
+# geometry kind codes, matching reference include/output_object.h:13
+POINT, LINESTRING, MULTILINESTRING, POLYGON = 0, 1, 2, 3
+
+
+# ---------------------------------------------------------------------------
+# Packing <-> DataFrame columns
+# ---------------------------------------------------------------------------
+
+def pack_multipolygon(mp):
+    """[[ring(N,2), ...], ...] -> (flat coords, ring_sizes, poly_ring_counts)."""
+    coords, ring_sizes, poly_counts = [], [], []
+    for poly in mp:
+        poly_counts.append(len(poly))
+        for ring in poly:
+            ring = np.asarray(ring, dtype=np.float64)
+            ring_sizes.append(len(ring))
+            coords.append(ring.reshape(-1))
+    flat = np.concatenate(coords) if coords else np.zeros(0)
+    return flat, np.asarray(ring_sizes, np.int32), np.asarray(poly_counts, np.int32)
+
+
+def unpack_multipolygon(flat, ring_sizes, poly_ring_counts):
+    """Inverse of :func:`pack_multipolygon`."""
+    flat = np.asarray(flat, np.float64)
+    pts = flat.reshape(-1, 2)
+    rings = []
+    off = 0
+    for n in np.asarray(ring_sizes, np.int64):
+        rings.append(pts[off:off + n])
+        off += n
+    mp, roff = [], 0
+    for c in np.asarray(poly_ring_counts, np.int64):
+        mp.append(rings[roff:roff + c])
+        roff += c
+    return mp
+
+
+def pack_lines(lines):
+    """[line(N,2), ...] -> (flat coords, line_sizes)."""
+    sizes = [len(l) for l in lines]
+    flat = (np.concatenate([np.asarray(l, np.float64).reshape(-1) for l in lines])
+            if lines else np.zeros(0))
+    return flat, np.asarray(sizes, np.int32)
+
+
+def unpack_lines(flat, sizes):
+    pts = np.asarray(flat, np.float64).reshape(-1, 2)
+    out, off = [], 0
+    for n in np.asarray(sizes, np.int64):
+        out.append(pts[off:off + n])
+        off += n
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Predicates
+# ---------------------------------------------------------------------------
+
+def points_in_ring(px, py, ring):
+    """Vectorized even-odd ray cast: are points inside a single ring?
+
+    Half-open edge convention (a point exactly on a horizontal edge counts
+    on one side only) — consistent, deterministic, matches the usual
+    crossing-number semantics of boost::geometry::within for interior
+    points.  px, py: (M,) arrays. ring: (N,2). Returns bool (M,).
+    """
+    px = np.asarray(px, np.float64)[:, None]          # (M,1)
+    py = np.asarray(py, np.float64)[:, None]
+    x1 = ring[:-1, 0][None, :]                         # (1,N-1) edges
+    y1 = ring[:-1, 1][None, :]
+    x2 = ring[1:, 0][None, :]
+    y2 = ring[1:, 1][None, :]
+    crosses = ((y1 > py) != (y2 > py)) & (
+        px < (x2 - x1) * (py - y1) / np.where(y2 == y1, np.inf, y2 - y1) + x1
+    )
+    return np.bitwise_xor.reduce(crosses, axis=1)
+
+
+def points_in_polygon(px, py, poly):
+    """Points inside polygon (outer ring minus holes), vectorized over points."""
+    inside = points_in_ring(px, py, poly[0])
+    for hole in poly[1:]:
+        inside &= ~points_in_ring(px, py, hole)
+    return inside
+
+
+def points_in_multipolygon(px, py, mp):
+    out = np.zeros(len(np.atleast_1d(px)), dtype=bool)
+    for poly in mp:
+        out |= points_in_polygon(px, py, poly)
+    return out
+
+
+def ring_bbox(ring):
+    return ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max()
+
+
+def mp_bbox(mp):
+    outers = [p[0] for p in mp]
+    xs = np.concatenate([r[:, 0] for r in outers])
+    ys = np.concatenate([r[:, 1] for r in outers])
+    return xs.min(), ys.min(), xs.max(), ys.max()
+
+
+def signed_ring_area_planar(ring):
+    """Shoelace area (planar); positive = counter-clockwise."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+
+
+# ---------------------------------------------------------------------------
+# Spherical measures (reference Area()/Length(),
+# src/osm_lua_processing.cpp:529-590: spherical strategy, R=6371000)
+# ---------------------------------------------------------------------------
+
+def ring_area_sq_m(ring):
+    """Spherical ring area (m^2), Chamberlain–Duquette discretization:
+    |sum over edges of (lam2-lam1) * (2 + sin(phi1) + sin(phi2))| * R^2 / 2.
+
+    Same formula is mirrored in the SQL oracles so Spark and DuckDB agree
+    bit-for-bit on synthetic fixtures.
+    """
+    lam = np.radians(ring[:, 0])
+    phi = np.radians(ring[:, 1])
+    s = np.sin(phi)
+    terms = (np.roll(lam, -1) - lam) * (2.0 + s + np.roll(s, -1))
+    return abs(terms.sum()) * RADIUS_METER * RADIUS_METER / 2.0
+
+
+def polygon_area_sq_m(poly):
+    a = ring_area_sq_m(poly[0])
+    for hole in poly[1:]:
+        a -= ring_area_sq_m(hole)
+    return a
+
+
+def multipolygon_area_sq_m(mp):
+    return float(sum(polygon_area_sq_m(p) for p in mp))
+
+
+def line_length_m(line):
+    """Haversine length in meters (reference Length(), R=6371000)."""
+    from .proj import haversine_m
+    if len(line) < 2:
+        return 0.0
+    return float(
+        haversine_m(line[:-1, 0], line[:-1, 1], line[1:, 0], line[1:, 1]).sum()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clipping
+# ---------------------------------------------------------------------------
+
+def clip_ring_to_box(ring, minx, miny, maxx, maxy):
+    """Sutherland–Hodgman clip of one ring against an axis box.
+
+    Mirrors the reference's fast_clip role (src/geom.cpp:297-383, a lineclip
+    port): output may need spike removal for degenerate tangencies, which
+    :func:`remove_spikes` handles.  Returns (N,2) array (possibly empty).
+    """
+    pts = np.asarray(ring, np.float64)
+    if len(pts) and (pts[0] != pts[-1]).any():
+        pts = np.vstack([pts, pts[:1]])
+    pts = pts[:-1] if len(pts) else pts  # work open; re-close at the end
+
+    def clip_edge(p, inside, intersect):
+        if len(p) == 0:
+            return p
+        keep = inside(p)
+        nxt = np.roll(np.arange(len(p)), -1)
+        out = []
+        for i in range(len(p)):
+            j = nxt[i]
+            if keep[i]:
+                out.append(p[i])
+                if not keep[j]:
+                    out.append(intersect(p[i], p[j]))
+            elif keep[j]:
+                out.append(intersect(p[i], p[j]))
+        return np.asarray(out, np.float64).reshape(-1, 2)
+
+    def ix(a, b, x):  # intersect segment ab with vertical line x
+        t = (x - a[0]) / (b[0] - a[0])
+        return (x, a[1] + t * (b[1] - a[1]))
+
+    def iy(a, b, y):
+        t = (y - a[1]) / (b[1] - a[1])
+        return (a[0] + t * (b[0] - a[0]), y)
+
+    p = pts
+    p = clip_edge(p, lambda q: q[:, 0] >= minx, lambda a, b: ix(a, b, minx))
+    p = clip_edge(p, lambda q: q[:, 0] <= maxx, lambda a, b: ix(a, b, maxx))
+    p = clip_edge(p, lambda q: q[:, 1] >= miny, lambda a, b: iy(a, b, miny))
+    p = clip_edge(p, lambda q: q[:, 1] <= maxy, lambda a, b: iy(a, b, maxy))
+    if len(p) < 3:
+        return np.zeros((0, 2))
+    return np.vstack([p, p[:1]])
+
+
+def clip_polygon_to_box(poly, minx, miny, maxx, maxy):
+    """Clip polygon (outer + holes); drops emptied rings. Returns poly or None."""
+    outer = clip_ring_to_box(poly[0], minx, miny, maxx, maxy)
+    outer = remove_spikes(outer)
+    if len(outer) < 4:
+        return None
+    out = [outer]
+    for hole in poly[1:]:
+        h = remove_spikes(clip_ring_to_box(hole, minx, miny, maxx, maxy))
+        if len(h) >= 4:
+            out.append(h)
+    return out
+
+
+def clip_multipolygon_to_box(mp, minx, miny, maxx, maxy):
+    out = []
+    for poly in mp:
+        c = clip_polygon_to_box(poly, minx, miny, maxx, maxy)
+        if c is not None:
+            out.append(c)
+    return out
+
+
+def clip_line_to_box(line, minx, miny, maxx, maxy):
+    """Clip a polyline to a box -> list of line parts (multilinestring).
+
+    Mirrors the reference's segment-wise linestring clip
+    (src/tile_data.cpp:254-293): each segment is clipped independently
+    (Liang–Barsky) and consecutive surviving segments are re-chained.
+    """
+    p = np.asarray(line, np.float64)
+    if len(p) < 2:
+        return []
+    a, b = p[:-1], p[1:]
+    d = b - a
+    parts, cur = [], []
+
+    t0 = np.zeros(len(a))
+    t1 = np.ones(len(a))
+    for dim, lo, hi in ((0, minx, maxx), (1, miny, maxy)):
+        dd = d[:, dim]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tlo = np.where(dd != 0, (lo - a[:, dim]) / dd, -np.inf)
+            thi = np.where(dd != 0, (hi - a[:, dim]) / dd, np.inf)
+        tmin = np.minimum(tlo, thi)
+        tmax = np.maximum(tlo, thi)
+        inside0 = (a[:, dim] >= lo) & (a[:, dim] <= hi)
+        tmin = np.where((dd == 0) & inside0, 0.0, tmin)
+        tmax = np.where((dd == 0) & inside0, 1.0, tmax)
+        tmin = np.where((dd == 0) & ~inside0, 2.0, tmin)   # reject
+        tmax = np.where((dd == 0) & ~inside0, -1.0, tmax)
+        t0 = np.maximum(t0, tmin)
+        t1 = np.minimum(t1, tmax)
+
+    ok = t0 <= t1
+    for i in range(len(a)):
+        if not ok[i]:
+            if len(cur) >= 2:
+                parts.append(np.asarray(cur))
+            cur = []
+            continue
+        pa = a[i] + t0[i] * d[i]
+        pb = a[i] + t1[i] * d[i]
+        if not cur:
+            cur = [pa, pb]
+        elif np.allclose(cur[-1], pa):
+            cur.append(pb)
+        else:
+            if len(cur) >= 2:
+                parts.append(np.asarray(cur))
+            cur = [pa, pb]
+    if len(cur) >= 2:
+        parts.append(np.asarray(cur))
+    return parts
+
+
+def remove_spikes(ring, eps=0.0):
+    """Drop consecutive-duplicate points and A->B->A spikes (reference uses
+    boost remove_spikes before validity repair, src/tile_worker.cpp:239)."""
+    pts = np.asarray(ring, np.float64)
+    if len(pts) < 3:
+        return pts
+    closed = (pts[0] == pts[-1]).all()
+    if closed:
+        pts = pts[:-1]
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        keep = np.ones(len(pts), dtype=bool)
+        nxt = np.roll(pts, -1, axis=0)
+        dup = (np.abs(pts - nxt) <= eps).all(axis=1)
+        if dup.any():
+            keep[np.nonzero(dup)[0]] = False
+            pts = pts[keep]
+            changed = True
+            continue
+        prv = np.roll(pts, 1, axis=0)
+        nxt = np.roll(pts, -1, axis=0)
+        spike = (np.abs(prv - nxt) <= eps).all(axis=1)
+        if spike.any():
+            pts = pts[~spike]
+            changed = True
+    if len(pts) < 3:
+        return np.zeros((0, 2))
+    return np.vstack([pts, pts[:1]])
+
+
+# ---------------------------------------------------------------------------
+# Simplification
+# ---------------------------------------------------------------------------
+
+def douglas_peucker(line, tol):
+    """Douglas–Peucker simplify (reference src/geom.cpp:119-124 semantics:
+    boost::geometry::simplify with tolerance in coordinate units)."""
+    pts = np.asarray(line, np.float64)
+    n = len(pts)
+    if n < 3:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    tol2 = tol * tol
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        seglen2 = seg @ seg
+        rel = pts[i + 1:j] - pts[i]
+        if seglen2 == 0.0:
+            d2 = (rel ** 2).sum(axis=1)
+        else:
+            t = np.clip((rel @ seg) / seglen2, 0.0, 1.0)
+            proj = np.outer(t, seg)
+            d2 = ((rel - proj) ** 2).sum(axis=1)
+        k = int(np.argmax(d2))
+        if d2[k] > tol2:
+            idx = i + 1 + k
+            keep[idx] = True
+            stack.append((i, idx))
+            stack.append((idx, j))
+    return pts[keep]
+
+
+def visvalingam(line, tol_area):
+    """Visvalingam–Whyatt: iteratively drop the vertex with the smallest
+    effective triangle area below tol_area (reference src/visvalingam.cpp,
+    a tippecanoe/orb-style port — reimplemented from the published
+    algorithm)."""
+    pts = np.asarray(line, np.float64)
+    n = len(pts)
+    if n < 3:
+        return pts
+    import heapq
+    prev = np.arange(n) - 1
+    nxt = np.arange(n) + 1
+    alive = np.ones(n, dtype=bool)
+
+    def tri_area(i):
+        a, b, c = pts[prev[i]], pts[i], pts[nxt[i]]
+        return 0.5 * abs(
+            (b[0] - a[0]) * (c[1] - a[1]) - (c[0] - a[0]) * (b[1] - a[1])
+        )
+
+    heap = [(tri_area(i), i) for i in range(1, n - 1)]
+    heapq.heapify(heap)
+    areas = {i: a for a, i in heap}
+    removed = 0
+    while heap:
+        a, i = heapq.heappop(heap)
+        if not alive[i] or areas.get(i) != a:
+            continue
+        if a >= tol_area:
+            break
+        if n - removed <= (3 if (pts[0] == pts[-1]).all() else 2):
+            break
+        alive[i] = False
+        removed += 1
+        p, q = prev[i], nxt[i]
+        nxt[p], prev[q] = q, p
+        for j in (p, q):
+            if 0 < j < n - 1 and alive[j]:
+                na = tri_area(j)
+                areas[j] = na
+                heapq.heappush(heap, (na, j))
+    return pts[alive]
+
+
+def simplify_ring(ring, tol, algorithm="dp"):
+    """Simplify a closed ring; drops it if it degenerates (<4 points) or its
+    perimeter is tiny vs tolerance (reference topo-guard drop rule,
+    src/geom.cpp:18-117: rings with perimeter < 3*tol or <4 pts vanish)."""
+    pts = np.asarray(ring, np.float64)
+    if len(pts) < 4:
+        return np.zeros((0, 2))
+    per = np.abs(np.diff(pts, axis=0)).sum()
+    if per < 3.0 * tol:
+        return np.zeros((0, 2))
+    body = pts[:-1]
+    anchor = int(np.argmax(body[:, 0] + body[:, 1]))  # deterministic anchor
+    rolled = np.roll(body, -anchor, axis=0)
+    closed = np.vstack([rolled, rolled[:1]])
+    simp = (douglas_peucker(closed, tol) if algorithm == "dp"
+            else visvalingam(closed, tol * tol))
+    if len(simp) < 4:
+        return np.zeros((0, 2))
+    return simp
+
+
+# ---------------------------------------------------------------------------
+# Tile covering (object -> set of base-zoom tiles), reference semantics:
+# point -> 1 tile; line -> supercover raster of the tile grid
+# (src/coordinates_geom.cpp:112-199); polygon -> boundary raster + per-column
+# gap fill between consecutive covered y (src/coordinates.cpp:52-67).
+# ---------------------------------------------------------------------------
+
+def _supercover_segment(x0, y0, x1, y1):
+    """All integer grid cells a segment (in fractional tile coords) passes
+    through — Amanatides–Woo traversal. Returns (K,2) int64 array."""
+    cells = []
+    cx, cy = int(np.floor(x0)), int(np.floor(y0))
+    ex, ey = int(np.floor(x1)), int(np.floor(y1))
+    cells.append((cx, cy))
+    dx, dy = x1 - x0, y1 - y0
+    n_steps = abs(ex - cx) + abs(ey - cy)
+    if n_steps == 0:
+        return np.asarray(cells, np.int64)
+    step_x = 1 if dx > 0 else -1
+    step_y = 1 if dy > 0 else -1
+    t_max_x = ((cx + (step_x > 0)) - x0) / dx if dx != 0 else np.inf
+    t_max_y = ((cy + (step_y > 0)) - y0) / dy if dy != 0 else np.inf
+    t_dx = abs(1.0 / dx) if dx != 0 else np.inf
+    t_dy = abs(1.0 / dy) if dy != 0 else np.inf
+    for _ in range(n_steps):
+        if t_max_x < t_max_y:
+            cx += step_x
+            t_max_x += t_dx
+        else:
+            cy += step_y
+            t_max_y += t_dy
+        cells.append((cx, cy))
+    return np.asarray(cells, np.int64)
+
+
+def covering_tiles_line(line_lonlat, z):
+    """Tiles covered by a polyline at zoom z. Returns unique (K,2) int64."""
+    fx = lon2tilexf(line_lonlat[:, 0], z)
+    fy = lat2tileyf(line_lonlat[:, 1], z)
+    chunks = [
+        _supercover_segment(fx[i], fy[i], fx[i + 1], fy[i + 1])
+        for i in range(len(fx) - 1)
+    ] or [np.asarray([[int(fx[0]), int(fy[0])]], np.int64)]
+    cells = np.unique(np.concatenate(chunks), axis=0)
+    m = (np.int64(1) << z) - 1
+    return np.clip(cells, 0, m)
+
+
+def fill_covered_tiles(cells):
+    """Per-column fill between consecutive covered y's (reference
+    fillCoveredTiles, src/coordinates.cpp:52-67: every per-x gap between
+    successive present tiles is filled)."""
+    if len(cells) == 0:
+        return cells
+    order = np.lexsort((cells[:, 1], cells[:, 0]))
+    c = cells[order]
+    out = [c]
+    same_x = c[1:, 0] == c[:-1, 0]
+    gaps = np.nonzero(same_x & (c[1:, 1] > c[:-1, 1] + 1))[0]
+    for i in gaps:
+        ys = np.arange(c[i, 1] + 1, c[i + 1, 1])
+        out.append(np.column_stack([np.full(len(ys), c[i, 0]), ys]))
+    return np.unique(np.concatenate(out), axis=0)
+
+
+def covering_tiles_polygon(mp, z):
+    """Tiles covered by a multipolygon at zoom z: ring supercover + fill."""
+    rings = [r for poly in mp for r in poly]
+    cells = np.unique(
+        np.concatenate([covering_tiles_line(r, z) for r in rings]), axis=0
+    )
+    return fill_covered_tiles(cells)
+
+
+def covering_tiles_point(lon, lat, z):
+    x = int(np.floor(lon2tilexf(lon, z)))
+    y = int(np.floor(lat2tileyf(lat, z)))
+    m = (1 << z) - 1
+    return np.asarray([[min(max(x, 0), m), min(max(y, 0), m)]], np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Label points (reference Centroid()/polylabel,
+# src/osm_lua_processing.cpp:865-943, include/polylabel.h — mapbox polylabel
+# algorithm reimplemented from the published description)
+# ---------------------------------------------------------------------------
+
+def ring_centroid(ring):
+    """Planar area-weighted centroid of a closed ring."""
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y1 - x1 * y
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return float(x.mean()), float(y.mean())
+    cx = ((x + x1) * cross).sum() / (6.0 * a)
+    cy = ((y + y1) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def _dist_to_rings(px, py, rings):
+    """Signed distance from one point to polygon rings (+ inside)."""
+    p = np.asarray([px, py])
+    best = np.inf
+    for ring in rings:
+        a, b = ring[:-1], ring[1:]
+        d = b - a
+        len2 = (d ** 2).sum(axis=1)
+        t = np.clip(((p - a) * d).sum(axis=1) / np.where(len2 == 0, 1, len2), 0, 1)
+        proj = a + t[:, None] * d
+        dist2 = ((proj - p) ** 2).sum(axis=1)
+        best = min(best, float(dist2.min()))
+    inside = bool(points_in_polygon(np.asarray([px]), np.asarray([py]),
+                                    [rings[0]] + list(rings[1:]))[0])
+    return (1.0 if inside else -1.0) * np.sqrt(best)
+
+
+def polylabel(poly, precision_frac=0.02):
+    """Pole of inaccessibility via the mapbox quadtree search (public
+    algorithm). poly = [outer, holes...]. Returns (x, y)."""
+    minx, miny, maxx, maxy = ring_bbox(poly[0])
+    size = max(maxx - minx, maxy - miny)
+    if size == 0:
+        return float(poly[0][0, 0]), float(poly[0][0, 1])
+    precision = size * precision_frac
+    import heapq
+    h = size / 2.0
+
+    def cell(cx, cy, half):
+        d = _dist_to_rings(cx, cy, poly)
+        return (-(d + half * np.sqrt(2.0)), half, cx, cy, d)
+
+    heap = []
+    x = minx
+    while x < maxx:
+        y = miny
+        while y < maxy:
+            heapq.heappush(heap, cell(x + h, y + h, h))
+            y += size
+        x += size
+    cx, cy = ring_centroid(poly[0])
+    best = (_dist_to_rings(cx, cy, poly), cx, cy)
+    bx = (_dist_to_rings((minx + maxx) / 2, (miny + maxy) / 2, poly),
+          (minx + maxx) / 2, (miny + maxy) / 2)
+    if bx[0] > best[0]:
+        best = bx
+    while heap:
+        negmax, half, ccx, ccy, d = heapq.heappop(heap)
+        if d > best[0]:
+            best = (d, ccx, ccy)
+        if -negmax - best[0] <= precision:
+            continue
+        q = half / 2.0
+        for ox in (-q, q):
+            for oy in (-q, q):
+                heapq.heappush(heap, cell(ccx + ox, ccy + oy, q))
+    return float(best[1]), float(best[2])
