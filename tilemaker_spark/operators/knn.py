@@ -1,0 +1,135 @@
+"""kNN join: for each query point, the k nearest candidate points.
+
+Absent in the reference engine; a graft requirement from BASELINE.json
+(kNN image-to-feature matching per cell).  Two strategies:
+
+* **broadcast** (small query set): queries are broadcast as a plain array
+  and every candidate partition computes distances vectorized; a window
+  ``row_number`` keeps the top-k per query.  Exact, no approximation,
+  one shuffle (on query_id).  This is also the SQL-expressible oracle
+  semantics (cross join + window).
+
+* **cell** (both sides large): candidates and queries key by a cell at
+  ``cell_zoom``; each query probes its cell plus the 8-neighbor ring
+  (explode), distances computed JVM-side via the haversine column
+  expression, window top-k.  Exact whenever the true kth neighbor lies
+  within one cell ring (cell_zoom must be chosen so cell size >>
+  expected kth distance); the fraction of under-filled queries is
+  observable via the returned rank counts.
+
+Distance = haversine meters on R=6371000 (matching the reference's
+spherical length strategy).  Ties break on candidate id for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sql import tile_exprs as TE
+
+
+def knn_join_broadcast(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    q_lon: str = "lon",
+    q_lat: str = "lat",
+    c_lon: str = "lon",
+    c_lat: str = "lat",
+) -> DataFrame:
+    """Exact kNN with a broadcast cross join; queries side must be small.
+
+    Output: (query_id, rank 1..k, cand_id, dist_m) — rank ordered by
+    (dist_m, cand_id).
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(q_lon).alias("_qlon"),
+        F.col(q_lat).alias("_qlat"),
+    )
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"),
+        F.col(c_lon).alias("_clon"),
+        F.col(c_lat).alias("_clat"),
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    dist = TE.haversine_m(
+        F.col("_qlon"), F.col("_qlat"), F.col("_clon"), F.col("_clat")
+    ).alias("dist_m")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(),
+                                               F.col("cand_id").asc())
+    return (
+        joined.select("query_id", "cand_id", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "dist_m")
+    )
+
+
+def knn_join_cell(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    cell_zoom: int = 5,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    q_lon: str = "lon",
+    q_lat: str = "lat",
+    c_lon: str = "lon",
+    c_lat: str = "lat",
+) -> DataFrame:
+    """Cell + 8-neighbor-ring kNN for large query sets (the scale path).
+
+    Both sides shuffle once on the compact cell key; no cross join.
+    """
+    nmax = (1 << cell_zoom) - 1
+    cx = F.least(F.greatest(TE.lon2tilex(F.col(c_lon), cell_zoom), F.lit(0)),
+                 F.lit(nmax))
+    cy = F.least(F.greatest(TE.lat2tiley(F.col(c_lat), cell_zoom), F.lit(0)),
+                 F.lit(nmax))
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"),
+        F.col(c_lon).alias("_clon"), F.col(c_lat).alias("_clat"),
+        TE.tile_id(cell_zoom, cx, cy).alias("_cell"),
+    )
+
+    qx = F.least(F.greatest(TE.lon2tilex(F.col(q_lon), cell_zoom), F.lit(0)),
+                 F.lit(nmax))
+    qy = F.least(F.greatest(TE.lat2tiley(F.col(q_lat), cell_zoom), F.lit(0)),
+                 F.lit(nmax))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(q_lon).alias("_qlon"), F.col(q_lat).alias("_qlat"),
+        qx.alias("_qx"), qy.alias("_qy"),
+    )
+    # probe own cell + 8 neighbors (x wraps at the antimeridian, y clamps)
+    ring = F.array(*[
+        F.struct(
+            F.pmod(F.col("_qx") + F.lit(dx), F.lit(nmax + 1)).alias("x"),
+            F.least(F.greatest(F.col("_qy") + F.lit(dy), F.lit(0)),
+                    F.lit(nmax)).alias("y"),
+        )
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    q = (
+        q.withColumn("_probe", F.explode(F.array_distinct(ring)))
+        .withColumn("_cell", TE.tile_id(cell_zoom, F.col("_probe.x"),
+                                        F.col("_probe.y")))
+        .drop("_probe", "_qx", "_qy")
+    )
+    joined = q.join(c, on="_cell", how="inner")
+    dist = TE.haversine_m(
+        F.col("_qlon"), F.col("_qlat"), F.col("_clon"), F.col("_clat")
+    ).alias("dist_m")
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(),
+                                               F.col("cand_id").asc())
+    return (
+        joined.select("query_id", "cand_id", dist)
+        .dropDuplicates(["query_id", "cand_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "dist_m")
+    )

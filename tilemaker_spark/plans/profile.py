@@ -1,0 +1,206 @@
+"""Profiles: declarative per-entity feature rules.
+
+The reference's "query language" is a per-row Lua flatMap
+(/root/reference/src/osm_lua_processing.cpp:1076-1239: node_function /
+way_function emit 0..N (layer, geomType, attributes) rows).  Here a
+profile is a list of :class:`LayerRule` objects that compile to one
+``select+filter+union`` plan per rule — fully Catalyst-optimizable,
+zero per-row Python (SURVEY.md §2.9 tier 1).
+
+Tag predicates map 1:1 to the reference host functions:
+``Find(k)`` -> ``element_at(tags, k)``; ``Holds(k)`` ->
+``map_contains_key``; ``IsClosed()`` -> the assembled ``is_closed``
+column; ``Attribute(...)`` -> entries of the ``attrs`` map column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels import geom as G
+
+
+def find(key: str) -> Column:
+    """Lua Find(k): tag value or '' (reference osm_lua_processing.cpp:163)."""
+    return F.coalesce(F.col("tags").getItem(key), F.lit(""))
+
+
+def holds(key: str) -> Column:
+    """Lua Holds(k): tag key present with non-empty value."""
+    return F.col("tags").getItem(key).isNotNull() & (
+        F.col("tags").getItem(key) != "")
+
+
+def has_tags() -> Column:
+    return F.size("tags") > 0
+
+
+@dataclass
+class LayerRule:
+    """One feature-emission rule: WHERE match -> emit into layer."""
+    layer: str
+    source: str                      # node | way_line | way_area | relation
+    match: Callable[[], Column]      # predicate over the entity row
+    attrs: dict[str, Callable[[], Column]] = field(default_factory=dict)
+    minzoom: Callable[[], Column] | int = 0
+    zorder: Callable[[], Column] | int = 0
+
+
+class Profile:
+    def __init__(self, rules: list[LayerRule]):
+        self.rules = rules
+
+    def _emit(self, df: DataFrame, rule: LayerRule, kind: int,
+              coords: Column, ring_sizes: Column,
+              poly_counts: Column) -> DataFrame:
+        mz = rule.minzoom() if callable(rule.minzoom) else F.lit(rule.minzoom)
+        zo = rule.zorder() if callable(rule.zorder) else F.lit(rule.zorder)
+        if rule.attrs:
+            attr_col = F.map_filter(
+                F.map_from_arrays(
+                    F.array(*[F.lit(k) for k in rule.attrs]),
+                    F.array(*[v().cast("string") for v in rule.attrs.values()]),
+                ),
+                lambda k, v: v.isNotNull() & (v != ""),
+            )
+        else:
+            attr_col = F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>"))
+        return df.filter(rule.match()).select(
+            F.col("id").alias("feature_id"),
+            F.lit(rule.layer).alias("layer"),
+            F.lit(kind).cast("tinyint").alias("kind"),
+            mz.cast("int").alias("minzoom"),
+            zo.cast("long").alias("zorder"),
+            attr_col.alias("attrs"),
+            coords.alias("coords"),
+            ring_sizes.alias("ring_sizes"),
+            poly_counts.alias("poly_ring_counts"),
+        )
+
+    def apply(self, nodes: DataFrame | None = None,
+              way_geoms: DataFrame | None = None,
+              rel_geoms: DataFrame | None = None) -> DataFrame:
+        """Build the features table from entity DataFrames.
+
+        nodes: (id, lon, lat, tags); way_geoms: assembly output
+        (id, tags, coords, is_closed, ...); rel_geoms: multipolygon
+        assembly output (id, tags, coords, ring_sizes, poly_ring_counts).
+        """
+        outs: list[DataFrame] = []
+        empty_i = F.array().cast("array<int>")
+        for rule in self.rules:
+            if rule.source == "node" and nodes is not None:
+                outs.append(self._emit(
+                    nodes, rule, G.POINT,
+                    F.array("lon", "lat"),
+                    F.array(F.lit(1)), empty_i))
+            elif rule.source == "way_line" and way_geoms is not None:
+                outs.append(self._emit(
+                    way_geoms, rule, G.LINESTRING,
+                    F.col("coords"),
+                    F.array((F.size("coords") / 2).cast("int")), empty_i))
+            elif rule.source == "way_area" and way_geoms is not None:
+                closed = way_geoms.filter(F.col("is_closed"))
+                outs.append(self._emit(
+                    closed, rule, G.POLYGON,
+                    F.col("coords"),
+                    F.array((F.size("coords") / 2).cast("int")),
+                    F.array(F.lit(1))))
+            elif rule.source == "relation" and rel_geoms is not None:
+                outs.append(self._emit(
+                    rel_geoms, rule, G.POLYGON,
+                    F.col("coords"), F.col("ring_sizes"),
+                    F.col("poly_ring_counts")))
+        if not outs:
+            raise ValueError("profile emitted no rules for given inputs")
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        return res
+
+
+def openmaptiles_lite() -> tuple[Profile, "Config"]:
+    """A small OpenMapTiles-style profile covering the fixture's layer mix
+    (modeled on the reference's resources/config-openmaptiles.json zoom and
+    simplify parameters; rules simplified to the tags monaco exercises)."""
+    from ..config import Config, LayerDef
+
+    rules = [
+        LayerRule(
+            layer="transportation", source="way_line",
+            match=lambda: holds("highway"),
+            attrs={"class": lambda: find("highway")},
+            minzoom=lambda: F.when(
+                find("highway").isin("motorway", "trunk", "primary"), F.lit(4)
+            ).when(
+                find("highway").isin("secondary", "tertiary"), F.lit(9)
+            ).otherwise(F.lit(12)),
+            zorder=lambda: F.when(find("highway") == "motorway", F.lit(380))
+            .when(find("highway") == "trunk", F.lit(370))
+            .when(find("highway") == "primary", F.lit(360))
+            .when(find("highway") == "secondary", F.lit(350))
+            .otherwise(F.lit(340)),
+        ),
+        LayerRule(
+            layer="building", source="way_area",
+            match=lambda: holds("building"),
+            minzoom=13,
+        ),
+        LayerRule(
+            layer="water", source="way_area",
+            match=lambda: (find("natural") == "water")
+            | (find("waterway") == "riverbank") | (find("landuse") == "basin"),
+            attrs={"class": lambda: F.lit("lake")},
+        ),
+        LayerRule(
+            layer="water", source="relation",
+            match=lambda: (find("natural") == "water")
+            | (find("type") == "multipolygon") & (find("water") != ""),
+            attrs={"class": lambda: F.lit("lake")},
+        ),
+        LayerRule(
+            layer="landuse", source="way_area",
+            match=lambda: holds("landuse") | holds("leisure"),
+            attrs={"class": lambda: F.when(holds("landuse"), find("landuse"))
+                   .otherwise(find("leisure"))},
+            minzoom=9,
+        ),
+        LayerRule(
+            layer="poi", source="node",
+            match=lambda: holds("amenity") | holds("shop") | holds("tourism"),
+            attrs={
+                "class": lambda: F.when(holds("amenity"), find("amenity"))
+                .when(holds("shop"), find("shop")).otherwise(find("tourism")),
+                "name": lambda: find("name"),
+            },
+            minzoom=14,
+        ),
+        LayerRule(
+            layer="place", source="node",
+            match=lambda: holds("place"),
+            attrs={"class": lambda: find("place"),
+                   "name": lambda: find("name")},
+            minzoom=lambda: F.when(find("place").isin("city", "town"),
+                                   F.lit(4)).otherwise(F.lit(10)),
+        ),
+    ]
+    cfg = Config(layers={
+        "transportation": LayerDef("transportation", minzoom=4, maxzoom=14,
+                                   simplify_below=13, simplify_level=0.0003,
+                                   combine_lines_below=13),
+        "building": LayerDef("building", minzoom=13, maxzoom=14),
+        "water": LayerDef("water", minzoom=0, maxzoom=14,
+                          simplify_below=12, simplify_level=0.0005,
+                          filter_below=12, filter_area=0.5),
+        "landuse": LayerDef("landuse", minzoom=9, maxzoom=14,
+                            simplify_below=12, simplify_level=0.0003),
+        "poi": LayerDef("poi", minzoom=14, maxzoom=14, feature_limit=200,
+                        feature_limit_below=15),
+        "place": LayerDef("place", minzoom=0, maxzoom=14),
+    })
+    return Profile(rules), cfg

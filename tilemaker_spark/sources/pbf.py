@@ -1,0 +1,102 @@
+"""Spark source for OSM PBF: blob-parallel decode into entity DataFrames.
+
+The reference reads PBF with a 5-phase threaded scan over a blob index
+(/root/reference/src/pbf_processor.cpp:506-749).  Spark shape: the blob
+index (offset, size) is a tiny DataFrame; ``mapInPandas`` decodes blobs in
+parallel on executors (one Arrow batch per blob); the result is three
+DataFrames with the reference's entity schema (SURVEY.md §1.1).  Entity-type
+phase pruning comes free: each entity table filters its own rows, and for
+Sort.Type_then_ID files most blobs contain a single entity type so the
+decode-and-discard cost is one pass, same as the reference's block
+type-ranges.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels import pbf as K
+
+NODES_SCHEMA = "id long, lon double, lat double, tags map<string,string>"
+WAYS_SCHEMA = "id long, refs array<long>, tags map<string,string>"
+RELS_SCHEMA = (
+    "id long, "
+    "members array<struct<mtype: tinyint, ref: long, role: string>>, "
+    "tags map<string,string>"
+)
+
+
+def blob_index_df(spark: SparkSession, path: str) -> DataFrame:
+    refs = [(path, r.offset, r.size, r.kind) for r in K.scan_blobs(path)]
+    return spark.createDataFrame(refs, "path string, offset long, size long, kind string")
+
+
+def _tags_arrow(d: dict) -> dict:
+    # PySpark's Arrow conversion expects MapType values as dicts
+    return d
+
+
+def _decode_blobs(batches: Iterator[pd.DataFrame], which: str):
+    for pdf in batches:
+        out_nodes, out_ways, out_rels = [], [], []
+        for path, offset, size, kind in zip(
+            pdf["path"], pdf["offset"], pdf["size"], pdf["kind"]
+        ):
+            if kind != "OSMData":
+                continue
+            raw = K.read_blob(path, K.BlobRef(int(offset), int(size), kind))
+            ents = K.decode_block(raw)
+            if which == "nodes":
+                out_nodes.extend(ents.nodes)
+            elif which == "ways":
+                out_ways.extend(ents.ways)
+            else:
+                out_rels.extend(ents.relations)
+        # NOTE: skip empty frames — pandas gives empty columns float64
+        # dtype, which Arrow cannot convert to map/struct targets.
+        if which == "nodes" and out_nodes:
+            yield pd.DataFrame({
+                "id": [n[0] for n in out_nodes],
+                "lon": [n[1] for n in out_nodes],
+                "lat": [n[2] for n in out_nodes],
+                "tags": [_tags_arrow(n[3]) for n in out_nodes],
+            })
+        elif which == "ways" and out_ways:
+            yield pd.DataFrame({
+                "id": [w[0] for w in out_ways],
+                "refs": [w[1] for w in out_ways],
+                "tags": [_tags_arrow(w[2]) for w in out_ways],
+            })
+        elif which == "relations" and out_rels:
+            yield pd.DataFrame({
+                "id": [r[0] for r in out_rels],
+                "members": [
+                    [{"mtype": m[0], "ref": m[1], "role": m[2]}
+                     for m in r[1]]
+                    for r in out_rels
+                ],
+                "tags": [_tags_arrow(r[2]) for r in out_rels],
+            })
+
+
+def read_pbf(spark: SparkSession, path: str, partitions: int | None = None):
+    """-> (nodes, ways, relations) DataFrames decoded blob-parallel."""
+    idx = blob_index_df(spark, path)
+    n_blobs = idx.count()
+    parts = partitions or max(1, min(n_blobs, 64))
+    idx = idx.repartition(parts)
+    nodes = idx.mapInPandas(lambda it: _decode_blobs(it, "nodes"), NODES_SCHEMA)
+    ways = idx.mapInPandas(lambda it: _decode_blobs(it, "ways"), WAYS_SCHEMA)
+    rels = idx.mapInPandas(lambda it: _decode_blobs(it, "relations"), RELS_SCHEMA)
+    return nodes, ways, rels
+
+
+def read_header(path: str) -> dict:
+    for r in K.scan_blobs(path):
+        if r.kind == "OSMHeader":
+            return K.decode_header(K.read_blob(path, r))
+    return {"bbox": None, "features": []}

@@ -1,0 +1,155 @@
+"""Tile math as Catalyst Column expressions — the JVM-side fast path.
+
+Every function here returns a ``pyspark.sql.Column`` built purely from
+``pyspark.sql.functions`` (whole-stage-codegen friendly, no Python UDFs),
+plus a parallel ``*_sql`` string template in ANSI SQL so the same formula
+can run in DuckDB for oracle checks.  The numpy ground truth lives in
+``tilemaker_spark.kernels.proj`` (unit tests assert expr == kernel).
+
+Formulas mirror the reference engine (/root/reference/src/coordinates.cpp):
+latp = deg(ln(tan(rad(clamp(lat, 85.06) + 90)/2)));
+tile x = floor((lon+180)/360 * 2^z);  tile y = floor((180-latp)/360 * 2^z).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+CLAMP_LAT = 85.06
+MAX_LAT = 85.0511
+RADIUS_METER = 6371000.0
+
+
+def _clamp(c: Column, lo: float, hi: float) -> Column:
+    return F.least(F.greatest(c, F.lit(float(lo))), F.lit(float(hi)))
+
+
+def lat2latp(lat: Column) -> Column:
+    lat = _clamp(lat, -CLAMP_LAT, CLAMP_LAT)
+    return F.degrees(F.log(F.tan(F.radians((lat + F.lit(90.0)) / F.lit(2.0)))))
+
+
+def lat2latp_sql(lat: str) -> str:
+    return (
+        f"degrees(ln(tan(radians((least(greatest({lat}, -85.06), 85.06)"
+        f" + 90.0) / 2.0))))"
+    )
+
+
+def lon2tilex(lon: Column, z: int) -> Column:
+    return F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(2 ** z))).cast(
+        "long"
+    )
+
+
+def lon2tilex_sql(lon: str, z: int) -> str:
+    return f"cast(floor(({lon} + 180.0) / 360.0 * {float(2 ** z)}) as bigint)"
+
+
+def lat2tiley(lat: Column, z: int) -> Column:
+    return F.floor(
+        (F.lit(180.0) - lat2latp(lat)) / F.lit(360.0) * F.lit(float(2 ** z))
+    ).cast("long")
+
+
+def lat2tiley_sql(lat: str, z: int) -> str:
+    return (
+        f"cast(floor((180.0 - {lat2latp_sql(lat)}) / 360.0 * {float(2 ** z)})"
+        f" as bigint)"
+    )
+
+
+def tile_id(z: int, x: Column, y: Column) -> Column:
+    """Pack (z, x, y) into one int64 (same layout as kernels.proj.tile_id)."""
+    return (F.lit(1 << (2 * z)) + x * F.lit(1 << z) + y).cast("long")
+
+
+def tile_id_sql(z: int, x: str, y: str) -> str:
+    return f"cast({1 << (2 * z)} + {x} * {1 << z} + {y} as bigint)"
+
+
+def cell_id(lon: Column, lat: Column, cell_zoom: int = 6) -> Column:
+    """Coarse-cell id (H3-coarse analogue, CLUSTER_ZOOM=6), clamped in range."""
+    m = (1 << cell_zoom) - 1
+    x = _clamp(lon2tilex(lon, cell_zoom).cast("double"), 0, m).cast("long")
+    y = _clamp(
+        lat2tiley(_clamp(lat, -MAX_LAT, MAX_LAT), cell_zoom).cast("double"), 0, m
+    ).cast("long")
+    return tile_id(cell_zoom, x, y)
+
+
+def cell_id_sql(lon: str, lat: str, cell_zoom: int = 6) -> str:
+    m = (1 << cell_zoom) - 1
+    lat_c = f"least(greatest({lat}, -85.0511), 85.0511)"
+    x = f"least(greatest({lon2tilex_sql(lon, cell_zoom)}, 0), {m})"
+    y = f"least(greatest({lat2tiley_sql(lat_c, cell_zoom)}, 0), {m})"
+    return tile_id_sql(cell_zoom, x, y)
+
+
+def parent_tile_x(x: Column, dz: int) -> Column:
+    """Ancestor tile coordinate dz zoom levels up (x >> dz)."""
+    return F.floor(x / F.lit(float(1 << dz))).cast("long")
+
+
+def parent_tile_x_sql(x: str, dz: int) -> str:
+    return f"cast(floor({x} / {float(1 << dz)}) as bigint)"
+
+
+def zorder_encode(v: Column) -> Column:
+    """Reference ZOrder compression (include/output_object.h:54-62)."""
+    pos = F.sqrt((v - F.lit(1000.0)) * F.lit(10.0)) + F.lit(10000.0)
+    neg = F.lit(-10000.0) - F.sqrt((F.abs(v) - F.lit(1000.0)) * F.lit(10.0))
+    raw = F.when(v > 1000.0, pos).when(v < -1000.0, neg).otherwise(v * F.lit(10.0))
+    return F.when(
+        F.isnan(raw) | (raw == F.lit(float("inf"))) | (raw == F.lit(float("-inf"))),
+        F.lit(0),
+    ).otherwise(F.floor(raw)).cast("long")
+
+
+def zorder_encode_sql(v: str) -> str:
+    return (
+        f"cast(floor(case when {v} > 1000.0 then sqrt(({v} - 1000.0) * 10.0)"
+        f" + 10000.0 when {v} < -1000.0 then -10000.0 - sqrt((abs({v})"
+        f" - 1000.0) * 10.0) else {v} * 10.0 end) as bigint)"
+    )
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle meters on R=6371000 (reference Length() strategy)."""
+    rl1, rp1 = F.radians(lon1), F.radians(lat1)
+    rl2, rp2 = F.radians(lon2), F.radians(lat2)
+    a = (
+        F.pow(F.sin((rp2 - rp1) / 2), 2)
+        + F.cos(rp1) * F.cos(rp2) * F.pow(F.sin((rl2 - rl1) / 2), 2)
+    )
+    a = F.least(F.greatest(a, F.lit(0.0)), F.lit(1.0))
+    return F.lit(2.0 * RADIUS_METER) * F.asin(F.sqrt(a))
+
+
+def haversine_m_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    a = (
+        f"(pow(sin((radians({lat2}) - radians({lat1})) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin((radians({lon2}) - radians({lon1})) / 2), 2))"
+    )
+    return f"(2.0 * {RADIUS_METER} * asin(sqrt(least(greatest({a}, 0.0), 1.0))))"
+
+
+def box_area_sq_m(minlon: Column, minlat: Column, maxlon: Column,
+                  maxlat: Column) -> Column:
+    """Spherical area of a lon/lat box via the same Chamberlain–Duquette
+    edge discretization as kernels.geom.ring_area_sq_m (4 corners):
+    simplifies to |dlam * (sin(maxlat) - sin(minlat))| * R^2 for a box."""
+    dlam = F.radians(maxlon - minlon)
+    return (
+        F.abs(dlam * (F.sin(F.radians(maxlat)) - F.sin(F.radians(minlat))))
+        * F.lit(RADIUS_METER * RADIUS_METER)
+    )
+
+
+def box_area_sq_m_sql(minlon: str, minlat: str, maxlon: str, maxlat: str) -> str:
+    return (
+        f"(abs(radians({maxlon} - {minlon}) * (sin(radians({maxlat}))"
+        f" - sin(radians({minlat})))) * {RADIUS_METER * RADIUS_METER})"
+    )
