@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data graft ops); each has an ``oracle_sql()``
+twin in ANSI SQL for DuckDB.  Geospatial queries derive deterministic
+(lon, lat) from TPC-H keys with an integer LCG that is emitted both as a
+Spark Column expression and as SQL text from one spec
+(``tilemaker_spark.sources.synth``), so Spark and DuckDB compute
+bit-identical coordinates.
+
+Column-naming rule: every computed column is aliased identically on both
+sides (driver hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +17,683 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+from tilemaker_spark.sql import tile_exprs as TE
+from tilemaker_spark.sources import synth
+from tilemaker_spark.operators import (
+    dedup as dedup_ops,
+    knn as knn_ops,
+    similarity as sim_ops,
+    spatial_join,
+    text as text_ops,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _customer_points(spark, sf_dir):
+    """Customers with deterministic synthetic geotags (LCG on c_custkey)."""
+    c = _t(spark, sf_dir, "customer")
+    lon, lat = synth.geo_point_expr(F.col("c_custkey"))
+    return c.select("c_custkey", "c_nationkey",
+                    "c_acctbal", "c_mktsegment",
+                    lon.alias("lon"), lat.alias("lat"))
+
+
+CUST_LON, CUST_LAT = synth.geo_point_sql("c_custkey")
+ORD_LON, ORD_LAT = synth.geo_point_sql("o_orderkey")
+
+
+def _nation_boxes(spark, sf_dir):
+    """Nations as a deterministic 5x5 grid of lon/lat boxes with packed-ring
+    polygon geometry (the polygon-layer fixture)."""
+    n = _t(spark, sf_dir, "nation")
+    b = synth.nation_boxes_expr(F.col("n_nationkey"))
+    coords = F.array(
+        b["minlon"], b["minlat"], b["maxlon"], b["minlat"],
+        b["maxlon"], b["maxlat"], b["minlon"], b["maxlat"],
+        b["minlon"], b["minlat"],
+    )
+    return n.select(
+        F.col("n_nationkey").alias("poly_id"),
+        F.col("n_name"),
+        coords.alias("coords"),
+        F.array(F.lit(5)).alias("ring_sizes"),
+        F.array(F.lit(1)).alias("poly_ring_counts"),
+        b["minlon"].alias("minlon"), b["minlat"].alias("minlat"),
+        b["maxlon"].alias("maxlon"), b["maxlat"].alias("maxlat"),
+    )
+
+
+NB = synth.nation_boxes_sql_parts("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_tile_assign(spark, sf_dir):
+    """Point -> z/x/y tile assignment (kernel of the tiling engine;
+    reference src/coordinates.cpp:27-41) + per-tile counts."""
+    pts = _customer_points(spark, sf_dir)
+    z = 13
+    return (
+        pts.select(
+            TE.lon2tilex(F.col("lon"), z).alias("x"),
+            TE.lat2tiley(F.col("lat"), z).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sql_tile_assign():
+    return f"""
+SELECT {TE.lon2tilex_sql(CUST_LON, 13)} AS x,
+       {TE.lat2tiley_sql(CUST_LAT, 13)} AS y,
+       count(*) AS n
+FROM customer GROUP BY 1, 2
+"""
+
+
+def q_cell_index(spark, sf_dir):
+    """Coarse-cell (H3-coarse analogue, z6 packed id) partition-key
+    distribution over order points — the table-layout key of the engine."""
+    o = _t(spark, sf_dir, "orders")
+    lon, lat = synth.geo_point_expr(F.col("o_orderkey"))
+    return (
+        o.select(TE.cell_id(lon, lat, 6).alias("cell"))
+        .groupBy("cell").agg(F.count("*").alias("n"))
+    )
+
+
+def sql_cell_index():
+    from tilemaker_spark.sql.tile_exprs import cell_id_sql
+    return f"""
+SELECT {cell_id_sql(ORD_LON, ORD_LAT, 6)} AS cell, count(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_pip_broadcast(spark, sf_dir):
+    """Point-in-polygon join, broadcast filter-refine path (reference
+    Intersects/FindIntersecting, src/osm_lua_processing.cpp:409-465)."""
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
+    boxes = _nation_boxes(spark, sf_dir)
+    j = spatial_join.pip_join_broadcast(
+        pts, boxes, poly_cols=("poly_id",), index_zoom=4)
+    return j.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("poly_id").cast("int").alias("nation_box"),
+    )
+
+
+def sql_pip():
+    return f"""
+SELECT c.c_custkey AS custkey, n.n_nationkey AS nation_box
+FROM customer c JOIN nation n
+  ON {CUST_LON} >= {NB['minlon']} AND {CUST_LON} < {NB['maxlon']}
+ AND {CUST_LAT} >= {NB['minlat']} AND {CUST_LAT} < {NB['maxlat']}
+"""
+
+
+def q_pip_cell(spark, sf_dir):
+    """Same join through the cell-keyed shuffle path (large-layer plan,
+    reference z15 bitmap filter-refine, src/shp_mem_tiles.cpp:58-127)."""
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
+    boxes = _nation_boxes(spark, sf_dir)
+    j = spatial_join.pip_join_cell(
+        pts, boxes, poly_cols=("poly_id",), index_zoom=5)
+    return j.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("poly_id").cast("int").alias("nation_box"),
+    )
+
+
+def q_knn(spark, sf_dir):
+    """kNN join (graft op): 25 nation-derived query points, k=8 nearest
+    customers by haversine on R=6371000; ties break on candidate id."""
+    n = _t(spark, sf_dir, "nation")
+    qlon, qlat = synth.geo_point_expr(F.col("n_nationkey") + F.lit(7777))
+    q = n.select(F.col("n_nationkey").alias("query_id"),
+                 qlon.alias("lon"), qlat.alias("lat"))
+    c = _customer_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("cand_id"), "lon", "lat")
+    out = knn_ops.knn_join_broadcast(q, c, k=8)
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"), "rank", "cand_id",
+        F.round("dist_m", 2).alias("dist_m"))
+
+
+def sql_knn():
+    qlon, qlat = synth.geo_point_sql("(n_nationkey + 7777)")
+    dist = TE.haversine_m_sql(qlon, qlat, CUST_LON, CUST_LAT)
+    return f"""
+WITH d AS (
+  SELECT n.n_nationkey AS query_id, c.c_custkey AS cand_id,
+         {dist} AS dist_m,
+         row_number() OVER (PARTITION BY n.n_nationkey
+                            ORDER BY {dist} ASC, c.c_custkey ASC) AS rank
+  FROM nation n CROSS JOIN customer c
+)
+SELECT query_id, rank, cand_id, round(dist_m, 2) AS dist_m
+FROM d WHERE rank <= 8
+"""
+
+
+def q_way_assembly(spark, sf_dir):
+    """way ⋈ nodes geometry assembly (reference src/pbf_processor.cpp:122-146)
+    exercised on TPC-H shape: orders = ways, lineitems = ordered refs;
+    output per-way vertex count and haversine length."""
+    from tilemaker_spark.operators import assembly
+    li = _t(spark, sf_dir, "lineitem")
+    node_id = F.col("l_orderkey") * 16 + F.col("l_linenumber")
+    lon, lat = synth.geo_point_expr(node_id)
+    # (orderkey, linenumber) is not unique in the synthetic data — dedupe
+    # node ids and ref lists (both mirrored in the oracle SQL)
+    nodes = li.select(node_id.alias("id"), lon.alias("lon"),
+                      lat.alias("lat")).dropDuplicates(["id"])
+    ways = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set(
+            F.col("l_orderkey") * 16 + F.col("l_linenumber"))).alias("refs"))
+        .select(F.col("l_orderkey").alias("id"), "refs",
+                F.map_from_arrays(F.array(), F.array()).alias("tags"))
+    )
+    geoms = assembly.assemble_way_geometries(ways, nodes)
+    # length along the ref-ordered polyline, JVM-side
+    n = F.size("coords") / 2
+    seg = F.transform(
+        F.sequence(F.lit(0), (n - 2).cast("int")),
+        lambda i: TE.haversine_m(
+            F.element_at("coords", (i * 2 + 1).cast("int")),
+            F.element_at("coords", (i * 2 + 2).cast("int")),
+            F.element_at("coords", (i * 2 + 3).cast("int")),
+            F.element_at("coords", (i * 2 + 4).cast("int")),
+        ),
+    )
+    length = F.when(n >= 2, F.aggregate(seg, F.lit(0.0), lambda a, x: a + x)
+                    ).otherwise(F.lit(0.0))
+    return geoms.select(
+        F.col("id").alias("way_id"),
+        n.cast("int").alias("n_points"),
+        F.round(length, 1).alias("length_m"),
+    )
+
+
+def sql_way_assembly():
+    pid = "(l_orderkey * 16 + l_linenumber)"
+    lon, lat = synth.geo_point_sql(pid)
+    dist = TE.haversine_m_sql("plon", "plat", "nlon", "nlat")
+    return f"""
+WITH pts AS (
+  SELECT DISTINCT l_orderkey, {pid} AS pid, {lon} AS plon, {lat} AS plat
+  FROM lineitem
+), seq AS (
+  SELECT l_orderkey, plon, plat,
+         lead(plon) OVER w AS nlon, lead(plat) OVER w AS nlat
+  FROM pts WINDOW w AS (PARTITION BY l_orderkey ORDER BY pid)
+)
+SELECT l_orderkey AS way_id,
+       CAST(count(*) AS int) AS n_points,
+       round(coalesce(sum(CASE WHEN nlon IS NULL THEN NULL
+                                ELSE {dist} END), 0.0), 1) AS length_m
+FROM seq GROUP BY l_orderkey
+"""
+
+
+def q_spherical_area(spark, sf_dir):
+    """Spherical polygon area (reference Area(),
+    src/osm_lua_processing.cpp:529-578: spherical strategy R=6371000)."""
+    boxes = _nation_boxes(spark, sf_dir)
+    area = TE.box_area_sq_m(
+        F.col("minlon"), F.col("minlat"), F.col("maxlon"), F.col("maxlat"))
+    return boxes.select(
+        F.col("poly_id").cast("int").alias("nationkey"),
+        F.round(area / 1e6, 3).alias("area_km2"),
+    )
+
+
+def sql_spherical_area():
+    area = TE.box_area_sq_m_sql(
+        NB["minlon"], NB["minlat"], NB["maxlon"], NB["maxlat"])
+    return f"""
+SELECT n_nationkey AS nationkey, round({area} / 1e6, 3) AS area_km2
+FROM nation
+"""
+
+
+def q_zorder_topk(spark, sf_dir):
+    """z-order sort + feature_limit top-k per tile (reference
+    src/tile_sorting.cpp:76-96 + tile_worker.cpp:493-495)."""
+    pts = _customer_points(spark, sf_dir)
+    z = 6
+    zorder = TE.zorder_encode(F.col("c_acctbal"))
+    w = Window.partitionBy("x", "y").orderBy(
+        F.col("zorder").desc(), F.col("c_custkey").asc())
+    return (
+        pts.select(
+            "c_custkey",
+            TE.lon2tilex(F.col("lon"), z).alias("x"),
+            TE.lat2tiley(F.col("lat"), z).alias("y"),
+            zorder.alias("zorder"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("x", "y", "rank", F.col("c_custkey").alias("custkey"),
+                "zorder")
+    )
+
+
+def sql_zorder_topk():
+    zo = TE.zorder_encode_sql("c_acctbal")
+    x = TE.lon2tilex_sql(CUST_LON, 6)
+    y = TE.lat2tiley_sql(CUST_LAT, 6)
+    return f"""
+WITH t AS (
+  SELECT c_custkey, {x} AS x, {y} AS y, {zo} AS zorder
+  FROM customer
+), r AS (
+  SELECT x, y, c_custkey, zorder,
+         row_number() OVER (PARTITION BY x, y
+                            ORDER BY zorder DESC, c_custkey ASC) AS rank
+  FROM t
+)
+SELECT x, y, rank, c_custkey AS custkey, zorder FROM r WHERE rank <= 3
+"""
+
+
+def q_tiles_rollup(spark, sf_dir):
+    """Tiles-at-zoom ancestor rollup (reference include/tile_data.h:68-103:
+    x/=2; y/=2 per zoom): distinct non-empty tiles per zoom 0..13."""
+    pts = _customer_points(spark, sf_dir)
+    base = pts.select(
+        TE.lon2tilex(F.col("lon"), 13).alias("bx"),
+        TE.lat2tiley(F.col("lat"), 13).alias("by"),
+    )
+    return (
+        base.select("bx", "by", F.explode(
+            F.sequence(F.lit(0), F.lit(13))).alias("z"))
+        .select("z", F.expr("shiftright(bx, 13 - z)").alias("x"),
+                F.expr("shiftright(by, 13 - z)").alias("y"))
+        .distinct()
+        .groupBy("z").agg(F.count("*").alias("n_tiles"))
+    )
+
+
+def sql_tiles_rollup():
+    x = TE.lon2tilex_sql(CUST_LON, 13)
+    y = TE.lat2tiley_sql(CUST_LAT, 13)
+    return f"""
+WITH base AS (
+  SELECT {x} AS bx, {y} AS by FROM customer
+), zs AS (SELECT unnest(range(0, 14)) AS z),
+tiles AS (
+  SELECT DISTINCT z,
+         CAST(floor(bx / pow(2, 13 - z)) AS bigint) AS x,
+         CAST(floor(by / pow(2, 13 - z)) AS bigint) AS y
+  FROM base CROSS JOIN zs
+)
+SELECT z, count(*) AS n_tiles FROM tiles GROUP BY z
+"""
+
+
+def q_minzoom_filter(spark, sf_dir):
+    """Per-feature minzoom visibility (reference src/tile_worker.cpp:321):
+    parts become features with minzoom = p_size % 15; count visible per
+    zoom."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select((F.col("p_size") % 15).alias("minzoom"))
+        .select("minzoom", F.explode(
+            F.sequence(F.lit(0), F.lit(14))).alias("zoom"))
+        .filter(F.col("zoom") >= F.col("minzoom"))
+        .groupBy("zoom").agg(F.count("*").alias("n_visible"))
+    )
+
+
+def sql_minzoom_filter():
+    return """
+WITH f AS (SELECT p_size % 15 AS minzoom FROM part),
+zs AS (SELECT unnest(range(0, 15)) AS zoom)
+SELECT zoom, count(*) AS n_visible
+FROM f CROSS JOIN zs WHERE zoom >= minzoom
+GROUP BY zoom
+"""
+
+
+def q_combine_points(spark, sf_dir):
+    """Compatible-point merge per tile+attrs (reference multipoint combine,
+    src/tile_worker.cpp:323-370): group count per (tile, segment)."""
+    pts = _customer_points(spark, sf_dir)
+    z = 10
+    return (
+        pts.select(
+            TE.lon2tilex(F.col("lon"), z).alias("x"),
+            TE.lat2tiley(F.col("lat"), z).alias("y"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .groupBy("x", "y", "segment")
+        .agg(F.count("*").alias("n_merged"))
+    )
+
+
+def sql_combine_points():
+    x = TE.lon2tilex_sql(CUST_LON, 10)
+    y = TE.lat2tiley_sql(CUST_LAT, 10)
+    return f"""
+SELECT {x} AS x, {y} AS y, c_mktsegment AS segment, count(*) AS n_merged
+FROM customer GROUP BY 1, 2, 3
+"""
+
+
+def q_area_filter(spark, sf_dir):
+    """Zoom-scaled area filter (reference RemovePartsBelowSize,
+    src/tile_worker.cpp:79-96): boxes kept per zoom under threshold
+    2e9 * 2^(8-1-z) m^2."""
+    boxes = _nation_boxes(spark, sf_dir)
+    area = TE.box_area_sq_m(
+        F.col("minlon"), F.col("minlat"), F.col("maxlon"), F.col("maxlat"))
+    zs = F.explode(F.sequence(F.lit(0), F.lit(8))).alias("zoom")
+    return (
+        boxes.select(F.col("poly_id").cast("int").alias("nationkey"),
+                     area.alias("_a"))
+        .select("nationkey", "_a", zs)
+        .filter(F.col("_a") >= F.lit(2e9) * F.pow(
+            F.lit(2.0), F.lit(7) - F.col("zoom")))
+        .groupBy("zoom").agg(F.count("*").alias("n_kept"))
+    )
+
+
+def sql_area_filter():
+    area = TE.box_area_sq_m_sql(
+        NB["minlon"], NB["minlat"], NB["maxlon"], NB["maxlat"])
+    return f"""
+WITH b AS (SELECT n_nationkey, {area} AS a FROM nation),
+zs AS (SELECT unnest(range(0, 9)) AS zoom)
+SELECT zoom, count(*) AS n_kept
+FROM b CROSS JOIN zs
+WHERE a >= 2e9 * pow(2.0, 7 - zoom)
+GROUP BY zoom
+"""
+
+
+# ---- general engine (joins/agg/sort over the star schema) ----------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — scan+agg engine proof."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def sql_pricing_summary():
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       count(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style 3-way join + top-k — broadcast-join engine proof."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+    return j.select(F.col("l_orderkey").alias("orderkey"), "revenue")
+
+
+def sql_shipping_priority():
+    return """
+SELECT l_orderkey AS orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+
+def q_events_window(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table (batch
+    equivalent of the Structured Streaming path; see streaming module)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def sql_events_window():
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---- training-data ops ----------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(d, "text", "doc_id")
+
+
+def sql_dedup_exact():
+    return r"""
+SELECT min(doc_id) AS doc_id,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_hash,
+       count(*) AS n_dupes
+FROM documents GROUP BY 2
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    return text_ops.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    return text_ops.lang_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return text_ops.fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fp")
+
+
+def sql_fingerprint():
+    return r"""
+SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = dedup_ops.ngram_jaccard_pairs(
+        d, "text", "doc_id", block_col="source", threshold=0.22)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_ngram_jaccard():
+    words = (r"list_distinct(string_split(trim(regexp_replace(lower(text),"
+             r" '\s+', ' ', 'g')), ' '))")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {words} AS words FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.words, b.words)) AS double)
+             / len(list_distinct(list_concat(a.words, b.words))), 6)
+         AS jaccard
+FROM base a JOIN base b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.words, b.words)) AS double)
+      / len(list_distinct(list_concat(a.words, b.words))) >= 0.22
+"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (rows-only check: xxhash64 has no
+    DuckDB twin; exact-verified jaccard makes output deterministic)."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup_ops.minhash_lsh_pairs(
+        d, "text", "doc_id", n_hashes=32, bands=16, k=5,
+        jaccard_threshold=0.35)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_dups(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only check)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.simhash_near_dups(d, "text", "doc_id", max_hamming=3)
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k over the embeddings table (the exact ANN
+    baseline; LSH variant in operators.similarity)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = sim_ops.cosine_topk_bruteforce(
+        q, e.select(F.col("vec_id").alias("cand_id"), "embedding"), k=5)
+    return out.select("query_id", "rank", "cand_id")
+
+
+def sql_ann_topk():
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10),
+d AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         list_cosine_similarity(CAST(q.qv AS double[]),
+                                CAST(e.embedding AS double[])) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, cand_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, rank, cand_id FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the image->tile assignment pipeline on synthetic data at
+    sf0.001 scale — synth images table (BASELINE input_hint schema) ->
+    point-in-polygon vs a polygon grid -> z10 tile assignment counts."""
+    from tilemaker_spark.sources.synth import images_df, grid_polygons_df
+    img = images_df(spark, 2000, with_bytes=False)
+    grid = grid_polygons_df(spark, nx=36, ny=17)
+    joined = spatial_join.pip_join_broadcast(
+        img.select("image_id", "lon", "lat"), grid,
+        poly_cols=("poly_id",), index_zoom=5)
+    z = 10
+    return (
+        joined.select(
+            TE.lon2tilex(F.col("lon"), z).alias("x"),
+            TE.lat2tiley(F.col("lat"), z).alias("y"),
+            "poly_id",
+        )
+        .groupBy("x", "y").agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("poly_id").alias("n_polys"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tile_assign": q_tile_assign,
+        "cell_index": q_cell_index,
+        "pip_broadcast": q_pip_broadcast,
+        "pip_cell": q_pip_cell,
+        "knn": q_knn,
+        "way_assembly": q_way_assembly,
+        "spherical_area": q_spherical_area,
+        "zorder_topk": q_zorder_topk,
+        "tiles_rollup": q_tiles_rollup,
+        "minzoom_filter": q_minzoom_filter,
+        "combine_points": q_combine_points,
+        "area_filter": q_area_filter,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "events_window": q_events_window,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_dups": q_simhash_dups,
+        "ann_topk": q_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tile_assign": sql_tile_assign(),
+        "cell_index": sql_cell_index(),
+        "pip_broadcast": sql_pip(),
+        "pip_cell": sql_pip(),
+        "knn": sql_knn(),
+        "way_assembly": sql_way_assembly(),
+        "spherical_area": sql_spherical_area(),
+        "zorder_topk": sql_zorder_topk(),
+        "tiles_rollup": sql_tiles_rollup(),
+        "minzoom_filter": sql_minzoom_filter(),
+        "combine_points": sql_combine_points(),
+        "area_filter": sql_area_filter(),
+        "pricing_summary": sql_pricing_summary(),
+        "shipping_priority": sql_shipping_priority(),
+        "events_window": sql_events_window(),
+        "dedup_exact": sql_dedup_exact(),
+        "text_stats": text_ops.text_stats_oracle_sql(),
+        "lang_id": text_ops.lang_scores_oracle_sql(),
+        "fingerprint": sql_fingerprint(),
+        "ngram_jaccard": sql_ngram_jaccard(),
+        # minhash_pairs / simhash_dups: intentionally no oracle (xxhash64 /
+        # FNV word hashes have no DuckDB twin) -> rows-only check
+        "ann_topk": sql_ann_topk(),
+    }

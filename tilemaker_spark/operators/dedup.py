@@ -1,0 +1,230 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (it dedups identical tile objects,
+/root/reference/src/tile_data.cpp:488); these generalize the same idea to
+text corpora at 100 TB scale:
+
+* exact dedup — md5 groupBy (one shuffle on the hash key);
+* MinHash + LSH — shingle -> minhash signature -> banded bucket join,
+  entirely in Catalyst higher-order functions (zero Python);
+* SimHash — 64-bit sign-aggregated word hashes (Arrow-vectorized numpy);
+* n-gram Jaccard verify — exact set similarity on candidate pairs.
+
+Scale notes: every candidate-generation path blocks on a compact key
+(hash, band bucket) so the shuffle is O(rows), never O(rows^2); the
+pairwise verify runs only within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """lower + collapse whitespace (mirrored in oracle SQL)."""
+    return F.regexp_replace(F.lower(col), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per normalized-text md5.
+
+    Output: (doc_id, content_hash, n_dupes)."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h)
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dupes"))
+        .select("doc_id", "content_hash", "n_dupes")
+    )
+
+
+def shingles(col, k: int = 5):
+    """Character k-shingles of a string as an array column (JVM-side)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(col) - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(col, i, k))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 32,
+                       k: int = 5) -> DataFrame:
+    """MinHash signatures via explode -> per-shingle hash columns ->
+    groupBy-min: one narrow shuffle on doc_id, linear in corpus size
+    (NOT nested higher-order functions, which blow up codegen when the
+    shingle expression is re-inlined per hash function).
+    Output: (doc_id, sh array<string> distinct shingles, h0..h{n-1})."""
+    sh_rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(
+            shingles(normalize_text(F.col(text_col)), k))).alias("s"),
+    )
+    hashed = sh_rows.select(
+        "doc_id", "s",
+        *[F.xxhash64(F.lit(j), F.col("s")).alias(f"h{j}")
+          for j in range(n_hashes)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        F.collect_set("s").alias("sh"),
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(n_hashes)],
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_hashes: int = 32,
+                      bands: int = 8, k: int = 5,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, then exact shingle-Jaccard
+    verification.  Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Plan shape: signature (explode+groupBy, linear) -> explode bands
+    (x n_bands) -> self-join on band bucket -> distinct -> exact verify
+    against collected shingle sets.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[
+                        F.col(f"h{j}")
+                        for j in range(b * rows_per_band,
+                                       (b + 1) * rows_per_band)
+                    ]).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.bucket") == F.col("r.bucket"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sig.select("doc_id", F.array_distinct("sh").alias("sh"))
+    verified = (
+        cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}),
+                  "doc_a")
+        .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}),
+              "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", block_col: str | None = None,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact word-set Jaccard pairs within a blocking key (default: all).
+
+    O(block^2) — use minhash_lsh_pairs when blocks are large; this is the
+    exact baseline and the oracle-checkable variant.
+    Output: (doc_a, doc_b, jaccard)."""
+    words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("words"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("block"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+            .cast("double")
+            / F.size(F.array_union(F.col("a.words"), F.col("b.words"))),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"), "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: sign-sum of word-hash bits, vectorized in an
+    Arrow pandas UDF (numpy bit unpacking — one call per batch).
+    Output: (doc_id, simhash long)."""
+
+    @F.pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            words = str(t).lower().split()
+            if not words:
+                continue
+            hs = np.asarray(
+                [hash_word(w) for w in set(words)], np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            val = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    val |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(val.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("doc_id"),
+                     sh(F.col(text_col)).alias("simhash"))
+
+
+def hash_word(w: str) -> int:
+    """Deterministic 64-bit FNV-1a (stable across workers, unlike hash())."""
+    h = 0xCBF29CE484222325
+    for ch in w.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks
+    (two docs within hamming<=3 of 64 bits share at least one of 4 exact
+    16-bit chunks — pigeonhole).  Output: (doc_a, doc_b, hamming)."""
+    sh = simhash(df, text_col, id_col)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("simhash", 16 * c)
+                .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            ) for c in range(4)
+        ])).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"),
+             F.col("ck.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ham = F.bit_count(xor)
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,143 @@
+"""Multimodal (image) column operators.
+
+Images are opaque ``binary`` columns with typed metadata (w, h, fmt) per
+BASELINE.json input_hint.  All processing is Arrow-batched ``mapInPandas``
+— schema, partitioning, UDF signature and batch shape are real; the only
+stubbed piece is the lossy codec itself (no image libraries in this
+container — see ``kernels.png``: PNG is a real codec, JPEG decode is a
+clearly-marked deterministic stub raising NotImplementedError for real
+JPEG payloads).
+
+Operators: decode-verify (PSNR vs the deterministic reference pixels),
+feature extraction (mean channel stats, our perceptual hash), resize
+(nearest-neighbor), and phash-based near-dup candidate blocking.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels import png as P
+
+
+def decode_verify(images: DataFrame, psnr_min: float = 40.0) -> DataFrame:
+    """Decode every image and verify pixels against the deterministic
+    reference (allclose / PSNR >= psnr_min for lossy) — the BASELINE
+    per-row invariant.  Output: image_id, fmt, psnr_db, pix_ok, w, h."""
+    schema = ("image_id string, fmt string, psnr_db double, pix_ok boolean,"
+              " w int, h int")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, psnrs, oks, ws, hs = [], [], [], [], [], []
+            for _, row in pdf.iterrows():
+                seed = int(row["image_id"].rsplit("_", 1)[-1])
+                ref = P.synth_pixels(seed, int(row["w"]), int(row["h"]))
+                got = P.decode_image(bytes(row["bytes"]), row["fmt"])
+                p = P.psnr_db(ref, got)
+                ids.append(row["image_id"])
+                fmts.append(row["fmt"])
+                psnrs.append(min(p, 99.0) if np.isfinite(p) else 99.0)
+                oks.append(bool(p >= psnr_min))
+                ws.append(got.shape[1])
+                hs.append(got.shape[0])
+            yield pd.DataFrame({
+                "image_id": ids, "fmt": fmts, "psnr_db": psnrs,
+                "pix_ok": oks, "w": ws, "h": hs})
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, schema=schema)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode + feature-extract: channel means/stds and an 8x8 average-hash
+    perceptual hash (public aHash algorithm).  Output: image_id,
+    mean_r/g/b, std, phash64."""
+    schema = ("image_id string, mean_r double, mean_g double, mean_b double,"
+              " std double, phash64 long")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("image_id", "mean_r", "mean_g", "mean_b", "std",
+                    "phash64")}
+            for _, row in pdf.iterrows():
+                px = P.decode_image(bytes(row["bytes"]), row["fmt"])
+                out["image_id"].append(row["image_id"])
+                out["mean_r"].append(float(px[:, :, 0].mean()))
+                out["mean_g"].append(float(px[:, :, 1].mean()))
+                out["mean_b"].append(float(px[:, :, 2].mean()))
+                out["std"].append(float(px.std()))
+                out["phash64"].append(ahash64(px))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=schema)
+
+
+def ahash64(px: np.ndarray) -> int:
+    """8x8 average hash: downsample grayscale, threshold at mean."""
+    gray = px.mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(8) * h // 8)
+    xs = (np.arange(8) * w // 8)
+    small = gray[np.minimum(ys, h - 1)][:, np.minimum(xs, w - 1)]
+    bits = (small > small.mean()).reshape(-1)
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return np.int64(np.uint64(val).astype(np.int64)).item()
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded as PNG.  Output: image_id,
+    bytes, w, h, fmt='png'."""
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for _, row in pdf.iterrows():
+                px = P.decode_image(bytes(row["bytes"]), row["fmt"])
+                h, w = px.shape[:2]
+                yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+                xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+                ids.append(row["image_id"])
+                blobs.append(P.encode_png(px[yi][:, xi]))
+            yield pd.DataFrame({
+                "image_id": ids, "bytes": blobs,
+                "w": [out_w] * len(ids), "h": [out_h] * len(ids),
+                "fmt": ["png"] * len(ids)})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=schema)
+
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-dup image pairs by phash hamming distance, blocked on 16-bit
+    phash chunks (pigeonhole: hamming<=4 over 64 bits shares a chunk only
+    probabilistically — exact for <=3; chunk blocking is the standard
+    recall/cost tradeoff).  Uses the table's own phash column (JVM-only)."""
+    chunks = images.select(
+        F.col("image_id"), F.col("phash"),
+        F.explode(F.array(*[
+            F.shiftrightunsigned("phash", 16 * c)
+            .bitwiseAND(F.lit(0xFFFF)).alias("k") for c in range(4)
+        ])).alias("key"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(b, (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.image_id") < F.col("b.image_id")))
+        .select(F.col("a.image_id").alias("id_a"),
+                F.col("b.image_id").alias("id_b"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
