@@ -1,0 +1,93 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the engine's core operator families (SURVEY.md §2) + the
+flagship image->tile pipeline, whose throughput (tiles/sec,
+images-assigned/sec) is the BASELINE.json target metric (reported in the
+"extras" field).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "200000"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from tilemaker_spark.session import get_spark
+    from tilemaker_spark.sources.synth import images_df, grid_polygons_df
+    from tilemaker_spark.operators import spatial_join
+    from tilemaker_spark.sql import tile_exprs as TE
+
+    spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 16))
+
+    qs = E.queries()
+    headline = [
+        "tile_assign", "cell_index", "pip_broadcast", "pip_cell", "knn",
+        "way_assembly", "zorder_topk", "tiles_rollup", "pricing_summary",
+        "shipping_priority", "dedup_exact", "text_stats", "ngram_jaccard",
+        "minhash_pairs", "ann_topk",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # flagship image->tile pipeline at bench scale
+    t0 = time.time()
+    img = images_df(spark, n_images, with_bytes=False,
+                    partitions=max(cpus, 16))
+    grid = grid_polygons_df(spark, nx=72, ny=34)
+    assigned = spatial_join.pip_join_broadcast(
+        img.select("image_id", "lon", "lat"), grid,
+        poly_cols=("poly_id",), index_zoom=6)
+    z = 12
+    tiles = (
+        assigned.select(
+            TE.lon2tilex(F.col("lon"), z).alias("x"),
+            TE.lat2tiley(F.col("lat"), z).alias("y"))
+        .groupBy("x", "y").agg(F.count("*").alias("n"))
+    )
+    n_tiles = tiles.count()
+    pipe_sec = time.time() - t0
+    timings["image_pipeline"] = round(pipe_sec, 3)
+    images_per_sec = round(n_images / pipe_sec, 1)
+    tiles_per_sec = round(n_tiles / pipe_sec, 1)
+    print(f"# image_pipeline: {n_images} images -> {n_tiles} tiles "
+          f"in {pipe_sec:.1f}s ({images_per_sec}/s)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extras": {
+            "cpus": cpus,
+            "bench_images": n_images,
+            "images_assigned_per_sec": images_per_sec,
+            "tiles_per_sec": tiles_per_sec,
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

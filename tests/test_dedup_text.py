@@ -1,0 +1,96 @@
+"""Dedup + text-analysis operator tests with planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.operators import dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    rows = [
+        (1, base, "src0"),
+        (2, base, "src0"),                       # exact dup of 1
+        (3, base.replace("tonight", "today"), "src0"),  # near dup of 1
+        (4, "completely different text about spark and data pipelines "
+            "running at large scale with shuffles", "src0"),
+        (5, "the quick brown fox jumps over the lazy dog", "src1"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string").cache()
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["n_dupes"] for r in out}
+    assert by_id[1] == 2          # docs 1+2 collapse, min id kept
+    assert 2 not in by_id
+    assert len(out) == 4
+
+
+def test_exact_dedup_normalization(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "HELLO\tWORLD")],
+        "doc_id long, text string")
+    out = dedup.exact_dedup(d).collect()
+    assert len(out) == 1 and out[0]["n_dupes"] == 3
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n_hashes=32, bands=16, k=5, jaccard_threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got          # exact dup always found
+    assert (1, 3) in got and (2, 3) in got  # near dup found
+    assert (1, 4) not in got
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, block_col="source", threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] > 0.8
+    assert (1, 4) not in got
+    assert (1, 5) not in got      # different block
+
+
+def test_simhash_dups(docs):
+    pairs = dedup.simhash_near_dups(docs, max_hamming=12)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got
+
+
+def test_text_stats_values(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat and the hat. yes!")], "doc_id long, text string")
+    r = text.text_stats(d).collect()[0]
+    assert r["n_tokens"] == 6
+    assert r["n_chars"] == 25
+    # punct: '.', '!' -> 2/25
+    assert r["punct_ratio"] == pytest.approx(0.08)
+    # distinct tokens: the, cat, and, hat., yes! -> 5; stopword hits: the, and
+    assert r["stopword_ratio"] == pytest.approx(0.4)
+
+
+def test_lang_scores(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat is on the mat and it is fine"),
+         (2, "el gato y la casa de los perros"),
+         (3, "xyzzy plugh")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_pred"] for r in text.lang_scores(d).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_fingerprint_stable(docs):
+    a = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
+    b = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
+    assert a == b
+    assert a[1] == a[2]           # dups share fingerprints
+    assert a[1] != a[4]

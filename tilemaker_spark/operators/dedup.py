@@ -84,7 +84,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     against collected shingle sets.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    # the signature subtree feeds the self-join (both sides) and the verify
+    # joins (both sides) — persist it once instead of recomputing 4x
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, k).persist()
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -113,10 +115,30 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+    # cheap pre-filter: estimated jaccard from signature agreement (32
+    # longs per side) before shipping the big shingle arrays; the estimate
+    # has std ~ sqrt(j(1-j)/n), so a generous margin keeps recall 1 in
+    # practice while pruning the dense false-candidate tail
+    hs = [f"h{j}" for j in range(n_hashes)]
+    sigv = sig.select("doc_id", F.array(*hs).alias("hv"))
+    est = F.aggregate(
+        F.zip_with("hv_a", "hv_b",
+                   lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(n_hashes))
+    est_min = max(0.0, jaccard_threshold - 0.25)
+    pre = (
+        cand.join(sigv.withColumnsRenamed({"doc_id": "doc_a", "hv": "hv_a"}),
+                  "doc_a")
+        .join(sigv.withColumnsRenamed({"doc_id": "doc_b", "hv": "hv_b"}),
+              "doc_b")
+        .filter(est >= F.lit(est_min))
+        .select("doc_a", "doc_b")
+    )
     sh = sig.select("doc_id", F.array_distinct("sh").alias("sh"))
     verified = (
-        cand.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}),
-                  "doc_a")
+        pre.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}),
+                 "doc_a")
         .join(sh.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}),
               "doc_b")
         .withColumn(
@@ -201,18 +223,23 @@ def hash_word(w: str) -> int:
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks
-    (two docs within hamming<=3 of 64 bits share at least one of 4 exact
-    16-bit chunks — pigeonhole).  Output: (doc_a, doc_b, hamming)."""
+    """Near-dup pairs by SimHash hamming distance, blocked on exact bit
+    chunks.  Pigeonhole: splitting 64 bits into (max_hamming + 1) chunks
+    guarantees two signatures within max_hamming share at least one exact
+    chunk — blocking is lossless for the given threshold.
+    Output: (doc_a, doc_b, hamming)."""
     sh = simhash(df, text_col, id_col)
+    n_chunks = min(16, max_hamming + 1)
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
     chunks = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftrightunsigned("simhash", 16 * c)
-                .bitwiseAND(F.lit(0xFFFF)).alias("key"),
-            ) for c in range(4)
+                F.shiftrightunsigned("simhash", bits * c)
+                .bitwiseAND(F.lit(mask)).alias("key"),
+            ) for c in range(n_chunks)
         ])).alias("ck"),
     ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"),
              F.col("ck.key").alias("key"))

@@ -19,6 +19,7 @@ Two jobs:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -198,7 +199,6 @@ def images_df(spark: SparkSession, n: int, with_bytes: bool = True,
 
 
 def _encode_image_udf(k: Column, w: Column, h: Column, fmt: Column) -> Column:
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
