@@ -548,7 +548,7 @@ FROM documents
 def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = dedup_ops.ngram_jaccard_pairs(
-        d, "text", "doc_id", block_col="source", threshold=0.22)
+        d, "text", "doc_id", block_col="source", threshold=0.4)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -566,7 +566,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM base a JOIN base b
   ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.words, b.words)) AS double)
-      / len(list_distinct(list_concat(a.words, b.words))) >= 0.22
+      / len(list_distinct(list_concat(a.words, b.words))) >= 0.4
 """
 
 
@@ -574,9 +574,11 @@ def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates (rows-only check: xxhash64 has no
     DuckDB twin; exact-verified jaccard makes output deterministic)."""
     d = _t(spark, sf_dir, "documents")
+    # r=4 banding (32/8): candidate probability j^4 per band keeps the
+    # shared-vocab false-candidate tail small; threshold 0.6 = near-dup
     out = dedup_ops.minhash_lsh_pairs(
-        d, "text", "doc_id", n_hashes=32, bands=16, k=5,
-        jaccard_threshold=0.35)
+        d, "text", "doc_id", n_hashes=32, bands=8, k=5,
+        jaccard_threshold=0.6)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -55,8 +55,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     groupBy-min: one narrow shuffle on doc_id, linear in corpus size
     (NOT nested higher-order functions, which blow up codegen when the
     shingle expression is re-inlined per hash function).
-    Output: (doc_id, sh array<string> distinct shingles, h0..h{n-1})."""
-    sh_rows = df.select(
+    Output: (doc_id, sh array<string> distinct shingles, h0..h{n-1}).
+
+    The input is repartitioned first: document tables often arrive as one
+    small parquet file (1 input split), which would run the hash-heavy
+    map side on a single core."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sh_rows = df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(
             shingles(normalize_text(F.col(text_col)), k))).alias("s"),
@@ -161,7 +166,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     exact baseline and the oracle-checkable variant.
     Output: (doc_a, doc_b, jaccard)."""
     words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-    base = df.select(
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(parallelism, F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         words.alias("words"),
         (F.col(block_col) if block_col else F.lit(1)).alias("block"),

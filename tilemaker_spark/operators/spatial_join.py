@@ -3,32 +3,40 @@
 Reimplements the reference's ``Intersects``/``FindIntersecting``/
 ``CoveredBy`` semantics (/root/reference/src/osm_lua_processing.cpp:409-502)
 with its filter-refine strategy (z15 candidate pre-filter then exact test,
-src/shp_mem_tiles.cpp:58-127) as two Spark plans:
+src/shp_mem_tiles.cpp:58-127) as one Spark plan with two physical
+strategies:
 
-* **broadcast path** (small polygon layer, the R-tree analogue): polygons
-  are collected, bucketed into a WebMercator cell grid on the driver, and
-  broadcast; points probe it inside ``mapInPandas`` — one vectorized
-  ray-cast per (bucket, polygon), zero shuffles of the big side.
+1. polygons explode to their covering cells at ``index_zoom`` (a pandas
+   UDF over the small polygon side only — the covering raster needs
+   imperative code);
+2. points compute one cell id each — a pure Catalyst expression;
+3. an equi-join on the cell key builds candidates: ``broadcast`` strategy
+   broadcasts the exploded polygon-cell table (the R-tree analogue for
+   small layers), ``cell`` strategy shuffles both sides on the compact
+   key (AQE skew-join + optional explicit salting for hot urban cells);
+4. the exact refine is :func:`points_in_mp_expr` — an even-odd ray cast
+   built ENTIRELY from Catalyst higher-order functions.  Zero per-row
+   Python anywhere on the big side; whole-stage codegen end to end.
 
-* **cell path** (large polygon layer): polygons explode to their covering
-  cells at ``index_zoom`` (exactly the reference's spatialIndexZoom bitmap
-  turned into a join key), points compute one cell each, an equi-join
-  produces candidates, and a grouped vectorized ray-cast refines.  Skewed
-  hot cells are handled by optional salting + AQE skew-join.
+No dedup pass is needed: a point has exactly one cell at ``index_zoom``
+and a polygon covers each cell at most once, so a (point, polygon) pair
+meets exactly once.
 
-Polygon DataFrame contract (the packed-ring geometry schema, see
-``kernels.geom``): ``poly_id``, ``coords array<double>``,
-``ring_sizes array<int>``, ``poly_ring_counts array<int>`` and optionally
-precomputed ``minlon/minlat/maxlon/maxlat``.
+Polygon DataFrame contract (packed-ring schema, ``kernels.geom``):
+``poly_id``, ``coords array<double>`` (flat lon/lat, rings closed),
+``ring_sizes array<int>``, ``poly_ring_counts array<int>``; optional
+``minlon/minlat/maxlon/maxlat`` enable a cheap bbox pre-test.
+
+A legacy Arrow-probe implementation (``pip_join_mappandas``) is kept for
+cross-checking in tests; the expression path is the production one — it
+removed the JVM<->Python Arrow hop that capped multi-core scaling.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+import numpy as np
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..kernels import geom as G
@@ -36,8 +44,163 @@ from ..kernels import proj as P
 from ..sql import tile_exprs as TE
 
 
+def points_in_mp_expr(px: Column, py: Column, coords: Column,
+                      ring_sizes: Column) -> Column:
+    """Even-odd ray cast as a pure Catalyst expression.
+
+    Counts edge crossings over ALL rings (outers and holes together):
+    for properly-nested rings this equals outer-minus-holes / union of
+    disjoint polygons — the same semantics as
+    ``kernels.geom.points_in_multipolygon`` (unit-tested equal).
+    Rings must be closed (first point == last point).
+    """
+    off = F.aggregate(
+        ring_sizes, F.array(F.lit(0)),
+        lambda acc, x: F.array_append(acc, F.element_at(acc, -1) + x))
+
+    def ring_crossings(r):
+        start = F.element_at(off, r + 1)
+        size = F.element_at(ring_sizes, r + 1)
+        return F.aggregate(
+            F.transform(
+                F.sequence(start, start + size - 2),
+                lambda p: F.when(
+                    (
+                        (F.element_at(coords, p * 2 + 2) > py)
+                        != (F.element_at(coords, p * 2 + 4) > py)
+                    )
+                    & (
+                        px
+                        < (F.element_at(coords, p * 2 + 3)
+                           - F.element_at(coords, p * 2 + 1))
+                        * (py - F.element_at(coords, p * 2 + 2))
+                        / (F.element_at(coords, p * 2 + 4)
+                           - F.element_at(coords, p * 2 + 2))
+                        + F.element_at(coords, p * 2 + 1)
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+
+    total = F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.size(ring_sizes) - 1),
+                    ring_crossings),
+        F.lit(0), lambda a, x: a + x)
+    return total % 2 == 1
+
+
+def polygon_cells_udf(index_zoom: int):
+    """array<long> covering-cell ids per polygon (small side only)."""
+
+    @F.pandas_udf("array<long>")
+    def cells(coords: pd.Series, ring_sizes: pd.Series,
+              poly_counts: pd.Series) -> pd.Series:
+        out = []
+        for c, rs, pc in zip(coords, ring_sizes, poly_counts):
+            mp = G.unpack_multipolygon(
+                np.asarray(c, np.float64), np.asarray(rs, np.int64),
+                np.asarray(pc, np.int64))
+            cc = G.covering_tiles_polygon(mp, index_zoom)
+            out.append(P.tile_id(index_zoom, cc[:, 0], cc[:, 1]).tolist())
+        return pd.Series(out)
+
+    return cells
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    strategy: str = "broadcast",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    index_zoom: int = 7,
+    n_salts: int = 1,
+    how: str = "inner",
+    poly_cols: tuple = ("poly_id",),
+) -> DataFrame:
+    """Filter-refine PIP join; returns point columns + matched poly_cols.
+
+    strategy='broadcast': broadcast-hash-join the exploded polygon-cell
+    table (small layers).  strategy='cell': shuffle both sides on the
+    cell key (large layers); ``n_salts`` > 1 replicates polygon-cell rows
+    across salts to split hot cells beyond what AQE does.
+    how='left' keeps unmatched points with null poly columns (the boolean
+    Intersects form is then ``poly_id IS NOT NULL``).
+    """
+    iz = index_zoom
+    cells = polygon_cells_udf(iz)
+    geom_cols = ["coords", "ring_sizes", "poly_ring_counts"]
+    has_bbox = all(c in polygons.columns
+                   for c in ("minlon", "minlat", "maxlon", "maxlat"))
+    keep = list(dict.fromkeys(
+        list(poly_cols) + geom_cols
+        + (["minlon", "minlat", "maxlon", "maxlat"] if has_bbox else [])))
+    poly_exploded = polygons.select(
+        *keep,
+        F.explode(cells("coords", "ring_sizes", "poly_ring_counts"))
+        .alias("_cell"),
+    )
+    pts = points.withColumn(
+        "_cell", TE.cell_id(F.col(lon_col), F.col(lat_col), iz))
+
+    join_keys = ["_cell"]
+    if strategy == "cell" and n_salts > 1:
+        poly_exploded = poly_exploded.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+        pts = pts.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(lon_col), F.col(lat_col)),
+                   F.lit(n_salts)).cast("int"))
+        join_keys = ["_cell", "_salt"]
+
+    right = (F.broadcast(poly_exploded) if strategy == "broadcast"
+             else poly_exploded)
+    cand = pts.join(right, on=join_keys, how="inner")
+
+    hit = points_in_mp_expr(
+        F.col(lon_col), F.col(lat_col), F.col("coords"),
+        F.col("ring_sizes"))
+    if has_bbox:
+        hit = (
+            (F.col(lon_col) >= F.col("minlon"))
+            & (F.col(lon_col) <= F.col("maxlon"))
+            & (F.col(lat_col) >= F.col("minlat"))
+            & (F.col(lat_col) <= F.col("maxlat"))
+        ) & hit
+    matched = cand.filter(hit).select(
+        *[F.col(c) for c in points.columns], *list(poly_cols))
+    if how == "inner":
+        return matched
+    # left: re-attach unmatched points with null poly columns
+    un = points.join(
+        matched.select(*points.columns).dropDuplicates(points.columns),
+        on=points.columns, how="left_anti")
+    for c in poly_cols:
+        un = un.withColumn(
+            c, F.lit(None).cast(dict(
+                (f.name, f.dataType) for f in polygons.schema.fields
+            )[c]))
+    return matched.unionByName(un)
+
+
+def pip_join_broadcast(points: DataFrame, polygons: DataFrame, **kw):
+    """Small-layer path (reference R-tree analogue): broadcast strategy."""
+    return pip_join(points, polygons, strategy="broadcast", **kw)
+
+
+def pip_join_cell(points: DataFrame, polygons: DataFrame, **kw):
+    """Large-layer path: cell-keyed shuffle strategy."""
+    return pip_join(points, polygons, strategy="cell", **kw)
+
+
+# ---------------------------------------------------------------------------
+# legacy Arrow-probe implementation (kept for cross-checks/tests)
+# ---------------------------------------------------------------------------
+
 def _poly_rows_to_index(rows, index_zoom: int):
-    """Build {cell_key: [(poly_id, mp, extra)]} grid index from poly rows."""
     index: dict[int, list] = {}
     polys = {}
     for r in rows:
@@ -47,29 +210,27 @@ def _poly_rows_to_index(rows, index_zoom: int):
             np.asarray(r["poly_ring_counts"], np.int64),
         )
         polys[r["poly_id"]] = mp
-        cells = G.covering_tiles_polygon(mp, index_zoom)
-        keys = P.tile_id(index_zoom, cells[:, 0], cells[:, 1])
+        cc = G.covering_tiles_polygon(mp, index_zoom)
+        keys = P.tile_id(index_zoom, cc[:, 0], cc[:, 1])
         for key in keys.tolist():
             index.setdefault(key, []).append(r["poly_id"])
     return index, polys
 
 
-def pip_join_broadcast(
+def pip_join_mappandas(
     points: DataFrame,
     polygons: DataFrame,
     lon_col: str = "lon",
     lat_col: str = "lat",
     index_zoom: int = 7,
-    how: str = "inner",
     poly_cols: tuple = ("poly_id",),
 ) -> DataFrame:
-    """Broadcast filter-refine PIP join for small polygon layers.
+    """Arrow-probe variant: polygons collected into a grid-bucket index,
+    broadcast, probed batch-wise with numpy ray casts inside mapInPandas.
+    Same results as pip_join (tested); superseded by the expression path,
+    which avoids the JVM<->Python hop on the big side."""
+    from typing import Iterator
 
-    Returns points columns + matched ``poly_cols``.  ``how='inner'`` keeps
-    matches only (reference FindIntersecting), ``'left'`` keeps all points
-    with null poly columns (boolean Intersects is then ``poly_id IS NOT
-    NULL``).  One output row per (point, matching polygon).
-    """
     spark = points.sparkSession
     rows = [r.asDict() for r in polygons.collect()]
     index, polys = _poly_rows_to_index(rows, index_zoom)
@@ -87,7 +248,6 @@ def pip_join_broadcast(
         out_fields.append(f"{c} {poly_schema[c]}")
     out_schema = ", ".join(out_fields)
     pt_names = [f.name for f in points.schema.fields]
-    inner = how == "inner"
     iz = index_zoom
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -96,7 +256,8 @@ def pip_join_broadcast(
             if len(pdf) == 0:
                 continue
             lon = pdf[lon_col].to_numpy(np.float64)
-            lat = np.clip(pdf[lat_col].to_numpy(np.float64), -P.MAX_LAT, P.MAX_LAT)
+            lat = np.clip(pdf[lat_col].to_numpy(np.float64),
+                          -P.MAX_LAT, P.MAX_LAT)
             n = 1 << iz
             cx = np.clip(P.lon2tilex(lon, iz), 0, n - 1)
             cy = np.clip(P.lat2tiley(lat, iz), 0, n - 1)
@@ -111,11 +272,11 @@ def pip_join_broadcast(
                 if not cand:
                     continue
                 sel = order[bounds[ui]:bounds[ui + 1]]
-                px, py = lon[sel], lat[sel]
                 for pid in cand:
-                    hit = G.points_in_multipolygon(px, py, polys[pid])
-                    if hit.any():
-                        match_pt.append(sel[hit])
+                    hitv = G.points_in_multipolygon(
+                        lon[sel], lat[sel], polys[pid])
+                    if hitv.any():
+                        match_pt.append(sel[hitv])
                         match_poly.append(pid)
             if match_pt:
                 idx = np.concatenate(match_pt)
@@ -131,111 +292,6 @@ def pip_join_broadcast(
             for c in poly_cols:
                 if c != "poly_id":
                     matched[c] = [extras[p][c] for p in pids]
-            if not inner:
-                unmatched_mask = np.ones(len(pdf), bool)
-                unmatched_mask[np.unique(idx)] = False
-                un = pdf.loc[unmatched_mask, pt_names].reset_index(drop=True)
-                for c in poly_cols:
-                    un[c] = None
-                matched = pd.concat([matched, un], ignore_index=True)
             yield matched
 
     return points.mapInPandas(probe, schema=out_schema)
-
-
-def pip_join_cell(
-    points: DataFrame,
-    polygons: DataFrame,
-    lon_col: str = "lon",
-    lat_col: str = "lat",
-    index_zoom: int = 7,
-    n_salts: int = 1,
-    poly_cols: tuple = ("poly_id",),
-) -> DataFrame:
-    """Cell-keyed shuffle PIP join for large polygon layers.
-
-    Plan: polygons explode to covering-cell keys (pandas UDF over packed
-    rings), points compute one cell key (pure Catalyst expression), an
-    equi-join on (cell[, salt]) builds candidates, and a ray-cast refine
-    grouped by polygon keeps true hits.  All shuffles are on the compact
-    cell key; AQE skew-join splits hot urban cells.
-    """
-    iz = index_zoom
-
-    @F.pandas_udf("array<long>")
-    def poly_cells(coords: pd.Series, ring_sizes: pd.Series,
-                   poly_counts: pd.Series) -> pd.Series:
-        out = []
-        for c, rs, pc in zip(coords, ring_sizes, poly_counts):
-            mp = G.unpack_multipolygon(
-                np.asarray(c, np.float64), np.asarray(rs, np.int64),
-                np.asarray(pc, np.int64))
-            cells = G.covering_tiles_polygon(mp, iz)
-            out.append(P.tile_id(iz, cells[:, 0], cells[:, 1]).tolist())
-        return pd.Series(out)
-
-    poly_exploded = (
-        polygons.withColumn(
-            "_cell", F.explode(poly_cells("coords", "ring_sizes",
-                                          "poly_ring_counts")))
-    )
-    pts = points.withColumn(
-        "_cell", TE.cell_id(F.col(lon_col), F.col(lat_col), iz))
-
-    if n_salts > 1:
-        # replicate each polygon-cell row across salts; points pick one salt
-        poly_exploded = poly_exploded.withColumn(
-            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
-        pts = pts.withColumn(
-            "_salt",
-            F.pmod(F.xxhash64(*[F.col(c) for c in (lon_col, lat_col)]),
-                   F.lit(n_salts)).cast("int"),
-        )
-        join_keys = ["_cell", "_salt"]
-    else:
-        join_keys = ["_cell"]
-
-    cand = pts.join(poly_exploded, on=join_keys, how="inner")
-
-    # refine: group candidates by polygon, one vectorized ray-cast per poly
-    pt_fields = [f for f in points.schema.fields]
-    out_schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in pt_fields]
-        + [f"{c} {dict((f.name, f.dataType.simpleString()) for f in polygons.schema.fields)[c]}"
-           for c in poly_cols]
-    )
-    pt_names = [f.name for f in pt_fields]
-
-    def refine(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        first = pdf.iloc[0]
-        mp = G.unpack_multipolygon(
-            np.asarray(first["coords"], np.float64),
-            np.asarray(first["ring_sizes"], np.int64),
-            np.asarray(first["poly_ring_counts"], np.int64))
-        lon = pdf[lon_col].to_numpy(np.float64)
-        lat = pdf[lat_col].to_numpy(np.float64)
-        hit = G.points_in_multipolygon(lon, lat, mp)
-        out = pdf.loc[hit, pt_names + [c for c in poly_cols]]
-        return out.drop_duplicates(subset=pt_names + ["poly_id"])
-
-    # dedup candidates (a point meets a polygon in one cell only, but salting
-    # and multipolygon covers can duplicate) then refine per polygon
-    cand = cand.dropDuplicates(pt_names + ["poly_id"])
-    return cand.groupBy("poly_id").applyInPandas(refine, schema=out_schema)
-
-
-def pip_join(
-    points: DataFrame,
-    polygons: DataFrame,
-    strategy: str = "auto",
-    broadcast_threshold: int = 10000,
-    **kw,
-) -> DataFrame:
-    """Strategy dispatcher (reference small/large dual-index analogue,
-    src/tile_data.cpp:524-540)."""
-    if strategy == "auto":
-        n = polygons.limit(broadcast_threshold + 1).count()
-        strategy = "broadcast" if n <= broadcast_threshold else "cell"
-    if strategy == "broadcast":
-        return pip_join_broadcast(points, polygons, **kw)
-    return pip_join_cell(points, polygons, **kw)
