@@ -25,33 +25,45 @@ from pyspark.sql import functions as F
 from ..kernels import png as P
 
 
-def decode_verify(images: DataFrame, psnr_min: float = 40.0) -> DataFrame:
+def decode_verify(images: DataFrame, psnr_min: float = 40.0,
+                  passthrough: tuple = ()) -> DataFrame:
     """Decode every image and verify pixels against the deterministic
     reference (allclose / PSNR >= psnr_min for lossy) — the BASELINE
-    per-row invariant.  Output: image_id, fmt, psnr_db, pix_ok, w, h."""
+    per-row invariant.  Output: image_id, fmt, psnr_db, pix_ok, w, h
+    (+ any ``passthrough`` columns, so downstream stages need no
+    re-join with the source table)."""
+    extra = list(passthrough)
+    in_schema = {f.name: f.dataType.simpleString()
+                 for f in images.schema.fields}
     schema = ("image_id string, fmt string, psnr_db double, pix_ok boolean,"
-              " w int, h int")
+              " w int, h int"
+              + "".join(f", {c} {in_schema[c]}" for c in extra))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, fmts, psnrs, oks, ws, hs = [], [], [], [], [], []
-            for _, row in pdf.iterrows():
-                seed = int(row["image_id"].rsplit("_", 1)[-1])
-                ref = P.synth_pixels(seed, int(row["w"]), int(row["h"]))
-                got = P.decode_image(bytes(row["bytes"]), row["fmt"])
+            for img_id, blob, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                seed = int(img_id.rsplit("_", 1)[-1])
+                ref = P.synth_pixels(seed, int(w), int(h))
+                got = P.decode_image(bytes(blob), fmt)
                 p = P.psnr_db(ref, got)
-                ids.append(row["image_id"])
-                fmts.append(row["fmt"])
+                ids.append(img_id)
+                fmts.append(fmt)
                 psnrs.append(min(p, 99.0) if np.isfinite(p) else 99.0)
                 oks.append(bool(p >= psnr_min))
                 ws.append(got.shape[1])
                 hs.append(got.shape[0])
-            yield pd.DataFrame({
+            out = pd.DataFrame({
                 "image_id": ids, "fmt": fmts, "psnr_db": psnrs,
                 "pix_ok": oks, "w": ws, "h": hs})
+            for c in extra:
+                out[c] = pdf[c].to_numpy()
+            yield out
 
-    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
-        run, schema=schema)
+    return images.select("image_id", "bytes", "w", "h", "fmt",
+                         *extra).mapInPandas(run, schema=schema)
 
 
 def image_features(images: DataFrame) -> DataFrame:

@@ -366,8 +366,13 @@ def build_tiles(covered: DataFrame, cfg: Config,
     if cfg.minzoom >= CLUSTER_ZOOM:
         return high
 
-    # low-zoom pass: all features in one group per z0 tile (i.e. one group),
-    # deduped — feature volume at z<6 is tiny after per-layer zoom filters
+    # low-zoom pass: only features visible below CLUSTER_ZOOM (per-layer
+    # and per-feature minzoom), pre-deduped to z5 tile granularity BEFORE
+    # the single-group collapse — the full base-zoom fanout never moves
+    low_visible_layers = [
+        name for name, ld in cfg.layers.items() if ld.minzoom < CLUSTER_ZOOM
+    ]
+
     def build_low(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
         pdf["_target"] = pdf["layer"].map(lambda n: layer_targets.get(n, n))
@@ -390,8 +395,21 @@ def build_tiles(covered: DataFrame, cfg: Config,
         return pd.DataFrame({"z": out_z, "x": out_x, "y": out_y,
                              "tile": out_b})
 
+    dz5 = base_zoom - (CLUSTER_ZOOM - 1)
+    low_in = (
+        with_cell
+        .filter(F.col("layer").isin(low_visible_layers)
+                if low_visible_layers else F.lit(False))
+        .filter(F.col("minzoom") < CLUSTER_ZOOM)
+        # dedupe to z5 granularity before collapsing to one group: the
+        # per-(feature, z5-tile) width is what z<6 tiles actually need
+        .withColumn("_p5x", F.shiftright(F.col("bx"), dz5))
+        .withColumn("_p5y", F.shiftright(F.col("by"), dz5))
+        .dropDuplicates(["feature_id", "layer", "_p5x", "_p5y"])
+        .drop("_p5x", "_p5y")
+    )
     low = (
-        with_cell.withColumn("_one", F.lit(1))
+        low_in.withColumn("_one", F.lit(1))
         .groupBy("_one")
         .applyInPandas(build_low, schema="z int, x int, y int, tile binary")
     )
