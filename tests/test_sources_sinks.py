@@ -1,0 +1,126 @@
+"""GeoJSON/shapefile sources + PMTiles sink round-trips."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.kernels import geom as G
+from tilemaker_spark.sinks import pmtiles
+from tilemaker_spark.sources import geojson, shapefile
+
+
+def test_geojson_jsonl_roundtrip(spark, tmp_path):
+    feats = [
+        {"type": "Feature", "id": 1,
+         "properties": {"name": "pt"},
+         "geometry": {"type": "Point", "coordinates": [7.42, 43.73]}},
+        {"type": "Feature", "id": 2,
+         "properties": {"class": "road"},
+         "geometry": {"type": "LineString",
+                      "coordinates": [[0, 0], [1, 1], [2, 0]]}},
+        {"type": "Feature", "id": 3, "properties": {},
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4],
+                                       [0, 0]],
+                                      [[1, 1], [2, 1], [2, 2], [1, 2],
+                                       [1, 1]]]}},
+    ]
+    p = tmp_path / "f.jsonl"
+    p.write_text("\n".join(json.dumps(f) for f in feats))
+    df = geojson.read_geojson(spark, str(p), layer="ext")
+    rows = {r["feature_id"]: r for r in df.collect()}
+    assert rows[1]["kind"] == G.POINT
+    assert rows[1]["attrs"]["name"] == "pt"
+    assert rows[2]["kind"] == G.LINESTRING
+    assert rows[2]["ring_sizes"] == [3]
+    assert rows[3]["kind"] == G.POLYGON
+    assert rows[3]["ring_sizes"] == [5, 5]
+    assert rows[3]["poly_ring_counts"] == [2]
+
+    # write back out and re-read
+    out = tmp_path / "o.jsonl"
+    geojson.write_geojson(df, str(out))
+    again = geojson.read_geojson(spark, str(out), layer="ext")
+    assert again.count() == 3
+
+
+def test_geojson_featurecollection(spark, tmp_path):
+    doc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"a": "1"},
+         "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}},
+    ]}
+    p = tmp_path / "fc.geojson"
+    p.write_text(json.dumps(doc))
+    df = geojson.read_geojson(spark, str(p))
+    assert df.count() == 1
+    assert df.first()["coords"] == [1.0, 2.0]
+
+
+def _write_test_shapefile(path):
+    """Minimal .shp with one clockwise square polygon + .dbf with a name."""
+    ring = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)]  # CW
+    content = struct.pack("<i", 5)
+    content += struct.pack("<dddd", 0, 0, 4, 4)
+    content += struct.pack("<ii", 1, len(ring))
+    content += struct.pack("<i", 0)
+    for x, y in ring:
+        content += struct.pack("<dd", x, y)
+    rec = struct.pack(">ii", 1, len(content) // 2) + content
+    total_len = (100 + len(rec)) // 2
+    header = struct.pack(">iiiiiii", 9994, 0, 0, 0, 0, 0, total_len)
+    header += struct.pack("<ii", 1000, 5)
+    header += struct.pack("<dddddddd", 0, 0, 4, 4, 0, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(header + rec)
+    # dbf: one field NAME C(8), one record
+    dbf = path[:-4] + ".dbf"
+    field = b"NAME" + b"\x00" * 7 + b"C" + b"\x00" * 4 + bytes([8]) + \
+        b"\x00" * 15
+    hdr = struct.pack("<BBBBIHH", 3, 24, 1, 1, 1, 32 + 32 + 1, 1 + 8)
+    hdr += b"\x00" * 20
+    with open(dbf, "wb") as f:
+        f.write(hdr + field + b"\r" + b" " + b"ocean   " + b"\x1a")
+
+
+def test_shapefile_polygon(spark, tmp_path):
+    shp = str(tmp_path / "t.shp")
+    _write_test_shapefile(shp)
+    df = shapefile.read_shapefile(spark, shp, layer="ocean")
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["kind"] == G.POLYGON
+    assert r["attrs"].get("NAME") == "ocean"
+    mp = G.unpack_multipolygon(
+        np.asarray(r["coords"]), np.asarray(r["ring_sizes"]),
+        np.asarray(r["poly_ring_counts"]))
+    assert G.points_in_polygon(np.array([2.0]), np.array([2.0]), mp[0])[0]
+
+
+def test_pmtiles_roundtrip(spark, tmp_path):
+    import gzip
+    rows = [(z, x, y, gzip.compress(f"tile-{z}/{x}/{y}".encode(), 6))
+            for z in (3, 4) for x in range(2) for y in range(2)]
+    tiles = spark.createDataFrame(rows, "z int, x int, y int, tile binary")
+    path = str(tmp_path / "t.pmtiles")
+    n = pmtiles.write_pmtiles(tiles, path, {"minzoom": "3"})
+    assert n == 8
+    stats = pmtiles.pmtiles_stats(path)
+    assert stats["n_tiles"] == 8
+    assert stats["minzoom"] == 3 and stats["maxzoom"] == 4
+    blob = pmtiles.read_pmtiles_tile(path, 4, 1, 0)
+    assert gzip.decompress(blob) == b"tile-4/1/0"
+    assert pmtiles.read_pmtiles_tile(path, 5, 0, 0) is None
+
+
+def test_pmtiles_hilbert_ids():
+    # z0 has 1 tile, id 0; z1 starts at 1; z2 starts at 5
+    assert pmtiles.tile_id(0, 0, 0) == 0
+    assert pmtiles.tile_id(1, 0, 0) == 1
+    assert pmtiles.tile_id(2, 0, 0) == 5
+    # all z1 ids distinct and within [1, 5)
+    ids = {pmtiles.tile_id(1, x, y) for x in (0, 1) for y in (0, 1)}
+    assert ids == {1, 2, 3, 4}

@@ -1,0 +1,236 @@
+"""PMTiles v3 sink (single-writer), from the public PMTiles specification.
+
+Mirrors the reference's pmtiles writer role (/root/reference/
+src/pmtiles.cpp:16-173): Hilbert-ordered tile ids, varint-encoded
+directories (delta tile ids, run-lengths, lengths, offsets), gzip
+internal compression, root directory (+ leaf directories when the entry
+count is large).  Like mbtiles, this is a single-writer format: tiles are
+computed distributed and streamed to the writer ordered by tile id
+(``ORDER BY`` replaces the reference's sort).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = b"PMTiles"
+HEADER_SIZE = 127
+ROOT_DIR_SPACE = 16384 - HEADER_SIZE
+
+
+def _rotate(n, x, y, rx, ry):
+    if ry == 0:
+        if rx == 1:
+            x, y = n - 1 - x, n - 1 - y
+        x, y = y, x
+    return x, y
+
+
+def hilbert_d(z: int, x: int, y: int) -> int:
+    """(z, x, y) -> position on the z-level Hilbert curve (public
+    algorithm)."""
+    n = 1 << z
+    rx = ry = 0
+    d = 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        x, y = _rotate(n, x, y, rx, ry)
+        s >>= 1
+    return d
+
+
+def tile_id(z: int, x: int, y: int) -> int:
+    """PMTiles tile id: cumulative count of tiles above + Hilbert index."""
+    base = ((1 << (2 * z)) - 1) // 3  # sum of 4^i for i < z
+    return base + hilbert_d(z, x, y)
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_directory(entries) -> bytes:
+    """entries: sorted [(tile_id, offset, length)] -> serialized dir."""
+    out = bytearray()
+    out += _varint(len(entries))
+    last = 0
+    for tid, _, _ in entries:
+        out += _varint(tid - last)
+        last = tid
+    for _ in entries:
+        out += _varint(1)  # run length 1 (no dedup pass yet)
+    for _, _, ln in entries:
+        out += _varint(ln)
+    prev_off = prev_len = None
+    for _, off, ln in entries:
+        if prev_off is not None and off == prev_off + prev_len:
+            out += _varint(0)  # contiguous
+        else:
+            out += _varint(off + 1)
+        prev_off, prev_len = off, ln
+    return bytes(out)
+
+
+def _decode_directory(buf: bytes):
+    pos = 0
+
+    def rv():
+        nonlocal pos
+        shift = v = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return v
+            shift += 7
+
+    n = rv()
+    tids, runs, lens, offs = [], [], [], []
+    last = 0
+    for _ in range(n):
+        last += rv()
+        tids.append(last)
+    for _ in range(n):
+        runs.append(rv())
+    for _ in range(n):
+        lens.append(rv())
+    prev_off = prev_len = 0
+    for i in range(n):
+        v = rv()
+        if v == 0:
+            offs.append(prev_off + prev_len)
+        else:
+            offs.append(v - 1)
+        prev_off, prev_len = offs[-1], lens[i]
+    return list(zip(tids, offs, lens))
+
+
+def write_pmtiles(tiles: DataFrame, path: str,
+                  metadata: dict | None = None) -> int:
+    """tiles(z, x, y, tile) -> .pmtiles. Tile blobs must already be gzip
+    (the engine's default tile compression). Returns tile count."""
+    rows = (
+        tiles.select("z", "x", "y", "tile")
+        .orderBy("z", "x", "y")
+        .toLocalIterator()
+    )
+    entries = []
+    blobs = bytearray()
+    minz, maxz = 99, 0
+    for r in rows:
+        tid = tile_id(r["z"], r["x"], r["y"])
+        blob = bytes(r["tile"])
+        entries.append((tid, len(blobs), len(blob)))
+        blobs += blob
+        minz = min(minz, r["z"])
+        maxz = max(maxz, r["z"])
+    entries.sort(key=lambda e: e[0])
+
+    root = gzip.compress(_encode_directory(entries), 6, mtime=0)
+    leaves = b""
+    if len(root) > ROOT_DIR_SPACE:
+        # split into leaf directories of 4096 entries
+        leaf_bufs = []
+        root_entries = []
+        for i in range(0, len(entries), 4096):
+            chunk = entries[i:i + 4096]
+            enc = gzip.compress(_encode_directory(chunk), 6, mtime=0)
+            root_entries.append((chunk[0][0], len(leaves) + sum(
+                len(b) for b in leaf_bufs), len(enc)))
+            leaf_bufs.append(enc)
+        leaves = b"".join(leaf_bufs)
+        root = gzip.compress(_encode_directory(root_entries), 6, mtime=0)
+
+    meta = {"name": "tilemaker_spark", "format": "pbf"}
+    meta.update(metadata or {})
+    meta_bytes = gzip.compress(json.dumps(meta).encode(), 6, mtime=0)
+
+    root_off = HEADER_SIZE
+    meta_off = root_off + len(root)
+    leaf_off = meta_off + len(meta_bytes)
+    data_off = leaf_off + len(leaves)
+
+    header = bytearray(HEADER_SIZE)
+    header[0:7] = MAGIC
+    header[7] = 3  # version
+    struct.pack_into("<QQQQQQQQ", header, 8,
+                     root_off, len(root), meta_off, len(meta_bytes),
+                     leaf_off, len(leaves), data_off, len(blobs))
+    struct.pack_into("<QQ", header, 72, len(entries), len(entries))
+    header[96] = 1  # clustered (data written in tile-id order)
+    header[97] = 2  # internal compression: gzip
+    header[98] = 2  # tile compression: gzip
+    header[99] = 1  # tile type: MVT
+    header[100] = minz if entries else 0
+    header[101] = maxz if entries else 0
+    # bounds (E7 ints): world
+    struct.pack_into("<iiii", header, 102,
+                     -180 * 10**7, -85 * 10**7, 180 * 10**7, 85 * 10**7)
+    struct.pack_into("<B", header, 118, (minz if entries else 0))
+    struct.pack_into("<ii", header, 119, 0, 0)
+
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(root)
+        f.write(meta_bytes)
+        f.write(leaves)
+        f.write(blobs)
+    return len(entries)
+
+
+def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
+    """Fetch one tile (for tests): header -> root dir (-> leaf) -> blob."""
+    with open(path, "rb") as f:
+        header = f.read(HEADER_SIZE)
+        assert header[0:7] == MAGIC
+        (root_off, root_len, meta_off, meta_len, leaf_off, leaf_len,
+         data_off, data_len) = struct.unpack_from("<QQQQQQQQ", header, 8)
+        f.seek(root_off)
+        root = _decode_directory(gzip.decompress(f.read(root_len)))
+        tid = tile_id(z, x, y)
+        entries = root
+        if leaf_len:
+            # root points into leaves; find the right leaf
+            leaf = None
+            for ltid, loff, llen in root:
+                if ltid <= tid:
+                    leaf = (loff, llen)
+                else:
+                    break
+            if leaf is None:
+                return None
+            f.seek(leaf_off + leaf[0])
+            entries = _decode_directory(gzip.decompress(f.read(leaf[1])))
+        for etid, off, ln in entries:
+            if etid == tid:
+                f.seek(data_off + off)
+                return f.read(ln)
+    return None
+
+
+def pmtiles_stats(path: str) -> dict:
+    with open(path, "rb") as f:
+        header = f.read(HEADER_SIZE)
+        n_entries = struct.unpack_from("<Q", header, 72)[0]
+        meta_off, meta_len = struct.unpack_from("<QQ", header, 24)
+        f.seek(meta_off)
+        meta = json.loads(gzip.decompress(f.read(meta_len)))
+    return {"n_tiles": n_entries, "minzoom": header[100],
+            "maxzoom": header[101], "metadata": meta}
