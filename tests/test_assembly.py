@@ -108,3 +108,21 @@ def test_relation_multipolygon_end_to_end(spark):
     assert not G.points_in_polygon(
         np.array([1.5]), np.array([1.5]), mp[0])[0]
     assert G.points_in_polygon(np.array([3.0]), np.array([3.0]), mp[0])[0]
+
+
+def test_way_assembly_skip_integrity_drops_missing(spark):
+    """skip_integrity=True: refs whose node is missing contribute no
+    coordinates (no null structs surviving into the coords array)."""
+    from tilemaker_spark.operators.assembly import assemble_way_geometries
+    ways = spark.createDataFrame(
+        [(10, [1, 2, 99, 3], {"highway": "path"})],
+        "id long, refs array<long>, tags map<string,string>")
+    nodes = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 1.0, 0.0), (3, 1.0, 1.0)],
+        "id long, lon double, lat double")
+    out = assemble_way_geometries(ways, nodes, skip_integrity=True).collect()
+    assert len(out) == 1
+    coords = out[0]["coords"]
+    assert out[0]["n_found"] == 3
+    assert None not in coords
+    assert coords == [0.0, 0.0, 1.0, 0.0, 1.0, 1.0]

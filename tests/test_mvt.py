@@ -82,3 +82,56 @@ def test_extent_8192():
     dec = mvt.decode_tile(mvt.build_tile([lb]))
     assert dec["t"]["extent"] == 8192
     assert dec["t"]["features"][0]["cmds"][1] == 4096 * 2
+
+
+def _unzig(v):
+    return (v >> 1) ^ -(v & 1)
+
+
+def _rings_from_cmds(cmds):
+    """Decode MVT geometry commands into absolute-integer-coordinate rings."""
+    rings, cur = [], []
+    cx = cy = 0
+    i = 0
+    while i < len(cmds):
+        c = cmds[i]
+        op, n = c & 7, c >> 3
+        i += 1
+        if op == mvt.MOVETO:
+            for _ in range(n):
+                cx += _unzig(cmds[i]); cy += _unzig(cmds[i + 1]); i += 2
+                cur = [(cx, cy)]
+        elif op == mvt.LINETO:
+            for _ in range(n):
+                cx += _unzig(cmds[i]); cy += _unzig(cmds[i + 1]); i += 2
+                cur.append((cx, cy))
+        else:  # CLOSEPATH
+            rings.append(cur)
+            cur = []
+    return rings
+
+
+def _shoelace2(ring):
+    s = 0
+    for (x0, y0), (x1, y1) in zip(ring, ring[1:] + ring[:1]):
+        s += x0 * y1 - x1 * y0
+    return s
+
+
+def test_polygon_winding_sign():
+    """MVT 2.1 4.3.3.3: exterior ring CW in screen space (y down) =>
+    positive shoelace sum over emitted integer coords; holes negative."""
+    outer = np.array([[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9],
+                      [0.1, 0.1]])
+    inner = np.array([[0.4, 0.4], [0.6, 0.4], [0.6, 0.6], [0.4, 0.6],
+                      [0.4, 0.4]])
+    cmds = mvt.encode_polygon_geom([[outer, inner]], 4096)
+    rings = _rings_from_cmds(cmds)
+    assert len(rings) == 2
+    assert _shoelace2(rings[0]) > 0  # exterior: screen-CW
+    assert _shoelace2(rings[1]) < 0  # hole: screen-CCW
+    # same holds regardless of input orientation (encoder must fix it)
+    cmds2 = mvt.encode_polygon_geom([[outer[::-1], inner[::-1]]], 4096)
+    rings2 = _rings_from_cmds(cmds2)
+    assert _shoelace2(rings2[0]) > 0
+    assert _shoelace2(rings2[1]) < 0

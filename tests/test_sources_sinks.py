@@ -124,3 +124,33 @@ def test_pmtiles_hilbert_ids():
     # all z1 ids distinct and within [1, 5)
     ids = {pmtiles.tile_id(1, x, y) for x in (0, 1) for y in (0, 1)}
     assert ids == {1, 2, 3, 4}
+
+
+def test_pmtiles_leaf_directories(spark, tmp_path, monkeypatch):
+    """>4096 entries + tiny root budget => leaf dirs; root entries carry
+    run_length=0 (PMTiles v3 leaf-pointer marker) and lookups still work."""
+    import gzip
+    import struct
+    # shrink the root budget so the leaf path triggers at modest entry count
+    monkeypatch.setattr(pmtiles, "ROOT_DIR_SPACE", 512)
+    rows = [(7, x, y, gzip.compress(f"t{x}-{y}".encode(), 1))
+            for x in range(72) for y in range(72)]  # 5184 > 4096 entries
+    tiles = spark.createDataFrame(rows, "z int, x int, y int, tile binary")
+    path = str(tmp_path / "leafy.pmtiles")
+    n = pmtiles.write_pmtiles(tiles, path)
+    assert n == 5184
+    with open(path, "rb") as f:
+        header = f.read(pmtiles.HEADER_SIZE)
+        root_off, root_len = struct.unpack_from("<QQ", header, 8)
+        leaf_off, leaf_len = struct.unpack_from("<QQ", header, 40)
+        assert leaf_len > 0
+        f.seek(root_off)
+        root = pmtiles._decode_directory(gzip.decompress(f.read(root_len)))
+    # spec: every root entry that points at a leaf has run_length == 0
+    assert len(root) == 2  # 5184 entries / 4096 per leaf
+    assert all(e[3] == 0 for e in root)
+    # random lookups resolve through the leaves
+    for x, y in [(0, 0), (71, 71), (40, 3), (3, 40)]:
+        blob = pmtiles.read_pmtiles_tile(path, 7, x, y)
+        assert gzip.decompress(blob) == f"t{x}-{y}".encode()
+    assert pmtiles.read_pmtiles_tile(path, 7, 100, 100) is None

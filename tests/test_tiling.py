@@ -139,3 +139,54 @@ def test_zorder_feature_limit(spark):
     assert len(feats_out) == 2
     names = {f["attrs"]["n"] for f in feats_out}
     assert names == {"4", "3"}  # top-2 by zorder desc
+
+
+def test_feature_limit_after_zoom_filter(spark):
+    """Features invisible at this zoom must not consume feature_limit
+    slots (reference zoom-filters the object list before featureLimit)."""
+    # 2 high-zorder points only visible at z14 (minzoom=14), 2 low-zorder
+    # visible from z13.  At z13 with feature_limit=2 the visible pair must
+    # render, not be evicted by the invisible high-zorder pair.
+    rows = [
+        (1, "poi", 0, 14, 100, {"n": "inv1"}, [7.42, 43.73], [1], []),
+        (2, "poi", 0, 14, 99, {"n": "inv2"}, [7.421, 43.731], [1], []),
+        (3, "poi", 0, 13, 1, {"n": "vis1"}, [7.422, 43.732], [1], []),
+        (4, "poi", 0, 13, 2, {"n": "vis2"}, [7.423, 43.733], [1], []),
+    ]
+    feats = spark.createDataFrame(rows, tiling.FEATURE_SCHEMA)
+    cfg13 = Config(layers={
+        "poi": LayerDef("poi", minzoom=13, maxzoom=14, feature_limit=2,
+                        feature_limit_below=15, combine_points=False,
+                        z_order_ascending=False),
+    }, minzoom=13, maxzoom=14, include_ids=True)
+    tiles_df = tiling.generate_tiles(feats, cfg13)
+    z13 = [r for r in tiles_df.collect() if r["z"] == 13]
+    assert len(z13) == 1
+    dec = mvt.decode_tile(bytes(z13[0]["tile"]))
+    ids = {f["id"] for f in dec["poi"]["features"]}
+    assert ids == {3, 4}
+
+
+def test_multipoint_preserved(spark):
+    """kind=POINT with N>1 points (multipoint) keeps every point through
+    cover + build, including points landing in different tiles."""
+    # two points in different z14 tiles, one feature
+    rows = [(1, "poi", 0, 14, 0, {"n": "mp"},
+             [7.42, 43.73, 7.46, 43.75], [2], [])]
+    feats = spark.createDataFrame(rows, tiling.FEATURE_SCHEMA)
+    cov = tiling.cover_features(feats, 14)
+    cells = {(r["bx"], r["by"]) for r in cov.collect()}
+    assert len(cells) == 2  # both points' tiles covered
+    cfgp = Config(layers={
+        "poi": LayerDef("poi", minzoom=14, maxzoom=14, combine_points=False),
+    }, minzoom=14, maxzoom=14, include_ids=True)
+    tiles_df = tiling.generate_tiles(feats, cfgp)
+    rows_out = tiles_df.collect()
+    assert len(rows_out) == 2
+    total_pts = 0
+    for r in rows_out:
+        dec = mvt.decode_tile(bytes(r["tile"]))
+        for f in dec["poi"]["features"]:
+            # count MoveTo point count from the first command
+            total_pts += f["cmds"][0] >> 3
+    assert total_pts == 2

@@ -138,7 +138,7 @@ def encode_polygon_geom(mp: list[list[np.ndarray]], extent: int) -> list[int]:
             x, y = g[:, 0].astype(float), g[:, 1].astype(float)
             area2 = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
             want_cw = ri == 0
-            is_cw = area2 < 0  # y-down flips sign vs math convention
+            is_cw = area2 > 0  # screen-CW ring (y down) has positive shoelace sum
             if want_cw != is_cw:
                 g = g[::-1]
             cmds.append(MOVETO | (1 << 3))

@@ -45,6 +45,11 @@ def assemble_way_geometries(ways: DataFrame, nodes: DataFrame,
         on="node_id",
         how="left" if skip_integrity else "inner",
     )
+    if skip_integrity:
+        # drop refs whose node is missing: only found nodes contribute
+        # coordinates (otherwise null structs survive collect_list and
+        # become NaN coords downstream)
+        joined = joined.filter(F.col("lon").isNotNull())
     agg = joined.groupBy("way_id").agg(
         F.array_sort(
             F.collect_list(F.struct("pos", "lon", "lat"))

@@ -67,8 +67,12 @@ def cover_features(features: DataFrame, base_zoom: int = 14) -> DataFrame:
                 coords = np.asarray(pdf["coords"].iloc[i], np.float64)
                 pts = coords.reshape(-1, 2)
                 if kind == G.POINT:
-                    cells = G.covering_tiles_point(pts[0, 0], pts[0, 1],
-                                                   base_zoom)
+                    # multipoint: cover every point's tile (not just pts[0])
+                    cells = np.unique(np.concatenate([
+                        G.covering_tiles_point(p[0], p[1], base_zoom)
+                        for p in pts
+                    ]), axis=0) if len(pts) > 1 else G.covering_tiles_point(
+                        pts[0, 0], pts[0, 1], base_zoom)
                 elif kind in (G.LINESTRING, G.MULTILINESTRING):
                     lines = G.unpack_lines(
                         coords, np.asarray(pdf["ring_sizes"].iloc[i],
@@ -191,6 +195,17 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
         sub = sub.sort_values(
             ["zorder", "kind", "feature_id"],
             ascending=[asc, True, True], kind="mergesort")
+        # zoom-visibility filter BEFORE feature_limit truncation (reference
+        # filters the per-tile object list by zoom before featureLimit) —
+        # invisible features must not consume limit slots
+        vis = np.fromiter(
+            ((cfg.layers.get(sub["layer"].iloc[i], ld0).minzoom <= z
+              <= cfg.layers.get(sub["layer"].iloc[i], ld0).maxzoom)
+             and sub["minzoom"].iloc[i] <= z
+             for i in range(len(sub))), dtype=bool, count=len(sub))
+        sub = sub[vis]
+        if len(sub) == 0:
+            continue
         if ld0.feature_limit > 0 and (ld0.feature_limit_below <= 0
                                       or z < ld0.feature_limit_below):
             sub = sub.iloc[: ld0.feature_limit]
@@ -215,12 +230,14 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
             coords = np.asarray(row["coords"], np.float64).reshape(-1, 2)
             kind = row["kind"]
             if kind == G.POINT:
+                # multipoint-aware: keep every point (geojson can emit
+                # kind=POINT with N>1 points)
                 if ld.combine_points:
-                    point_groups.setdefault(akey, ([], attrs, row))[0].append(
-                        coords[0])
+                    point_groups.setdefault(akey, ([], attrs, row))[0].extend(
+                        coords)
                 else:
                     point_groups.setdefault(
-                        (akey, i), ([], attrs, row))[0].append(coords[0])
+                        (akey, i), ([], attrs, row))[0].extend(coords)
             elif kind in (G.LINESTRING, G.MULTILINESTRING):
                 lines = G.unpack_lines(
                     coords.reshape(-1),

@@ -66,19 +66,21 @@ def _varint(v: int) -> bytes:
 
 
 def _encode_directory(entries) -> bytes:
-    """entries: sorted [(tile_id, offset, length)] -> serialized dir."""
+    """entries: sorted [(tile_id, offset, length, run_length)] -> serialized
+    dir.  run_length=1 for tile entries, run_length=0 marks a leaf-directory
+    pointer (PMTiles v3 spec; reference pmtiles.hpp leaf root entries)."""
     out = bytearray()
     out += _varint(len(entries))
     last = 0
-    for tid, _, _ in entries:
+    for tid, _, _, _ in entries:
         out += _varint(tid - last)
         last = tid
-    for _ in entries:
-        out += _varint(1)  # run length 1 (no dedup pass yet)
-    for _, _, ln in entries:
+    for _, _, _, rl in entries:
+        out += _varint(rl)
+    for _, _, ln, _ in entries:
         out += _varint(ln)
     prev_off = prev_len = None
-    for _, off, ln in entries:
+    for _, off, ln, _ in entries:
         if prev_off is not None and off == prev_off + prev_len:
             out += _varint(0)  # contiguous
         else:
@@ -119,7 +121,7 @@ def _decode_directory(buf: bytes):
         else:
             offs.append(v - 1)
         prev_off, prev_len = offs[-1], lens[i]
-    return list(zip(tids, offs, lens))
+    return list(zip(tids, offs, lens, runs))
 
 
 def write_pmtiles(tiles: DataFrame, path: str,
@@ -137,7 +139,7 @@ def write_pmtiles(tiles: DataFrame, path: str,
     for r in rows:
         tid = tile_id(r["z"], r["x"], r["y"])
         blob = bytes(r["tile"])
-        entries.append((tid, len(blobs), len(blob)))
+        entries.append((tid, len(blobs), len(blob), 1))
         blobs += blob
         minz = min(minz, r["z"])
         maxz = max(maxz, r["z"])
@@ -146,14 +148,15 @@ def write_pmtiles(tiles: DataFrame, path: str,
     root = gzip.compress(_encode_directory(entries), 6, mtime=0)
     leaves = b""
     if len(root) > ROOT_DIR_SPACE:
-        # split into leaf directories of 4096 entries
+        # split into leaf directories of 4096 entries; root entries that
+        # point at leaves carry run_length=0 (spec leaf-pointer marker)
         leaf_bufs = []
         root_entries = []
         for i in range(0, len(entries), 4096):
             chunk = entries[i:i + 4096]
             enc = gzip.compress(_encode_directory(chunk), 6, mtime=0)
-            root_entries.append((chunk[0][0], len(leaves) + sum(
-                len(b) for b in leaf_bufs), len(enc)))
+            root_entries.append((chunk[0][0], sum(
+                len(b) for b in leaf_bufs), len(enc), 0))
             leaf_bufs.append(enc)
         leaves = b"".join(leaf_bufs)
         root = gzip.compress(_encode_directory(root_entries), 6, mtime=0)
@@ -206,10 +209,12 @@ def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
         root = _decode_directory(gzip.decompress(f.read(root_len)))
         tid = tile_id(z, x, y)
         entries = root
-        if leaf_len:
-            # root points into leaves; find the right leaf
+        # run_length==0 root entries are leaf-directory pointers (spec)
+        if leaf_len and root and root[0][3] == 0:
             leaf = None
-            for ltid, loff, llen in root:
+            for ltid, loff, llen, lrl in root:
+                if lrl != 0:
+                    continue
                 if ltid <= tid:
                     leaf = (loff, llen)
                 else:
@@ -218,8 +223,8 @@ def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
                 return None
             f.seek(leaf_off + leaf[0])
             entries = _decode_directory(gzip.decompress(f.read(leaf[1])))
-        for etid, off, ln in entries:
-            if etid == tid:
+        for etid, off, ln, rl in entries:
+            if rl >= 1 and etid <= tid < etid + rl:
                 f.seek(data_off + off)
                 return f.read(ln)
     return None
