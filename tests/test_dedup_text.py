@@ -94,3 +94,34 @@ def test_fingerprint_stable(docs):
     assert a == b
     assert a[1] == a[2]           # dups share fingerprints
     assert a[1] != a[4]
+
+
+def test_lsh_bucket_cap_and_stats(spark):
+    """Mega-buckets (template/boilerplate clusters) above max_bucket_size
+    are dropped (no O(b^2) blowup); pairs outside them are unaffected, and
+    lsh_bucket_stats reports the drops (no silent caps)."""
+    template = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 3
+    rows = [(i, template, "t") for i in range(100, 130)]
+    rows += [
+        (1, "a unique document about geospatial tiling engines and spark "
+            "execution plans tonight", "u"),
+        (2, "a unique document about geospatial tiling engines and spark "
+            "execution plans today", "u"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = dedup.minhash_lsh_pairs(
+        d, n_hashes=32, bands=16, k=5, jaccard_threshold=0.5,
+        max_bucket_size=8)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got                       # small-bucket pair survives
+    assert not any(a >= 100 for a, _ in got)   # mega-bucket dropped whole
+    stats = dedup.lsh_bucket_stats(
+        d, n_hashes=32, bands=16, k=5, max_bucket_size=8).collect()
+    # identical template docs share one bucket per band, size 30 > 8
+    assert sum(r["n_dropped"] for r in stats) == 16
+    # without the cap the template pairs come back (cap is the only gate)
+    uncapped = dedup.minhash_lsh_pairs(
+        d, n_hashes=32, bands=16, k=5, jaccard_threshold=0.5,
+        max_bucket_size=1000)
+    got2 = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    assert (100, 101) in got2

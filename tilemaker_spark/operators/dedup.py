@@ -51,46 +51,113 @@ def shingles(col, k: int = 5):
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 32,
                        k: int = 5) -> DataFrame:
-    """MinHash signatures via explode -> per-shingle hash columns ->
-    groupBy-min: one narrow shuffle on doc_id, linear in corpus size
-    (NOT nested higher-order functions, which blow up codegen when the
-    shingle expression is re-inlined per hash function).
-    Output: (doc_id, sh array<string> distinct shingles, h0..h{n-1}).
+    """MinHash signatures, one vectorized Arrow pass: shingle bytes ->
+    uint64 polynomial rolling hash (numpy sliding windows, batch-wide),
+    then n multiply-shift permutations h_j(x) = mix(a_j*x + b_j) with the
+    min taken per doc — a single ``mapInPandas`` with no shuffle at all.
+    Output: (doc_id, sh array<long> distinct 64-bit-hashed shingles,
+    h0..h{n-1}).
+
+    Why Arrow and not Catalyst here: the per-shingle x per-hash-function
+    work (n_hashes * ~hundreds of shingles per doc) is interpreted
+    per-element when written as higher-order-function transforms, and an
+    explode + 33-aggregate groupBy pays an ObjectHashAggregate (forced by
+    collect_set).  A numpy uint64 matrix op does the same arithmetic at
+    memory bandwidth.  Shingles travel as 8-byte ints, not k-char
+    strings: the exact-Jaccard verify downstream only needs set identity
+    (collision odds at 64 bits are negligible for any real corpus).
 
     The input is repartitioned first: document tables often arrive as one
-    small parquet file (1 input split), which would run the hash-heavy
-    map side on a single core."""
+    small parquet file (1 input split), which would run the whole scan on
+    a single core."""
+    import re as _re
+
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[id_col]
+    schema = (f"doc_id {id_type}, sh array<long>, "
+              + ", ".join(f"h{j} long" for j in range(n_hashes)))
+
+    # splitmix64 finalizer constants + per-function odd multipliers/offsets
+    # (multiply-shift: odd a_j makes x -> a_j*x + b_j a permutation of
+    # Z_2^64, so min over it is a valid minhash)
+    rng = np.random.RandomState(0x5EED)
+    a_j = (rng.randint(0, 2**63, n_hashes, np.uint64) * 2 + 1).astype(
+        np.uint64)
+    b_j = rng.randint(0, 2**63, n_hashes, np.uint64).astype(np.uint64)
+    pows = np.empty(k, np.uint64)
+    pows[0] = 1
+    for i in range(1, k):
+        pows[i] = pows[i - 1] * np.uint64(1099511628211)  # FNV prime
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer, vectorized (public domain algorithm)
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    ws = _re.compile(r"\s+")
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            sh_out = []
+            hmat = np.empty((n, n_hashes), np.uint64)
+            for i, t in enumerate(pdf[text_col].astype(str)):
+                b = np.frombuffer(
+                    ws.sub(" ", t.lower()).encode("utf-8"), np.uint8)
+                if len(b) < k:
+                    b = np.pad(b, (0, k - len(b)), constant_values=32)
+                win = np.lib.stride_tricks.sliding_window_view(b, k)
+                s64 = np.unique(
+                    _mix((win.astype(np.uint64) * pows).sum(axis=1)))
+                sh_out.append(s64.astype(np.int64))
+                # (n_hashes, n_shingles) permutation matrix -> row mins
+                hmat[i] = _mix(
+                    a_j[:, None] * s64[None, :] + b_j[:, None]).min(axis=1)
+            out = pd.DataFrame({"doc_id": pdf[id_col].to_numpy(),
+                                "sh": sh_out})
+            hs = hmat.astype(np.int64)
+            for j in range(n_hashes):
+                out[f"h{j}"] = hs[:, j]
+            yield out
+
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    sh_rows = df.repartition(parallelism, F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(
-            shingles(normalize_text(F.col(text_col)), k))).alias("s"),
-    )
-    hashed = sh_rows.select(
-        "doc_id", "s",
-        *[F.xxhash64(F.lit(j), F.col("s")).alias(f"h{j}")
-          for j in range(n_hashes)],
-    )
-    return hashed.groupBy("doc_id").agg(
-        F.collect_set("s").alias("sh"),
-        *[F.min(f"h{j}").alias(f"h{j}") for j in range(n_hashes)],
+    return (
+        df.repartition(parallelism, F.col(id_col))
+        .select(F.col(id_col), F.col(text_col))
+        .mapInPandas(run, schema=schema)
     )
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 32,
                       bands: int = 8, k: int = 5,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      max_bucket_size: int = 256) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, then exact shingle-Jaccard
     verification.  Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
     Plan shape: signature (explode+groupBy, linear) -> explode bands
-    (x n_bands) -> self-join on band bucket -> distinct -> exact verify
-    against collected shingle sets.
+    (x n_bands) -> groupBy (band, bucket) + in-bucket combination explode
+    -> distinct -> signature-estimate prefilter -> exact verify against
+    collected (int64-hashed) shingle sets.
+
+    Scale guards (standard LSH practice):
+    * buckets larger than ``max_bucket_size`` are DROPPED — a degenerate
+      bucket (boilerplate/template corpus) would otherwise go O(b^2).
+      A true near-dup pair collides in ~``bands * j^r`` bands, so losing
+      one mega-bucket rarely loses the pair; recall stays ~1 for any
+      corpus whose dup clusters are below the cap.  The number of dropped
+      buckets is observable via ``lsh_bucket_stats`` below.
+    * pair generation happens inside the bucket group (collect_list +
+      combination explode), so the shuffle is one groupBy on a compact
+      (band, bucket) key — no self-join, no skewed join key.
     """
     rows_per_band = n_hashes // bands
-    # the signature subtree feeds the self-join (both sides) and the verify
-    # joins (both sides) — persist it once instead of recomputing 4x
+    # the signature subtree feeds banding and both verify joins — persist
+    # it once instead of recomputing
     sig = minhash_signatures(df, text_col, id_col, n_hashes, k).persist()
     banded = sig.select(
         "doc_id",
@@ -110,18 +177,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ).select("doc_id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    # combination explode: ids x ids, keep a < b (<= cap^2 structs/bucket)
+    pair_struct = F.filter(
+        F.flatten(F.transform(
+            "ids",
+            lambda a: F.transform(F.col("ids"),
+                                  lambda b: F.struct(a.alias("doc_a"),
+                                                     b.alias("doc_b"))))),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     cand = (
-        left.join(right, (F.col("l.band") == F.col("r.band"))
-                  & (F.col("l.bucket") == F.col("r.bucket"))
-                  & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(F.col("l.doc_id").alias("doc_a"),
-                F.col("r.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_struct).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # cheap pre-filter: estimated jaccard from signature agreement (32
-    # longs per side) before shipping the big shingle arrays; the estimate
+    # longs per side) before shipping the shingle arrays; the estimate
     # has std ~ sqrt(j(1-j)/n), so a generous margin keeps recall 1 in
     # practice while pruning the dense false-candidate tail
     hs = [f"h{j}" for j in range(n_hashes)]
@@ -140,7 +216,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .filter(est >= F.lit(est_min))
         .select("doc_a", "doc_b")
     )
-    sh = sig.select("doc_id", F.array_distinct("sh").alias("sh"))
+    sh = sig.select("doc_id", "sh")
     verified = (
         pre.join(sh.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}),
                  "doc_a")
@@ -155,6 +231,38 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select("doc_a", "doc_b", "jaccard")
     )
     return verified
+
+
+def lsh_bucket_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n_hashes: int = 32,
+                     bands: int = 8, k: int = 5,
+                     max_bucket_size: int = 256) -> DataFrame:
+    """Observability for the LSH bucket cap: per-band counts of buckets,
+    multi-doc buckets, and buckets dropped by ``max_bucket_size`` (the
+    'no silent caps' companion to :func:`minhash_lsh_pairs`)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{j}")
+                             for j in range(b * rows_per_band,
+                                            (b + 1) * rows_per_band)])
+                .alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    return sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_multi"),
+        F.sum(F.when(F.col("n") > max_bucket_size, 1).otherwise(0))
+        .alias("n_dropped"),
+        F.max("n").alias("max_size"),
+    ).orderBy("band")
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

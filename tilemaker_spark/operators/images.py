@@ -78,9 +78,11 @@ def image_features(images: DataFrame) -> DataFrame:
             out = {k: [] for k in
                    ("image_id", "mean_r", "mean_g", "mean_b", "std",
                     "phash64")}
-            for _, row in pdf.iterrows():
-                px = P.decode_image(bytes(row["bytes"]), row["fmt"])
-                out["image_id"].append(row["image_id"])
+            # zip over columns (not iterrows: ~10x per-row overhead)
+            for img_id, blob, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = P.decode_image(bytes(blob), fmt)
+                out["image_id"].append(img_id)
                 out["mean_r"].append(float(px[:, :, 0].mean()))
                 out["mean_g"].append(float(px[:, :, 1].mean()))
                 out["mean_b"].append(float(px[:, :, 2].mean()))
@@ -115,12 +117,14 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, blobs = [], []
-            for _, row in pdf.iterrows():
-                px = P.decode_image(bytes(row["bytes"]), row["fmt"])
+            # zip over columns (not iterrows: ~10x per-row overhead)
+            for img_id, blob, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = P.decode_image(bytes(blob), fmt)
                 h, w = px.shape[:2]
                 yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
                 xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
-                ids.append(row["image_id"])
+                ids.append(img_id)
                 blobs.append(P.encode_png(px[yi][:, xi]))
             yield pd.DataFrame({
                 "image_id": ids, "bytes": blobs,
