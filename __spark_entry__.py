@@ -645,6 +645,132 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_cover_large(spark, sf_dir):
+    """Dual-path tile cover (reference small/large object split,
+    src/tile_data.cpp:524-540): covered-tile counts per feature for a
+    mixed fixture — 25 large nation boxes (30x20 deg; take the coarse
+    z6-cell path + in-worker refine) and small supplier boxes (0.4 deg;
+    exact explode).  Oracle: closed-form bbox tile-range product (exact
+    for axis-aligned rectangles: boundary supercover + column fill covers
+    precisely [tx0..tx1] x [ty0..ty1])."""
+    from tilemaker_spark.operators import tiling
+    z = 7
+    nb = _nation_boxes(spark, sf_dir)
+    nat = nb.select(
+        F.col("poly_id").cast("long").alias("feature_id"),
+        F.lit("nation").alias("layer"),
+        F.lit(3).cast("tinyint").alias("kind"),
+        F.lit(0).alias("minzoom"),
+        F.lit(0).cast("long").alias("zorder"),
+        F.create_map().cast("map<string,string>").alias("attrs"),
+        F.col("coords").cast("array<double>").alias("coords"),
+        F.col("ring_sizes"),
+        F.col("poly_ring_counts"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    lon, lat = synth.geo_point_expr(F.col("s_suppkey"))
+    clon = F.greatest(F.lit(-179.5), F.least(F.lit(179.5), lon))
+    clat = F.greatest(F.lit(-84.0), F.least(F.lit(84.0), lat))
+    lo_x, hi_x = clon - F.lit(0.2), clon + F.lit(0.2)
+    lo_y, hi_y = clat - F.lit(0.2), clat + F.lit(0.2)
+    sup = s.select(
+        F.col("s_suppkey").cast("long").alias("feature_id"),
+        F.lit("supplier").alias("layer"),
+        F.lit(3).cast("tinyint").alias("kind"),
+        F.lit(0).alias("minzoom"),
+        F.lit(0).cast("long").alias("zorder"),
+        F.create_map().cast("map<string,string>").alias("attrs"),
+        F.array(lo_x, lo_y, hi_x, lo_y, hi_x, hi_y, lo_x, hi_y,
+                lo_x, lo_y).cast("array<double>").alias("coords"),
+        F.array(F.lit(5)).alias("ring_sizes"),
+        F.array(F.lit(1)).alias("poly_ring_counts"),
+    )
+    feats = nat.unionByName(sup)
+    cov = tiling.expand_coarse(
+        tiling.cover_features(feats, z, large_threshold=16), z)
+    return cov.groupBy("layer", "feature_id").agg(
+        F.count_distinct("bx", "by").alias("n_tiles"))
+
+
+def sql_cover_large():
+    z = 7
+    SUP_LON, SUP_LAT = synth.geo_point_sql("s_suppkey")
+    clon = f"least(greatest({SUP_LON}, -179.5), 179.5)"
+    clat = f"least(greatest({SUP_LAT}, -84.0), 84.0)"
+    nat_tx0 = TE.lon2tilex_sql(NB["minlon"], z)
+    nat_tx1 = TE.lon2tilex_sql(NB["maxlon"], z)
+    nat_ty0 = TE.lat2tiley_sql(NB["maxlat"], z)
+    nat_ty1 = TE.lat2tiley_sql(NB["minlat"], z)
+    sup_tx0 = TE.lon2tilex_sql(f"({clon} - 0.2)", z)
+    sup_tx1 = TE.lon2tilex_sql(f"({clon} + 0.2)", z)
+    sup_ty0 = TE.lat2tiley_sql(f"({clat} + 0.2)", z)
+    sup_ty1 = TE.lat2tiley_sql(f"({clat} - 0.2)", z)
+    return f"""
+SELECT 'nation' AS layer, CAST(n_nationkey AS BIGINT) AS feature_id,
+       ({nat_tx1} - {nat_tx0} + 1) * ({nat_ty1} - {nat_ty0} + 1) AS n_tiles
+FROM nation
+UNION ALL
+SELECT 'supplier' AS layer, CAST(s_suppkey AS BIGINT) AS feature_id,
+       ({sup_tx1} - {sup_tx0} + 1) * ({sup_ty1} - {sup_ty0} + 1) AS n_tiles
+FROM supplier
+"""
+
+
+def q_poly_union(spark, sf_dir):
+    """Polygon union (reference union_many, src/geom.cpp:232-290 /
+    tile_worker.cpp:393-404): customers snap to 1-degree cells, each
+    occupied cell becomes a unit box; boxes union per 8x8-cell group.
+    Union area of unit grid boxes == number of distinct occupied cells
+    (shared edges dissolve, duplicates collapse) — the DuckDB-checkable
+    invariant.  Merged-component counts are covered in pytest."""
+    import pandas as pd
+    from tilemaker_spark.kernels import overlay as OV
+    pts = _customer_points(spark, sf_dir)
+    cells = (
+        pts.select(F.floor("lon").cast("long").alias("cx"),
+                   F.floor("lat").cast("long").alias("cy"))
+        .distinct()
+        .withColumn("gx", F.floor(F.col("cx") / 8).cast("long"))
+        .withColumn("gy", F.floor(F.col("cy") / 8).cast("long"))
+    )
+
+    def union_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        boxes = []
+        for cx, cy in zip(pdf["cx"], pdf["cy"]):
+            x0, y0 = float(cx), float(cy)
+            boxes.append([[np.array(
+                [[x0, y0], [x0 + 1, y0], [x0 + 1, y0 + 1], [x0, y0 + 1],
+                 [x0, y0]], np.float64)]])
+        u = OV.union_many(boxes)
+        return pd.DataFrame({
+            "gx": [int(pdf["gx"].iloc[0])],
+            "gy": [int(pdf["gy"].iloc[0])],
+            "union_area": [int(round(OV.area_planar(u)))],
+        })
+
+    return (
+        cells.groupBy("gx", "gy")
+        .applyInPandas(union_group,
+                       schema="gx long, gy long, union_area long")
+    )
+
+
+def sql_poly_union():
+    return f"""
+SELECT CAST(floor(cx / 8.0) AS BIGINT) AS gx,
+       CAST(floor(cy / 8.0) AS BIGINT) AS gy,
+       count(*) AS union_area
+FROM (
+  SELECT DISTINCT
+    CAST(floor({CUST_LON}) AS BIGINT) AS cx,
+    CAST(floor({CUST_LAT}) AS BIGINT) AS cy
+  FROM customer
+)
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -667,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "cover_large": q_cover_large,
+        "poly_union": q_poly_union,
         "minhash_pairs": q_minhash_pairs,
         "simhash_dups": q_simhash_dups,
         "ann_topk": q_ann_topk,
@@ -695,6 +823,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text_ops.lang_scores_oracle_sql(),
         "fingerprint": sql_fingerprint(),
         "ngram_jaccard": sql_ngram_jaccard(),
+        "cover_large": sql_cover_large(),
+        "poly_union": sql_poly_union(),
         # minhash_pairs / simhash_dups: intentionally no oracle (xxhash64 /
         # FNV word hashes have no DuckDB twin) -> rows-only check
         "ann_topk": sql_ann_topk(),

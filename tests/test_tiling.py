@@ -190,3 +190,141 @@ def test_multipoint_preserved(spark):
             # count MoveTo point count from the first command
             total_pts += f["cmds"][0] >> 3
     assert total_pts == 2
+
+
+def test_large_object_coarse_cover(spark):
+    """A planet-wide polygon explodes to O(4^CLUSTER_ZOOM) coarse rows,
+    not O(4^base_zoom) — the reference's large-object path
+    (src/tile_data.cpp:524-540)."""
+    world = [-179.9, -84.0, 179.9, -84.0, 179.9, 84.0, -179.9, 84.0,
+             -179.9, -84.0]
+    rows = [(1, "ocean", 3, 0, 0, {"class": "water"}, world, [5], [1])]
+    feats = spark.createDataFrame(rows, tiling.FEATURE_SCHEMA)
+    cov = tiling.cover_features(feats, 14)
+    n = cov.count()
+    assert n <= (1 << tiling.CLUSTER_ZOOM) ** 2  # <= 4096 z6 cells
+    assert cov.filter(~F.col("coarse")).count() == 0
+
+
+def test_coarse_expand_parity(spark):
+    """Dual-path cover + expansion reproduces the exact cover tile set for
+    a mixed small/large fixture (per-tile feature parity)."""
+    big = [7.0, 43.0, 8.5, 43.0, 8.5, 44.2, 7.0, 44.2, 7.0, 43.0]
+    small = [7.41, 43.72, 7.44, 43.72, 7.44, 43.745, 7.41, 43.745,
+             7.41, 43.72]
+    line = [6.9, 43.1, 8.4, 44.1]
+    rows = [
+        (1, "land", 3, 0, 0, {"c": "big"}, big, [5], [1]),
+        (2, "land", 3, 0, 0, {"c": "small"}, small, [5], [1]),
+        (3, "roads", 1, 0, 0, {"c": "long"}, line, [2], []),
+    ]
+    feats = spark.createDataFrame(rows, tiling.FEATURE_SCHEMA)
+    exact = tiling.cover_features(feats, 12, large_threshold=None)
+    dual = tiling.expand_coarse(tiling.cover_features(feats, 12), 12)
+    key = lambda r: (r["feature_id"], r["bx"], r["by"])
+    se = {key(r) for r in exact.collect()}
+    sd = {key(r) for r in dual.collect()}
+    assert se == sd
+    # and the large features actually took the coarse path
+    pre = tiling.cover_features(feats, 12)
+    assert pre.filter(F.col("coarse") & (F.col("feature_id") == 1)).count() > 0
+    assert pre.filter(F.col("coarse") & (F.col("feature_id") == 3)).count() > 0
+    assert pre.filter(F.col("coarse") & (F.col("feature_id") == 2)).count() == 0
+
+
+def test_coarse_tiles_match_exact_tiles(spark):
+    """generate_tiles output is byte-identical whether a large feature
+    goes through the coarse path or the exact-explode path."""
+    big = [7.0, 43.0, 8.5, 43.0, 8.5, 44.2, 7.0, 44.2, 7.0, 43.0]
+    rows = [(1, "land", 3, 0, 0, {"class": "park"}, big, [5], [1])]
+    feats = spark.createDataFrame(rows, tiling.FEATURE_SCHEMA)
+    cfgl = Config(layers={"land": LayerDef("land", minzoom=6, maxzoom=10)},
+                  minzoom=6, maxzoom=10, include_ids=True)
+    exact_cov = tiling.cover_features(feats, 10, large_threshold=None)
+    dual_cov = tiling.cover_features(feats, 10)
+    t_exact = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+               for r in tiling.build_tiles(exact_cov, cfgl, 10).collect()}
+    t_dual = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+              for r in tiling.build_tiles(dual_cov, cfgl, 10).collect()}
+    assert t_exact == t_dual
+    assert len(t_exact) > 50
+
+
+def test_low_zoom_tiles_parallel_groups(spark):
+    """z<6 tiles build per-tile (not one global group) and carry the right
+    features: two points in different hemispheres share z0, split at z1."""
+    rows = [
+        (1, "poi", 0, 0, 0, {"n": "west"}, [-100.0, 40.0], [1], []),
+        (2, "poi", 0, 0, 0, {"n": "east"}, [100.0, 40.0], [1], []),
+    ]
+    feats = spark.createDataFrame(rows, tiling.FEATURE_SCHEMA)
+    cfg0 = Config(layers={
+        "poi": LayerDef("poi", minzoom=0, maxzoom=14, combine_points=False),
+    }, minzoom=0, maxzoom=14, include_ids=True)
+    tiles = {(r["z"], r["x"], r["y"]): bytes(r["tile"])
+             for r in tiling.generate_tiles(feats, cfg0).collect()}
+    assert (0, 0, 0) in tiles
+    dec0 = mvt.decode_tile(tiles[(0, 0, 0)])
+    assert len(dec0["poi"]["features"]) == 2
+    z1 = [k for k in tiles if k[0] == 1]
+    assert len(z1) == 2  # two z1 tiles, one per hemisphere
+    for k in z1:
+        assert len(mvt.decode_tile(tiles[k])["poi"]["features"]) == 1
+    # every zoom 0..14 produced tiles
+    assert {k[0] for k in tiles} == set(range(15))
+
+
+def test_combine_polygons_below_unions_same_attr(spark):
+    """Adjacent same-attribute polygons union into one feature per tile
+    when z < combine_polygons_below (reference tile_worker.cpp:393-404);
+    different attrs stay separate."""
+    a = [7.40, 43.70, 7.42, 43.70, 7.42, 43.72, 7.40, 43.72, 7.40, 43.70]
+    b = [7.42, 43.70, 7.44, 43.70, 7.44, 43.72, 7.42, 43.72, 7.42, 43.70]
+    c = [7.46, 43.70, 7.47, 43.70, 7.47, 43.71, 7.46, 43.71, 7.46, 43.70]
+    rows = [
+        (1, "land", 3, 0, 0, {"class": "park"}, a, [5], [1]),
+        (2, "land", 3, 0, 0, {"class": "park"}, b, [5], [1]),
+        (3, "land", 3, 0, 0, {"class": "wood"}, c, [5], [1]),
+    ]
+    feats = spark.createDataFrame(rows, tiling.FEATURE_SCHEMA)
+    cfgu = Config(layers={
+        "land": LayerDef("land", minzoom=8, maxzoom=10,
+                         combine_polygons_below=15),
+    }, minzoom=8, maxzoom=10)
+    tiles = tiling.generate_tiles(feats, cfgu).collect()
+    # pick a z8 tile containing all three (they're within ~0.1 deg)
+    z8 = [r for r in tiles if r["z"] == 8]
+    assert z8
+    found_park = found_wood = 0
+    for r in z8:
+        dec = mvt.decode_tile(bytes(r["tile"]))
+        for f in dec.get("land", {"features": []})["features"]:
+            if f["attrs"].get("class") == "park":
+                found_park += 1
+            elif f["attrs"].get("class") == "wood":
+                found_wood += 1
+    assert found_park == 1  # a+b merged into one feature
+    assert found_wood == 1  # c separate
+
+
+def test_repair_bowtie_polygon(spark):
+    """Self-intersecting input polygon is repaired (robust even-odd
+    re-intersection, reference src/tile_data.cpp:380-426) instead of
+    emitting broken rings."""
+    # bowtie over ~0.03 deg near Monaco
+    bow = [7.40, 43.70, 7.43, 43.73, 7.43, 43.70, 7.40, 43.73, 7.40, 43.70]
+    rows = [(1, "land", 3, 0, 0, {"class": "glitch"}, bow, [5], [1])]
+    feats = spark.createDataFrame(rows, tiling.FEATURE_SCHEMA)
+    cfgr = Config(layers={"land": LayerDef("land", minzoom=10, maxzoom=10)},
+                  minzoom=10, maxzoom=10)
+    tiles = tiling.generate_tiles(feats, cfgr).collect()
+    assert tiles
+    import numpy as np
+    total_close = 0
+    for r in tiles:
+        dec = mvt.decode_tile(bytes(r["tile"]))
+        for f in dec["land"]["features"]:
+            assert f["type"] == mvt.GEOM_POLYGON
+            total_close += sum(1 for cmd in f["cmds"] if (cmd & 7) == 7)
+    # the bowtie resolves into (at least) two lobes across the tiles
+    assert total_close >= 2

@@ -42,6 +42,8 @@ class Config:
     basezoom: int = 14
     include_ids: bool = False
     compress: str = "gzip"           # gzip | deflate | none
+    repair_geometry: bool = True     # clip-escalation + make_valid chain
+    repair_area_guard: float = 0.5   # keep repair only if >=50% area survives
     high_resolution: bool = False    # 8192 extent at maxzoom
     name: str = "tilemaker_spark"
     version: str = "0.1"

@@ -337,6 +337,56 @@ def remove_spikes(ring, eps=0.0):
     return np.vstack([pts, pts[:1]])
 
 
+def ring_self_intersects(ring) -> bool:
+    """True if any two non-adjacent edges of the ring intersect (the
+    validity test gating the reference's repair chain,
+    src/tile_data.cpp:380-426 via boost is_valid).  Vectorized O(n^2)
+    segment test — rings here are post-clip/simplify, so n is small."""
+    pts = np.asarray(ring, np.float64)
+    if len(pts) >= 2 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    n = len(pts)
+    if n < 4:
+        return False
+    a = pts
+    b = np.roll(pts, -1, axis=0)
+
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    ii, jj = np.triu_indices(n, k=2)
+    # adjacent wrap pair (0, n-1) shares a vertex — not a crossing
+    m = ~((ii == 0) & (jj == n - 1))
+    ii, jj = ii[m], jj[m]
+    p1x, p1y, p2x, p2y = a[ii, 0], a[ii, 1], b[ii, 0], b[ii, 1]
+    p3x, p3y, p4x, p4y = a[jj, 0], a[jj, 1], b[jj, 0], b[jj, 1]
+    d1 = cross(p3x, p3y, p4x, p4y, p1x, p1y)
+    d2 = cross(p3x, p3y, p4x, p4y, p2x, p2y)
+    d3 = cross(p1x, p1y, p2x, p2y, p3x, p3y)
+    d4 = cross(p1x, p1y, p2x, p2y, p4x, p4y)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    if proper.any():
+        return True
+    # collinear touching / overlap of non-adjacent edges also invalid
+    deg = (d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)
+    if deg.any():
+        for k in np.nonzero(deg)[0]:
+            i, j = int(ii[k]), int(jj[k])
+            if (max(min(a[i, 0], b[i, 0]), min(a[j, 0], b[j, 0]))
+                    <= min(max(a[i, 0], b[i, 0]), max(a[j, 0], b[j, 0]))
+                    and max(min(a[i, 1], b[i, 1]), min(a[j, 1], b[j, 1]))
+                    <= min(max(a[i, 1], b[i, 1]), max(a[j, 1], b[j, 1]))):
+                return True
+    return False
+
+
+def multipolygon_is_simple(mp) -> bool:
+    """All rings simple (cheap validity proxy; cross-ring intersections are
+    resolved by the overlay-based repair when this test passes falsely —
+    the repair chain only needs a fast common-case gate)."""
+    return all(not ring_self_intersects(r) for poly in mp for r in poly)
+
+
 # ---------------------------------------------------------------------------
 # Simplification
 # ---------------------------------------------------------------------------

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from ..config import Config, LayerDef
 from ..kernels import geom as G
 from ..kernels import mvt as M
+from ..kernels import overlay as OV
 from ..kernels import proj as P
 
 FEATURE_SCHEMA = (
@@ -49,23 +50,55 @@ FEATURE_SCHEMA = (
 
 CLUSTER_ZOOM = 6  # reference include/tile_data_base.h:10-12
 
+# features whose bbox spans >= this many base-zoom tiles take the coarse
+# path: explode to z6 cells, refine to tiles inside the subtree worker
+# (reference's small/large dual object index, src/tile_data.cpp:524-540)
+LARGE_THRESHOLD = 16
+
 
 # ---------------------------------------------------------------------------
 # stage 1: cover
 # ---------------------------------------------------------------------------
 
-def cover_features(features: DataFrame, base_zoom: int = 14) -> DataFrame:
-    """Explode features to base-zoom covering tiles. Adds bx, by columns."""
+def _bbox_tile_span(pts: np.ndarray, z: int) -> int:
+    """Number of z-tiles in the bbox of pts (cheap upper bound on the
+    covering-tile count; the reference thresholds on the true covering
+    count but bbox span classifies identically for the features that
+    matter — anything bbox-small is covering-small)."""
+    m = (1 << z) - 1
+    tx = np.clip(np.floor(P.lon2tilexf(pts[:, 0], z)), 0, m)
+    ty = np.clip(np.floor(P.lat2tileyf(pts[:, 1], z)), 0, m)
+    return int((tx.max() - tx.min() + 1) * (ty.max() - ty.min() + 1))
+
+
+def cover_features(features: DataFrame, base_zoom: int = 14,
+                   large_threshold: int | None = LARGE_THRESHOLD
+                   ) -> DataFrame:
+    """Explode features to covering tiles. Adds (bx, by, coarse) columns.
+
+    Dual path (reference src/tile_data.cpp:524-540): small features
+    explode to their exact base-zoom covering tiles (coarse=false); large
+    features — bbox span >= ``large_threshold`` tiles — explode only to
+    their CLUSTER_ZOOM covering cells (coarse=true, bx/by = the cell's
+    first base tile), so a planet-sized polygon produces O(4^CLUSTER_ZOOM)
+    rows instead of O(4^base_zoom).  The exact per-tile membership for
+    coarse rows is recovered inside the subtree worker by
+    :func:`_expand_coarse_rows` (clip to cell bbox, cover the clip) —
+    the clip-pyramid refine the reference gets from its R-tree walk.
+    """
     cols = features.columns
-    out_schema = FEATURE_SCHEMA + ", bx long, by long"
+    out_schema = FEATURE_SCHEMA + ", bx long, by long, coarse boolean"
+    dz = base_zoom - CLUSTER_ZOOM
+    dual = large_threshold is not None and dz > 0
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            reps, bxs, bys = [], [], []
+            reps, bxs, bys, crs = [], [], [], []
             for i in range(len(pdf)):
                 kind = pdf["kind"].iloc[i]
                 coords = np.asarray(pdf["coords"].iloc[i], np.float64)
                 pts = coords.reshape(-1, 2)
+                coarse = False
                 if kind == G.POINT:
                     # multipoint: cover every point's tile (not just pts[0])
                     cells = np.unique(np.concatenate([
@@ -73,6 +106,25 @@ def cover_features(features: DataFrame, base_zoom: int = 14) -> DataFrame:
                         for p in pts
                     ]), axis=0) if len(pts) > 1 else G.covering_tiles_point(
                         pts[0, 0], pts[0, 1], base_zoom)
+                elif dual and _bbox_tile_span(
+                        pts, base_zoom) >= large_threshold:
+                    coarse = True
+                    if kind in (G.LINESTRING, G.MULTILINESTRING):
+                        lines = G.unpack_lines(
+                            coords, np.asarray(pdf["ring_sizes"].iloc[i],
+                                               np.int64))
+                        cells = np.unique(np.concatenate([
+                            G.covering_tiles_line(l, CLUSTER_ZOOM)
+                            for l in lines
+                        ]), axis=0)
+                    else:
+                        mp = G.unpack_multipolygon(
+                            coords,
+                            np.asarray(pdf["ring_sizes"].iloc[i], np.int64),
+                            np.asarray(pdf["poly_ring_counts"].iloc[i],
+                                       np.int64))
+                        cells = G.covering_tiles_polygon(mp, CLUSTER_ZOOM)
+                    cells = cells << dz  # cell -> its first base tile
                 elif kind in (G.LINESTRING, G.MULTILINESTRING):
                     lines = G.unpack_lines(
                         coords, np.asarray(pdf["ring_sizes"].iloc[i],
@@ -89,12 +141,89 @@ def cover_features(features: DataFrame, base_zoom: int = 14) -> DataFrame:
                 reps.append(len(cells))
                 bxs.append(cells[:, 0])
                 bys.append(cells[:, 1])
+                crs.append(np.full(len(cells), coarse))
             out = pdf.loc[pdf.index.repeat(reps)].reset_index(drop=True)
             out["bx"] = np.concatenate(bxs) if bxs else np.zeros(0, np.int64)
             out["by"] = np.concatenate(bys) if bys else np.zeros(0, np.int64)
-            yield out[cols + ["bx", "by"]]
+            out["coarse"] = (np.concatenate(crs) if crs
+                             else np.zeros(0, bool))
+            yield out[cols + ["bx", "by", "coarse"]]
 
     return features.mapInPandas(gen, schema=out_schema)
+
+
+def _expand_coarse_rows(pdf: pd.DataFrame, base_zoom: int) -> pd.DataFrame:
+    """Refine coarse (cell-granularity) rows to exact per-base-tile rows:
+    clip each geometry to its z6 cell bbox (one base-tile margin so edge
+    supercover matches the global cover), cover the clipped geometry at
+    base_zoom, keep cells inside the z6 cell's tile range.  Runs inside
+    the subtree worker — the fan-out never crosses a shuffle."""
+    if "coarse" not in pdf.columns or not pdf["coarse"].any():
+        return pdf
+    dz = base_zoom - CLUSTER_ZOOM
+    small = pdf[~pdf["coarse"]]
+    big = pdf[pdf["coarse"]]
+    out_rows = [small]
+    reps, bxs, bys = [], [], []
+    for i in range(len(big)):
+        row = big.iloc[i]
+        cx, cy = int(row["bx"]) >> dz, int(row["by"]) >> dz
+        x0, x1 = cx << dz, ((cx + 1) << dz) - 1
+        y0, y1 = cy << dz, ((cy + 1) << dz) - 1
+        minlon, minlatp, maxlon, maxlatp = _tile_bbox(
+            CLUSTER_ZOOM, cx, cy, margin=1.0 / (1 << dz))
+        minlat = float(P.latp2lat(minlatp))
+        maxlat = float(P.latp2lat(maxlatp))
+        coords = np.asarray(row["coords"], np.float64)
+        kind = row["kind"]
+        if kind in (G.LINESTRING, G.MULTILINESTRING):
+            lines = G.unpack_lines(
+                coords, np.asarray(row["ring_sizes"], np.int64))
+            parts = []
+            for l in lines:
+                parts.extend(G.clip_line_to_box(
+                    l, minlon, minlat, maxlon, maxlat))
+            if not parts:
+                reps.append(0)
+                continue
+            cells = np.unique(np.concatenate([
+                G.covering_tiles_line(p, base_zoom) for p in parts
+            ]), axis=0)
+        else:
+            mp = G.unpack_multipolygon(
+                coords, np.asarray(row["ring_sizes"], np.int64),
+                np.asarray(row["poly_ring_counts"], np.int64))
+            clipped = G.clip_multipolygon_to_box(
+                mp, minlon, minlat, maxlon, maxlat)
+            if not clipped:
+                reps.append(0)
+                continue
+            cells = G.covering_tiles_polygon(clipped, base_zoom)
+        keep = ((cells[:, 0] >= x0) & (cells[:, 0] <= x1)
+                & (cells[:, 1] >= y0) & (cells[:, 1] <= y1))
+        cells = cells[keep]
+        reps.append(len(cells))
+        bxs.append(cells[:, 0])
+        bys.append(cells[:, 1])
+    exp = big.loc[big.index.repeat(reps)].copy()
+    exp["bx"] = np.concatenate(bxs) if bxs else np.zeros(0, np.int64)
+    exp["by"] = np.concatenate(bys) if bys else np.zeros(0, np.int64)
+    exp["coarse"] = False
+    out_rows.append(exp)
+    return pd.concat(out_rows, ignore_index=True)
+
+
+def expand_coarse(covered: DataFrame, base_zoom: int = 14) -> DataFrame:
+    """DataFrame twin of :func:`_expand_coarse_rows` for consumers that
+    need exact per-tile rows outside the subtree worker (e.g.
+    :func:`tile_assignments` — whose output is inherently per-tile)."""
+    schema = covered.schema
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _expand_coarse_rows(pdf, base_zoom)
+
+    return covered.mapInPandas(gen, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +347,7 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
         tol_cache: dict[str, float] = {}
         point_groups: dict = {}
         line_groups: dict = {}
+        poly_groups: dict = {}
         for i in range(len(sub)):
             row = sub.iloc[i]
             ld = cfg.layers.get(row["layer"], ld0)
@@ -276,6 +406,36 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
                     mp, minlon, minlat, maxlon, maxlat)
                 if not clipped:
                     continue
+                if (cfg.repair_geometry
+                        and not G.multipolygon_is_simple(clipped)):
+                    # escalation chain (reference src/tile_data.cpp:380-426,
+                    # src/geom.cpp:140-224): remove_spikes first; if rings
+                    # still self-intersect, robust even-odd re-intersection
+                    # of the ORIGINAL geometry with the tile box; keep only
+                    # if >= repair_area_guard of the naive area survives,
+                    # else drop the feature (reference drop rule)
+                    despiked = []
+                    for poly in clipped:
+                        rings = [G.remove_spikes(r) for r in poly]
+                        rings = [r for r in rings if len(r) >= 4]
+                        if rings:
+                            despiked.append(rings)
+                    if despiked and G.multipolygon_is_simple(despiked):
+                        clipped = despiked
+                    else:
+                        box = [[np.array(
+                            [[minlon, minlat], [maxlon, minlat],
+                             [maxlon, maxlat], [minlon, maxlat],
+                             [minlon, minlat]], np.float64)]]
+                        naive = sum(
+                            abs(G.signed_ring_area_planar(p[0]))
+                            for p in (despiked or clipped))
+                        robust = OV.intersection(mp, box)
+                        if robust and OV.area_planar(robust) >= (
+                                cfg.repair_area_guard * naive):
+                            clipped = robust
+                        else:
+                            continue
                 tol = tol_cache.setdefault(
                     row["layer"], _simplify_tolerance(ld, z))
                 if tol > 0:
@@ -300,6 +460,13 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
                         if abs(G.signed_ring_area_planar(poly[0])) >= athr
                     ]
                 if not clipped:
+                    continue
+                if (ld.combine_polygons_below > 0
+                        and z < ld.combine_polygons_below):
+                    # same-attribute polygons union per tile (reference
+                    # src/tile_worker.cpp:393-404, geom.cpp:232-290)
+                    poly_groups.setdefault(
+                        akey, ([], attrs, row))[0].append(clipped)
                     continue
                 frac_mp = [
                     [_to_tile_frac(r, z, x, y) for r in poly]
@@ -331,6 +498,17 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
             lb.add_feature(
                 M.GEOM_LINESTRING, cmds, attrs,
                 feature_id=int(row["feature_id"]) if cfg.include_ids else None)
+        for (key, (mps, attrs, row)) in poly_groups.items():
+            merged = OV.union_many(mps) if len(mps) > 1 else mps[0]
+            if not merged:
+                continue
+            frac_mp = [
+                [_to_tile_frac(r, z, x, y) for r in poly] for poly in merged
+            ]
+            cmds = M.encode_polygon_geom(frac_mp, cfg.extent)
+            lb.add_feature(
+                M.GEOM_POLYGON, cmds, attrs,
+                feature_id=int(row["feature_id"]) if cfg.include_ids else None)
 
     live = [lb for lb in builders.values() if lb.features]
     if not live:
@@ -353,7 +531,8 @@ def build_tiles(covered: DataFrame, cfg: Config,
     }
 
     def build_subtree(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.copy()
+        # refine coarse (large-object) rows to exact tiles, in-worker
+        pdf = _expand_coarse_rows(pdf.copy(), base_zoom)
         pdf["_target"] = pdf["layer"].map(
             lambda n: layer_targets.get(n, n))
         pdf = pdf.drop_duplicates(subset=["feature_id", "layer", "bx", "by"])
@@ -384,33 +563,16 @@ def build_tiles(covered: DataFrame, cfg: Config,
         return high
 
     # low-zoom pass: only features visible below CLUSTER_ZOOM (per-layer
-    # and per-feature minzoom), pre-deduped to z5 tile granularity BEFORE
-    # the single-group collapse — the full base-zoom fanout never moves
+    # and per-feature minzoom), pre-deduped to z5 tile granularity — the
+    # full base-zoom fanout never moves.  Each zoom is its own job grouped
+    # by the tile key, so z0-5 tiles build in parallel across tiles (the
+    # single z0 tile is irreducible, but its group holds only its own
+    # features, not the whole planet's fanout).  Coarse (large-object)
+    # rows need no expansion here: their z6-cell bx/by is exact membership
+    # for every z<=6 ancestor tile.
     low_visible_layers = [
         name for name, ld in cfg.layers.items() if ld.minzoom < CLUSTER_ZOOM
     ]
-
-    def build_low(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.copy()
-        pdf["_target"] = pdf["layer"].map(lambda n: layer_targets.get(n, n))
-        pdf = pdf.drop_duplicates(subset=["feature_id", "layer", "bx", "by"])
-        out_z, out_x, out_y, out_b = [], [], [], []
-        for z in range(cfg.minzoom, min(CLUSTER_ZOOM, base_zoom + 1)):
-            shift = base_zoom - z
-            tx = pdf["bx"].to_numpy() >> shift
-            ty = pdf["by"].to_numpy() >> shift
-            key = (tx.astype(np.int64) << 32) | ty.astype(np.int64)
-            pdf["_tkey"] = key
-            for tkey, group in pdf.groupby("_tkey"):
-                x = int(tkey >> 32)
-                y = int(tkey & 0xFFFFFFFF)
-                g = group.drop_duplicates(subset=["feature_id", "layer"])
-                blob = _build_one_tile(g, z, x, y, cfg)
-                if blob is not None:
-                    out_z.append(z); out_x.append(x); out_y.append(y)
-                    out_b.append(blob)
-        return pd.DataFrame({"z": out_z, "x": out_x, "y": out_y,
-                             "tile": out_b})
 
     dz5 = base_zoom - (CLUSTER_ZOOM - 1)
     low_in = (
@@ -418,18 +580,44 @@ def build_tiles(covered: DataFrame, cfg: Config,
         .filter(F.col("layer").isin(low_visible_layers)
                 if low_visible_layers else F.lit(False))
         .filter(F.col("minzoom") < CLUSTER_ZOOM)
-        # dedupe to z5 granularity before collapsing to one group: the
-        # per-(feature, z5-tile) width is what z<6 tiles actually need
+        # dedupe to z5 granularity first: the per-(feature, z5-tile)
+        # width is what z<6 tiles actually need
         .withColumn("_p5x", F.shiftright(F.col("bx"), dz5))
         .withColumn("_p5y", F.shiftright(F.col("by"), dz5))
         .dropDuplicates(["feature_id", "layer", "_p5x", "_p5y"])
         .drop("_p5x", "_p5y")
+        .persist()  # read once per low zoom below, tiny after the dedup
     )
-    low = (
-        low_in.withColumn("_one", F.lit(1))
-        .groupBy("_one")
-        .applyInPandas(build_low, schema="z int, x int, y int, tile binary")
-    )
+
+    def build_low_tile(z: int):
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            x = int(pdf["_tx"].iloc[0])
+            y = int(pdf["_ty"].iloc[0])
+            g = pdf.copy()
+            g["_target"] = g["layer"].map(lambda n: layer_targets.get(n, n))
+            g = g.drop_duplicates(subset=["feature_id", "layer"])
+            blob = _build_one_tile(g, z, x, y, cfg)
+            if blob is None:
+                return pd.DataFrame(columns=["z", "x", "y", "tile"])
+            return pd.DataFrame({"z": [z], "x": [x], "y": [y],
+                                 "tile": [blob]})
+        return fn
+
+    low = None
+    for z in range(cfg.minzoom, min(CLUSTER_ZOOM, base_zoom + 1)):
+        shift = base_zoom - z
+        part = (
+            low_in
+            .withColumn("_tx", F.shiftright(F.col("bx"), shift))
+            .withColumn("_ty", F.shiftright(F.col("by"), shift))
+            .dropDuplicates(["feature_id", "layer", "_tx", "_ty"])
+            .groupBy("_tx", "_ty")
+            .applyInPandas(build_low_tile(z),
+                           schema="z int, x int, y int, tile binary")
+        )
+        low = part if low is None else low.unionByName(part)
+    if low is None:
+        return high
     return high.unionByName(low)
 
 
@@ -443,7 +631,10 @@ def tile_assignments(covered: DataFrame, cfg: Config,
                      base_zoom: int = 14) -> DataFrame:
     """Per-tile feature assignment counts across all zooms — the parity
     table of FIXTURES.md §5 (expected_tile_assignments): roll the base-zoom
-    cover up the pyramid with explode(sequence) + distinct, all JVM-side."""
+    cover up the pyramid with explode(sequence) + distinct, all JVM-side.
+    Coarse (large-object) rows are refined to exact tiles first — this
+    table's output is inherently per-tile."""
+    covered = expand_coarse(covered, base_zoom)
     zs = F.sequence(F.lit(cfg.minzoom), F.lit(base_zoom))
     per_zoom = (
         covered.select("feature_id", "layer", "kind", "bx", "by",
