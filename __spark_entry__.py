@@ -716,6 +716,61 @@ FROM supplier
 """
 
 
+def q_rel_members(spark, sf_dir):
+    """Relation membership join (reference NextRelation/FindInRelation,
+    include/osm_store.h:97-200): orders act as relations whose way members
+    are their lineitems (way_id = orderkey*10 + linenumber); each member
+    way reads its parent relation's tags + its own role.  The DuckDB twin
+    is the direct lineitem x orders join."""
+    from tilemaker_spark.operators import relations as rel_ops
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    # the synthetic lineitem table has duplicate (orderkey, linenumber)
+    # rows; dedup to one member per way with a deterministic role
+    mem = (
+        li.groupBy(
+            F.col("l_orderkey"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("long").alias("ref"))
+        .agg(F.min("l_returnflag").alias("role"))
+    )
+    rels = (
+        mem.select(
+            F.col("l_orderkey").alias("rel_key"),
+            F.struct(F.lit(1).alias("mtype"), "ref", "role").alias("m"))
+        .groupBy("rel_key").agg(F.collect_list("m").alias("members"))
+        .join(o, F.col("rel_key") == F.col("o_orderkey"))
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.array_sort("members").alias("members"),
+            F.map_from_arrays(
+                F.array(F.lit("priority")),
+                F.array(F.col("o_orderpriority"))).alias("tags"))
+    )
+    ways = mem.select(F.col("ref").alias("id"))
+    out = rel_ops.parent_relations(ways, rels, mtype=1)
+    return out.select(
+        F.col("id").alias("way_id"),
+        F.size("rels").alias("n_parents"),
+        F.try_element_at("rels", F.lit(1))["rel_tags"]["priority"]
+        .alias("parent_priority"),
+        F.try_element_at("rels", F.lit(1))["role"].alias("role"),
+    )
+
+
+def sql_rel_members():
+    return """
+SELECT m.way_id, 1 AS n_parents,
+       o_orderpriority AS parent_priority, m.role
+FROM (
+  SELECT l_orderkey,
+         CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS way_id,
+         min(l_returnflag) AS role
+  FROM lineitem GROUP BY 1, 2
+) m JOIN orders ON m.l_orderkey = o_orderkey
+"""
+
+
 def q_poly_union(spark, sf_dir):
     """Polygon union (reference union_many, src/geom.cpp:232-290 /
     tile_worker.cpp:393-404): customers snap to 1-degree cells, each
@@ -795,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cover_large": q_cover_large,
         "poly_union": q_poly_union,
+        "rel_members": q_rel_members,
         "minhash_pairs": q_minhash_pairs,
         "simhash_dups": q_simhash_dups,
         "ann_topk": q_ann_topk,
@@ -825,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": sql_ngram_jaccard(),
         "cover_large": sql_cover_large(),
         "poly_union": sql_poly_union(),
+        "rel_members": sql_rel_members(),
         # minhash_pairs / simhash_dups: intentionally no oracle (xxhash64 /
         # FNV word hashes have no DuckDB twin) -> rows-only check
         "ann_topk": sql_ann_topk(),
