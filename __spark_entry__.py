@@ -716,6 +716,89 @@ FROM supplier
 """
 
 
+def q_pip_line(spark, sf_dir):
+    """Line-probe Intersects (reference src/osm_lua_processing.cpp:409-465
+    with a linestring argument): a synthetic segment per customer
+    (point -> point + (0.3, 0.2)) vs the nation boxes, via the covering-
+    cell filter + exact segment/ring refine.  Oracle: separating-axis
+    test for segment x axis-box (bbox overlap AND box corners not all
+    strictly on one side of the segment's line)."""
+    from tilemaker_spark.operators.spatial_join import geom_join
+    pts = _customer_points(spark, sf_dir)
+    probes = pts.select(
+        F.col("c_custkey").alias("feature_id"),
+        F.lit(1).cast("tinyint").alias("kind"),
+        F.array(F.col("lon"), F.col("lat"),
+                F.col("lon") + 0.3, F.col("lat") + 0.2)
+        .cast("array<double>").alias("coords"),
+        F.array(F.lit(2)).alias("ring_sizes"),
+        F.array().cast("array<int>").alias("poly_ring_counts"),
+    )
+    boxes = _nation_boxes(spark, sf_dir)
+    out = geom_join(probes, boxes, predicate="intersects", index_zoom=6)
+    return out.select(F.col("feature_id").alias("c_custkey"), "poly_id")
+
+
+def sql_pip_line():
+    return f"""
+WITH pairs AS (
+  SELECT c_custkey, n_nationkey,
+         {CUST_LON} AS x0, {CUST_LAT} AS y0,
+         ({CUST_LON} + 0.3) AS x1, ({CUST_LAT} + 0.2) AS y1,
+         {NB['minlon']} AS bx0, {NB['maxlon']} AS bx1,
+         {NB['minlat']} AS by0, {NB['maxlat']} AS by1
+  FROM customer, nation
+), cr AS (
+  SELECT *,
+         (x1 - x0) * (by0 - y0) - (y1 - y0) * (bx0 - x0) AS c1,
+         (x1 - x0) * (by0 - y0) - (y1 - y0) * (bx1 - x0) AS c2,
+         (x1 - x0) * (by1 - y0) - (y1 - y0) * (bx1 - x0) AS c3,
+         (x1 - x0) * (by1 - y0) - (y1 - y0) * (bx0 - x0) AS c4
+  FROM pairs
+)
+SELECT c_custkey, CAST(n_nationkey AS BIGINT) AS poly_id
+FROM cr
+WHERE x1 >= bx0 AND x0 <= bx1 AND y1 >= by0 AND y0 <= by1
+  AND NOT (c1 > 0 AND c2 > 0 AND c3 > 0 AND c4 > 0)
+  AND NOT (c1 < 0 AND c2 < 0 AND c3 < 0 AND c4 < 0)
+"""
+
+
+def q_covered_by(spark, sf_dir):
+    """Polygon-probe CoveredBy (reference :425-439): 0.4-degree supplier
+    boxes fully inside a nation box.  Oracle: interval containment."""
+    from tilemaker_spark.operators.spatial_join import geom_join
+    s = _t(spark, sf_dir, "supplier")
+    lon, lat = synth.geo_point_expr(F.col("s_suppkey"))
+    clon = F.greatest(F.lit(-179.5), F.least(F.lit(179.5), lon))
+    clat = F.greatest(F.lit(-84.0), F.least(F.lit(84.0), lat))
+    lo_x, hi_x = clon - F.lit(0.2), clon + F.lit(0.2)
+    lo_y, hi_y = clat - F.lit(0.2), clat + F.lit(0.2)
+    probes = s.select(
+        F.col("s_suppkey").alias("feature_id"),
+        F.lit(3).cast("tinyint").alias("kind"),
+        F.array(lo_x, lo_y, hi_x, lo_y, hi_x, hi_y, lo_x, hi_y,
+                lo_x, lo_y).cast("array<double>").alias("coords"),
+        F.array(F.lit(5)).alias("ring_sizes"),
+        F.array(F.lit(1)).alias("poly_ring_counts"),
+    )
+    boxes = _nation_boxes(spark, sf_dir)
+    out = geom_join(probes, boxes, predicate="covered_by", index_zoom=6)
+    return out.select(F.col("feature_id").alias("s_suppkey"), "poly_id")
+
+
+def sql_covered_by():
+    SUP_LON, SUP_LAT = synth.geo_point_sql("s_suppkey")
+    clon = f"least(greatest({SUP_LON}, -179.5), 179.5)"
+    clat = f"least(greatest({SUP_LAT}, -84.0), 84.0)"
+    return f"""
+SELECT s_suppkey, CAST(n_nationkey AS BIGINT) AS poly_id
+FROM supplier, nation
+WHERE ({clon} - 0.2) >= {NB['minlon']} AND ({clon} + 0.2) <= {NB['maxlon']}
+  AND ({clat} - 0.2) >= {NB['minlat']} AND ({clat} + 0.2) <= {NB['maxlat']}
+"""
+
+
 def q_rel_members(spark, sf_dir):
     """Relation membership join (reference NextRelation/FindInRelation,
     include/osm_store.h:97-200): orders act as relations whose way members
@@ -851,6 +934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_large": q_cover_large,
         "poly_union": q_poly_union,
         "rel_members": q_rel_members,
+        "pip_line": q_pip_line,
+        "covered_by": q_covered_by,
         "minhash_pairs": q_minhash_pairs,
         "simhash_dups": q_simhash_dups,
         "ann_topk": q_ann_topk,
@@ -882,6 +967,8 @@ def oracle_sql() -> dict[str, str]:
         "cover_large": sql_cover_large(),
         "poly_union": sql_poly_union(),
         "rel_members": sql_rel_members(),
+        "pip_line": sql_pip_line(),
+        "covered_by": sql_covered_by(),
         # minhash_pairs / simhash_dups: intentionally no oracle (xxhash64 /
         # FNV word hashes have no DuckDB twin) -> rows-only check
         "ann_topk": sql_ann_topk(),

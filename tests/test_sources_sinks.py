@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tilemaker_spark.kernels import geom as G
-from tilemaker_spark.sinks import pmtiles
+from tilemaker_spark.sinks import mbtiles, pmtiles
 from tilemaker_spark.sources import geojson, shapefile
 
 
@@ -154,3 +154,62 @@ def test_pmtiles_leaf_directories(spark, tmp_path, monkeypatch):
         blob = pmtiles.read_pmtiles_tile(path, 7, x, y)
         assert gzip.decompress(blob) == f"t{x}-{y}".encode()
     assert pmtiles.read_pmtiles_tile(path, 7, 100, 100) is None
+
+
+def test_mbtiles_feature_merge(spark, tmp_path):
+    """merge=True concatenates features into the existing tile (reference
+    --merge, src/tile_worker.cpp:452-465) — not whole-tile replace."""
+    import numpy as np
+    from tilemaker_spark.kernels import mvt
+
+    def one_tile(name, attr):
+        lb = mvt.LayerBuilder("poi")
+        cmds = mvt.encode_point_geom(np.array([[0.5, 0.5]]), 4096)
+        lb.add_feature(mvt.GEOM_POINT, cmds, {"n": attr})
+        return mvt.build_tile([lb])
+
+    path = str(tmp_path / "m.mbtiles")
+    t1 = spark.createDataFrame([(5, 1, 2, one_tile("poi", "old"))],
+                               "z int, x int, y int, tile binary")
+    mbtiles.write_mbtiles(t1, path)
+    t2 = spark.createDataFrame([(5, 1, 2, one_tile("poi", "new"))],
+                               "z int, x int, y int, tile binary")
+    mbtiles.write_mbtiles(t2, path, merge=True)
+    blob = mbtiles.read_mbtiles_tile(path, 5, 1, 2)
+    dec = mvt.decode_tile(blob)
+    names = sorted(f["attrs"]["n"] for f in dec["poi"]["features"])
+    assert names == ["new", "old"]
+
+
+def test_vector_layers_metadata(spark, tmp_path):
+    from tilemaker_spark.config import Config, LayerDef
+    from tilemaker_spark.sinks import meta as sink_meta
+    import json as _json
+    cfg = Config(layers={
+        "roads": LayerDef("roads", minzoom=6, maxzoom=14),
+        "labels": LayerDef("labels", minzoom=10, maxzoom=14,
+                           write_to="roads"),
+    })
+    vl = sink_meta.vector_layers(cfg, fields={"roads": {"class": "String"}})
+    assert [v["id"] for v in vl] == ["roads"]  # write_to layer skipped
+    assert vl[0]["fields"] == {"class": "String"}
+    assert vl[0]["minzoom"] == 6 and vl[0]["maxzoom"] == 14
+    # stored under the json metadata key
+    import numpy as np
+    from tilemaker_spark.kernels import mvt
+    lb = mvt.LayerBuilder("roads")
+    lb.add_feature(mvt.GEOM_POINT,
+                   mvt.encode_point_geom(np.array([[0.5, 0.5]]), 4096),
+                   {"class": "primary", "lanes": 2})
+    tiles = spark.createDataFrame([(6, 0, 0, mvt.build_tile([lb]))],
+                                  "z int, x int, y int, tile binary")
+    path = str(tmp_path / "vl.mbtiles")
+    mbtiles.write_mbtiles(tiles, path, vector_layers=vl)
+    stats = mbtiles.mbtiles_stats(path)
+    stored = _json.loads(stats["metadata"]["json"])
+    assert stored["vector_layers"][0]["id"] == "roads"
+    # inferred variant reads the actual tiles
+    inferred = sink_meta.infer_vector_layers(tiles)
+    assert inferred[0]["id"] == "roads"
+    assert inferred[0]["fields"] == {"class": "String", "lanes": "Number"}
+    assert inferred[0]["minzoom"] == 6 and inferred[0]["maxzoom"] == 6

@@ -92,3 +92,117 @@ def test_knn_deterministic_tiebreak(spark):
     out = knn.knn_join_broadcast(q, c, k=2).collect()
     by_rank = {r["rank"]: r["cand_id"] for r in out}
     assert by_rank == {1: "a", 2: "b"}
+
+
+# ---------------------------------------------------------------------------
+# non-point probes (reference Intersects/CoveredBy/AreaIntersecting,
+# src/osm_lua_processing.cpp:409-502)
+# ---------------------------------------------------------------------------
+
+PROBE_SCHEMA = ("feature_id long, kind tinyint, coords array<double>, "
+                "ring_sizes array<int>, poly_ring_counts array<int>")
+
+
+def _box_poly_df(spark):
+    # one 10x10 box [0,10]^2 with a hole [4,6]^2
+    coords = [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0,
+              4.0, 4.0, 4.0, 6.0, 6.0, 6.0, 6.0, 4.0, 4.0, 4.0]
+    return spark.createDataFrame(
+        [(1, coords, [5, 5], [2])],
+        "poly_id long, coords array<double>, ring_sizes array<int>, "
+        "poly_ring_counts array<int>")
+
+
+def test_geom_join_line_intersects(spark):
+    from tilemaker_spark.operators.spatial_join import geom_join
+    probes = spark.createDataFrame([
+        (1, 1, [-5.0, 5.0, 5.0, 5.0], [2], []),    # crosses left edge
+        (2, 1, [1.0, 1.0, 2.0, 2.0], [2], []),     # fully inside
+        (3, 1, [20.0, 20.0, 30.0, 30.0], [2], []),  # far away
+        (4, 1, [4.5, 4.5, 5.5, 5.5], [2], []),     # inside the hole
+        (5, 1, [3.0, 5.0, 7.0, 5.0], [2], []),     # crosses the hole
+    ], PROBE_SCHEMA)
+    out = geom_join(probes, _box_poly_df(spark), predicate="intersects",
+                    index_zoom=4)
+    got = {r["feature_id"] for r in out.collect()}
+    assert got == {1, 2, 5}
+
+
+def test_geom_join_covered_by(spark):
+    from tilemaker_spark.operators.spatial_join import geom_join
+    probes = spark.createDataFrame([
+        (1, 1, [-5.0, 5.0, 5.0, 5.0], [2], []),   # crosses: not covered
+        (2, 1, [1.0, 1.0, 2.0, 2.0], [2], []),    # inside: covered
+        # polygon probes
+        (3, 3, [1.0, 1.0, 3.0, 1.0, 3.0, 3.0, 1.0, 3.0, 1.0, 1.0],
+         [5], [1]),                                 # inside: covered
+        (4, 3, [8.0, 8.0, 12.0, 8.0, 12.0, 12.0, 8.0, 12.0, 8.0, 8.0],
+         [5], [1]),                                 # overlaps edge: not
+        (5, 3, [3.0, 3.0, 7.0, 3.0, 7.0, 7.0, 3.0, 7.0, 3.0, 3.0],
+         [5], [1]),                                 # hole pokes in: not
+    ], PROBE_SCHEMA)
+    out = geom_join(probes, _box_poly_df(spark), predicate="covered_by",
+                    index_zoom=4)
+    got = {r["feature_id"] for r in out.collect()}
+    assert got == {2, 3}
+
+
+def test_geom_join_area_intersecting(spark):
+    from tilemaker_spark.operators.spatial_join import geom_join
+    probes = spark.createDataFrame([
+        # overlaps corner: [8,10]x[8,10] -> 4.0
+        (1, 3, [8.0, 8.0, 12.0, 8.0, 12.0, 12.0, 8.0, 12.0, 8.0, 8.0],
+         [5], [1]),
+        # fully inside minus nothing: [1,3]^2 -> 4.0
+        (2, 3, [1.0, 1.0, 3.0, 1.0, 3.0, 3.0, 1.0, 3.0, 1.0, 1.0],
+         [5], [1]),
+        # covers the hole region: [3,7]^2 -> 16 - 4 (hole) = 12
+        (3, 3, [3.0, 3.0, 7.0, 3.0, 7.0, 7.0, 3.0, 7.0, 3.0, 3.0],
+         [5], [1]),
+    ], PROBE_SCHEMA)
+    out = geom_join(probes, _box_poly_df(spark), predicate="area",
+                    index_zoom=4)
+    got = {r["feature_id"]: r["area_deg2"] for r in out.collect()}
+    assert got[1] == pytest.approx(4.0, abs=1e-3)
+    assert got[2] == pytest.approx(4.0, abs=1e-3)
+    assert got[3] == pytest.approx(12.0, abs=1e-3)
+
+
+def test_pairwise_kernels():
+    line = np.array([[1.0, 1.0], [2.0, 2.0]])
+    box = [[np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)]]
+    assert G.line_intersects_multipolygon(line, box)
+    assert G.line_covered_by_multipolygon(line, box)
+    crossing = np.array([[-5.0, 5.0], [5.0, 5.0]])
+    assert G.line_intersects_multipolygon(crossing, box)
+    assert not G.line_covered_by_multipolygon(crossing, box)
+    far = np.array([[20.0, 20.0], [30.0, 20.0]])
+    assert not G.line_intersects_multipolygon(far, box)
+    small = [[np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], float)]]
+    assert G.multipolygon_intersects_multipolygon(small, box)
+    assert G.multipolygon_covered_by(small, box)
+    assert not G.multipolygon_covered_by(box, small)
+
+
+def test_knn_cell_audit(spark):
+    """The under-fill audit: 0 flagged for a dense in-ring fixture; >0 for
+    a sparse fixture whose true neighbors live outside the 3x3 ring."""
+    from tilemaker_spark.operators.knn import knn_join_cell, knn_cell_audit
+    # dense: 20 candidates immediately around each of 3 queries
+    qs = spark.createDataFrame(
+        [(i, 10.0 + i * 0.01, 45.0) for i in range(3)],
+        "query_id long, lon double, lat double")
+    cands = spark.createDataFrame(
+        [(100 + j, 10.0 + (j % 10) * 0.005, 45.0 + (j // 10) * 0.005)
+         for j in range(20)],
+        "cand_id long, lon double, lat double")
+    res = knn_join_cell(qs, cands, k=3, cell_zoom=5)
+    audit = knn_cell_audit(res, qs, k=3, cell_zoom=5)
+    assert audit.filter(F.col("under_filled")).count() == 0
+    # sparse: only 1 candidate anywhere near; k=3 can't fill
+    far = spark.createDataFrame(
+        [(200, 10.0, 45.0), (201, 170.0, -40.0), (202, -170.0, 40.0)],
+        "cand_id long, lon double, lat double")
+    res2 = knn_join_cell(qs, far, k=3, cell_zoom=5)
+    audit2 = knn_cell_audit(res2, qs, k=3, cell_zoom=5)
+    assert audit2.filter(F.col("under_filled")).count() == 3

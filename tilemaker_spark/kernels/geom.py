@@ -388,6 +388,102 @@ def multipolygon_is_simple(mp) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Pairwise geometry predicates (reference Intersects / CoveredBy /
+# AreaIntersecting for non-point probes, src/osm_lua_processing.cpp:409-502
+# via boost::geometry intersects/covered_by/intersection)
+# ---------------------------------------------------------------------------
+
+def _any_segment_crossing(a: np.ndarray, b: np.ndarray) -> bool:
+    """True if any segment of polyline a intersects any segment of
+    polyline b (touching counts).  Vectorized O(n*m)."""
+    if len(a) < 2 or len(b) < 2:
+        return False
+    a1, a2 = a[:-1], a[1:]
+    b1, b2 = b[:-1], b[1:]
+
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    A1x = a1[:, 0][:, None]; A1y = a1[:, 1][:, None]
+    A2x = a2[:, 0][:, None]; A2y = a2[:, 1][:, None]
+    B1x = b1[:, 0][None, :]; B1y = b1[:, 1][None, :]
+    B2x = b2[:, 0][None, :]; B2y = b2[:, 1][None, :]
+    d1 = cross(B1x, B1y, B2x, B2y, A1x, A1y)
+    d2 = cross(B1x, B1y, B2x, B2y, A2x, A2y)
+    d3 = cross(A1x, A1y, A2x, A2y, B1x, B1y)
+    d4 = cross(A1x, A1y, A2x, A2y, B2x, B2y)
+    proper = (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)))
+    if proper.any():
+        return True
+    # touching / collinear-overlap: any endpoint of one on the other
+    deg = ((d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0))
+    if not deg.any():
+        return False
+    for i, j in zip(*np.nonzero(deg)):
+        for (p, s1, s2) in ((a1[i], b1[j], b2[j]), (a2[i], b1[j], b2[j]),
+                            (b1[j], a1[i], a2[i]), (b2[j], a1[i], a2[i])):
+            d = (s2[0] - s1[0]) * (p[1] - s1[1]) \
+                - (s2[1] - s1[1]) * (p[0] - s1[0])
+            if d == 0 and (min(s1[0], s2[0]) <= p[0] <= max(s1[0], s2[0])
+                           and min(s1[1], s2[1]) <= p[1]
+                           <= max(s1[1], s2[1])):
+                return True
+    return False
+
+
+def _mp_rings(mp) -> list:
+    return [r for poly in mp for r in poly]
+
+
+def line_intersects_multipolygon(line: np.ndarray, mp) -> bool:
+    """Line/polygon Intersects: boundary crossing OR line inside."""
+    for r in _mp_rings(mp):
+        if _any_segment_crossing(line, r):
+            return True
+    return bool(points_in_multipolygon(
+        line[:1, 0], line[:1, 1], mp)[0])
+
+
+def multipolygon_intersects_multipolygon(a, b) -> bool:
+    """Polygon/polygon Intersects: boundary crossing OR containment
+    either way."""
+    ra, rb = _mp_rings(a), _mp_rings(b)
+    for x in ra:
+        for y in rb:
+            if _any_segment_crossing(x, y):
+                return True
+    if bool(points_in_multipolygon(ra[0][:1, 0], ra[0][:1, 1], b)[0]):
+        return True
+    return bool(points_in_multipolygon(rb[0][:1, 0], rb[0][:1, 1], a)[0])
+
+
+def line_covered_by_multipolygon(line: np.ndarray, mp) -> bool:
+    """Line CoveredBy polygon: all vertices inside and no boundary
+    crossing (boost covered_by semantics for simple inputs)."""
+    if not points_in_multipolygon(line[:, 0], line[:, 1], mp).all():
+        return False
+    return not any(_any_segment_crossing(line, r) for r in _mp_rings(mp))
+
+
+def multipolygon_covered_by(a, b) -> bool:
+    """Polygon a CoveredBy polygon b: every a-vertex inside b, no boundary
+    crossing, and no b-hole pokes into a (hole-vertex-in-a check)."""
+    ra = _mp_rings(a)
+    for r in ra:
+        if not points_in_multipolygon(r[:, 0], r[:, 1], b).all():
+            return False
+    for x in ra:
+        for y in _mp_rings(b):
+            if _any_segment_crossing(x, y):
+                return False
+    for poly in b:
+        for hole in poly[1:]:
+            if points_in_multipolygon(hole[:, 0], hole[:, 1], a).any():
+                return False
+    return True
+
+
+# ---------------------------------------------------------------------------
 # Simplification
 # ---------------------------------------------------------------------------
 

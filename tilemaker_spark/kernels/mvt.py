@@ -225,6 +225,30 @@ def build_tile(layers: list[LayerBuilder], compress: str = "gzip") -> bytes:
     return raw
 
 
+def merge_tile_blobs(old_blob: bytes, new_blob: bytes,
+                     compress: str = "gzip") -> bytes:
+    """Feature-level tile merge (reference --merge semantics,
+    src/tile_worker.cpp:452-465: the existing tile's features are decoded
+    and concatenated with the new tile's, per layer).  MVT geometry
+    commands are per-feature self-contained (cursor resets per feature),
+    so decoded features re-encode verbatim."""
+    old = decode_tile(old_blob)
+    new = decode_tile(new_blob)
+    builders: list[LayerBuilder] = []
+    names = list(old.keys()) + [n for n in new.keys() if n not in old]
+    for name in names:
+        extent = (new.get(name) or old.get(name))["extent"]
+        lb = LayerBuilder(name, extent=extent)
+        for src in (old.get(name), new.get(name)):
+            if not src:
+                continue
+            for f in src["features"]:
+                lb.add_feature(f["type"], f["cmds"], f["attrs"],
+                               feature_id=f["id"])
+        builders.append(lb)
+    return build_tile(builders, compress=compress)
+
+
 # ---------------- decoder (for tests / parity checks) ----------------
 
 def _read_varint(buf: bytes, i: int) -> tuple[int, int]:

@@ -14,8 +14,9 @@ Absent in the reference engine; a graft requirement from BASELINE.json
   (explode), distances computed JVM-side via the haversine column
   expression, window top-k.  Exact whenever the true kth neighbor lies
   within one cell ring (cell_zoom must be chosen so cell size >>
-  expected kth distance); the fraction of under-filled queries is
-  observable via the returned rank counts.
+  expected kth distance); :func:`knn_cell_audit` measures the
+  under-filled-query count at runtime (kth distance vs the ring-boundary
+  guard radius).
 
 Distance = haversine meters on R=6371000 (matching the reference's
 spherical length strategy).  Ties break on candidate id for determinism.
@@ -132,4 +133,63 @@ def knn_join_cell(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "cand_id", "dist_m")
+    )
+
+
+def knn_cell_audit(
+    result: DataFrame,
+    queries: DataFrame,
+    k: int,
+    cell_zoom: int = 5,
+    query_id: str = "query_id",
+    q_lon: str = "lon",
+    q_lat: str = "lat",
+) -> DataFrame:
+    """Exactness audit for :func:`knn_join_cell`: the fixed 3x3 ring is
+    exact for a query iff its kth-neighbor distance is within the
+    distance from the query point to the ring's boundary (and it found k
+    candidates at all).  Returns one row per query:
+    (query_id, n_found, kth_dist_m, guard_m, under_filled boolean) —
+    ``under_filled`` queries may have missed true neighbors outside the
+    ring.  Aggregate ``sum(under_filled)`` for the runtime counter the
+    operator's docstring promises."""
+    nmax = (1 << cell_zoom) - 1
+    span = 360.0 / (1 << cell_zoom)
+    qx = F.least(F.greatest(TE.lon2tilex(F.col(q_lon), cell_zoom), F.lit(0)),
+                 F.lit(nmax))
+    qy = F.least(F.greatest(TE.lat2tiley(F.col(q_lat), cell_zoom), F.lit(0)),
+                 F.lit(nmax))
+    # ring boundary in lon / latp degrees: x in [qx-1, qx+2], y likewise
+    lon_lo = (qx - 1).cast("double") * F.lit(span) - F.lit(180.0)
+    lon_hi = (qx + 2).cast("double") * F.lit(span) - F.lit(180.0)
+    latp_hi = F.lit(180.0) - (qy - 1).cast("double") * F.lit(span)
+    latp_lo = F.lit(180.0) - (qy + 2).cast("double") * F.lit(span)
+    # latp -> lat: lat = 2*atan(exp(rad(latp))) - pi/2, in degrees
+    lat_of = (lambda latp: F.degrees(
+        F.lit(2.0) * F.atan(F.exp(F.radians(latp))) - F.lit(3.141592653589793 / 2)))
+    lat_lo = lat_of(latp_lo)
+    lat_hi = lat_of(latp_hi)
+    lon = F.col(q_lon)
+    lat = F.col(q_lat)
+    # nearest points on the 4 ring edges (clamp the free coordinate)
+    guard = F.least(
+        TE.haversine_m(lon, lat, lon_lo, lat),
+        TE.haversine_m(lon, lat, lon_hi, lat),
+        TE.haversine_m(lon, lat, lon, lat_lo),
+        TE.haversine_m(lon, lat, lon, lat_hi),
+    ).alias("guard_m")
+    qg = queries.select(F.col(query_id).alias("query_id"), guard)
+    per_q = result.groupBy("query_id").agg(
+        F.count("*").alias("n_found"),
+        F.max("dist_m").alias("kth_dist_m"),
+    )
+    out = qg.join(per_q, on="query_id", how="left")
+    return out.select(
+        "query_id",
+        F.coalesce("n_found", F.lit(0)).alias("n_found"),
+        F.coalesce("kth_dist_m", F.lit(float("inf"))).alias("kth_dist_m"),
+        "guard_m",
+        ((F.coalesce("n_found", F.lit(0)) < k)
+         | (F.coalesce("kth_dist_m", F.lit(float("inf")))
+            > F.col("guard_m"))).alias("under_filled"),
     )

@@ -197,6 +197,141 @@ def pip_join_cell(points: DataFrame, polygons: DataFrame, **kw):
 
 
 # ---------------------------------------------------------------------------
+# non-point probes: Intersects / CoveredBy / AreaIntersecting
+# (reference src/osm_lua_processing.cpp:409-502)
+# ---------------------------------------------------------------------------
+
+def geometry_cells_udf(index_zoom: int):
+    """array<long> covering-cell ids for ANY packed geometry (point /
+    line / polygon by ``kind``) — the probe-side twin of
+    :func:`polygon_cells_udf`."""
+
+    @F.pandas_udf("array<long>")
+    def cells(kind: pd.Series, coords: pd.Series, ring_sizes: pd.Series,
+              poly_counts: pd.Series) -> pd.Series:
+        out = []
+        for k, c, rs, pc in zip(kind, coords, ring_sizes, poly_counts):
+            arr = np.asarray(c, np.float64)
+            pts = arr.reshape(-1, 2)
+            if k == G.POINT:
+                cc = np.unique(np.concatenate([
+                    G.covering_tiles_point(p[0], p[1], index_zoom)
+                    for p in pts]), axis=0)
+            elif k in (G.LINESTRING, G.MULTILINESTRING):
+                lines = G.unpack_lines(arr, np.asarray(rs, np.int64))
+                cc = np.unique(np.concatenate([
+                    G.covering_tiles_line(l, index_zoom) for l in lines
+                ]), axis=0)
+            else:
+                mp = G.unpack_multipolygon(
+                    arr, np.asarray(rs, np.int64), np.asarray(pc, np.int64))
+                cc = G.covering_tiles_polygon(mp, index_zoom)
+            out.append(P.tile_id(index_zoom, cc[:, 0], cc[:, 1]).tolist())
+        return pd.Series(out)
+
+    return cells
+
+
+def _unpack_probe(kind, coords, rs, pc):
+    arr = np.asarray(coords, np.float64)
+    if kind in (G.LINESTRING, G.MULTILINESTRING):
+        return ("line", G.unpack_lines(arr, np.asarray(rs, np.int64)))
+    return ("poly", G.unpack_multipolygon(
+        arr, np.asarray(rs, np.int64), np.asarray(pc, np.int64)))
+
+
+def _refine_udf(predicate: str):
+    """pandas_udf evaluating the exact pairwise predicate on candidate
+    (probe geometry, polygon geometry) rows.  intersects / covered_by
+    return boolean; area returns the planar intersection area (deg^2)
+    via the overlay kernel."""
+    out_type = "double" if predicate == "area" else "boolean"
+
+    @F.pandas_udf(out_type)
+    def refine(k: pd.Series, c1: pd.Series, r1: pd.Series, p1: pd.Series,
+               c2: pd.Series, r2: pd.Series, p2: pd.Series) -> pd.Series:
+        from ..kernels import overlay as OV
+        out = []
+        for kind, ca, ra, pa, cb, rb, pb in zip(k, c1, r1, p1, c2, r2, p2):
+            shape, ga = _unpack_probe(kind, ca, ra, pa)
+            mpb = G.unpack_multipolygon(
+                np.asarray(cb, np.float64), np.asarray(rb, np.int64),
+                np.asarray(pb, np.int64))
+            if predicate == "intersects":
+                if shape == "line":
+                    out.append(any(
+                        G.line_intersects_multipolygon(l, mpb) for l in ga))
+                else:
+                    out.append(
+                        G.multipolygon_intersects_multipolygon(ga, mpb))
+            elif predicate == "covered_by":
+                if shape == "line":
+                    out.append(all(
+                        G.line_covered_by_multipolygon(l, mpb) for l in ga))
+                else:
+                    out.append(G.multipolygon_covered_by(ga, mpb))
+            else:  # area
+                if shape == "line":
+                    out.append(0.0)
+                else:
+                    out.append(OV.area_planar(OV.intersection(ga, mpb)))
+        return pd.Series(out)
+
+    return refine
+
+
+def geom_join(
+    probes: DataFrame,
+    polygons: DataFrame,
+    predicate: str = "intersects",
+    strategy: str = "broadcast",
+    index_zoom: int = 7,
+    probe_cols: tuple = ("feature_id",),
+    poly_cols: tuple = ("poly_id",),
+) -> DataFrame:
+    """Geometry-vs-polygon join for NON-POINT probes — the reference's
+    Intersects / CoveredBy / AreaIntersecting with line/polygon arguments
+    (src/osm_lua_processing.cpp:409-502).
+
+    Plan: both sides explode to covering cells at ``index_zoom`` (filter),
+    equi-join on the cell key (broadcast or shuffle), dedupe the candidate
+    pair (a pair can meet in many cells), then the exact pairwise refine
+    runs once per candidate in an Arrow batch.
+
+    probes: feature table with (kind, coords, ring_sizes,
+    poly_ring_counts) + ``probe_cols`` identifying columns.
+    Output: probe_cols + poly_cols (+ ``area_deg2`` for predicate='area').
+    """
+    gcells = geometry_cells_udf(index_zoom)
+    pcells = polygon_cells_udf(index_zoom)
+    pr = probes.select(
+        *probe_cols, "kind", "coords", "ring_sizes", "poly_ring_counts",
+        F.explode(gcells("kind", "coords", "ring_sizes",
+                         "poly_ring_counts")).alias("_cell"),
+    )
+    geom2 = [F.col(c).alias(f"_p{c}") for c in
+             ("coords", "ring_sizes", "poly_ring_counts")]
+    po = polygons.select(
+        *poly_cols, *geom2,
+        F.explode(pcells("coords", "ring_sizes", "poly_ring_counts"))
+        .alias("_cell"),
+    )
+    right = F.broadcast(po) if strategy == "broadcast" else po
+    cand = pr.join(right, on="_cell", how="inner").dropDuplicates(
+        list(probe_cols) + list(poly_cols))
+
+    refine = _refine_udf(predicate)(
+        F.col("kind"), F.col("coords"), F.col("ring_sizes"),
+        F.col("poly_ring_counts"), F.col("_pcoords"),
+        F.col("_pring_sizes"), F.col("_ppoly_ring_counts"))
+    if predicate == "area":
+        out = cand.withColumn("area_deg2", refine).filter(
+            F.col("area_deg2") > 0.0)
+        return out.select(*probe_cols, *poly_cols, "area_deg2")
+    return cand.filter(refine).select(*probe_cols, *poly_cols)
+
+
+# ---------------------------------------------------------------------------
 # legacy Arrow-probe implementation (kept for cross-checks/tests)
 # ---------------------------------------------------------------------------
 

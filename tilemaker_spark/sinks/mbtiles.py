@@ -18,8 +18,21 @@ from pyspark.sql import DataFrame
 
 
 def write_mbtiles(tiles: DataFrame, path: str, metadata: dict | None = None,
-                  merge: bool = False) -> int:
-    """tiles(z, x, y, tile) -> .mbtiles at path. Returns tile count."""
+                  merge: bool = False,
+                  vector_layers: list | None = None) -> int:
+    """tiles(z, x, y, tile) -> .mbtiles at path. Returns tile count.
+
+    merge=True implements the reference's ``--merge`` semantics
+    (src/tile_worker.cpp:452-465): when a tile already exists at
+    (z, x, y), the existing tile's FEATURES are decoded and concatenated
+    with the new tile's (per layer) and the merged tile is written — not
+    a whole-tile replace.
+
+    vector_layers (list of {id, fields, minzoom, maxzoom}) is stored
+    under the ``json`` metadata key (reference shared_data.cpp:184-209);
+    build it with ``sinks.meta.vector_layers`` or
+    ``sinks.meta.infer_vector_layers``."""
+    from ..kernels import mvt as M
     conn = sqlite3.connect(path)
     cur = conn.cursor()
     cur.execute("PRAGMA journal_mode=OFF")
@@ -41,12 +54,22 @@ def write_mbtiles(tiles: DataFrame, path: str, metadata: dict | None = None,
             "tile_row, tile_data) VALUES (?,?,?,?)")
     for row in tiles.select("z", "x", "y", "tile").toLocalIterator():
         flipped = (1 << row["z"]) - 1 - row["y"]
+        blob = bytes(row["tile"])
+        if merge:
+            old = cur.execute(
+                "SELECT tile_data FROM tiles WHERE zoom_level=? AND "
+                "tile_column=? AND tile_row=?",
+                (row["z"], row["x"], flipped)).fetchone()
+            if old is not None:
+                blob = M.merge_tile_blobs(bytes(old[0]), blob)
         cur.execute(stmt, (row["z"], row["x"], flipped,
-                           sqlite3.Binary(row["tile"])))
+                           sqlite3.Binary(blob)))
         n += 1
     cur.execute("DELETE FROM metadata")
     meta = {"name": "tilemaker_spark", "format": "pbf",
             "type": "baselayer", "version": "2"}
+    if vector_layers is not None:
+        meta["json"] = json.dumps({"vector_layers": vector_layers})
     meta.update(metadata or {})
     for k, v in meta.items():
         if not isinstance(v, str):

@@ -125,9 +125,15 @@ def _decode_directory(buf: bytes):
 
 
 def write_pmtiles(tiles: DataFrame, path: str,
-                  metadata: dict | None = None) -> int:
+                  metadata: dict | None = None,
+                  vector_layers: list | None = None) -> int:
     """tiles(z, x, y, tile) -> .pmtiles. Tile blobs must already be gzip
-    (the engine's default tile compression). Returns tile count."""
+    (the engine's default tile compression). Returns tile count.
+    ``vector_layers`` goes into the JSON metadata blob (spec/TileJSON;
+    reference shared_data.cpp:184-209)."""
+    if vector_layers is not None:
+        metadata = dict(metadata or {})
+        metadata["vector_layers"] = vector_layers
     rows = (
         tiles.select("z", "x", "y", "tile")
         .orderBy("z", "x", "y")
