@@ -328,3 +328,29 @@ def test_repair_bowtie_polygon(spark):
             total_close += sum(1 for cmd in f["cmds"] if (cmd & 7) == 7)
     # the bowtie resolves into (at least) two lobes across the tiles
     assert total_close >= 2
+
+
+def test_clip_bbox_limits_tiles(spark):
+    """cfg.clip_bbox: only tiles intersecting the box are emitted
+    (reference --bbox, src/tilemaker.cpp:368-379)."""
+    rows = [
+        (1, "poi", 0, 0, 0, {"n": "west"}, [-100.0, 40.0], [1], []),
+        (2, "poi", 0, 0, 0, {"n": "east"}, [100.0, 40.0], [1], []),
+    ]
+    feats = spark.createDataFrame(rows, tiling.FEATURE_SCHEMA)
+    cfgc = Config(layers={
+        "poi": LayerDef("poi", minzoom=0, maxzoom=14, combine_points=False),
+    }, minzoom=0, maxzoom=14, include_ids=True,
+        clip_bbox=(-110.0, 30.0, -90.0, 50.0))
+    tiles = tiling.generate_tiles(feats, cfgc).collect()
+    got = {(r["z"], r["x"], r["y"]) for r in tiles}
+    # west point's z14 tile present, east point's absent
+    assert any(z == 14 for z, _, _ in got)
+    from tilemaker_spark.kernels import proj
+    ex = int(proj.lon2tilexf(100.0, 14))
+    assert not any(z == 14 and x == ex for z, x, _ in got)
+    # z0 tile intersects any box -> emitted, and carries only the west pt
+    assert (0, 0, 0) in got
+    z0 = [r for r in tiles if r["z"] == 0][0]
+    dec = mvt.decode_tile(bytes(z0["tile"]))
+    assert len(dec["poi"]["features"]) == 1

@@ -44,6 +44,10 @@ class Config:
     compress: str = "gzip"           # gzip | deflate | none
     repair_geometry: bool = True     # clip-escalation + make_valid chain
     repair_area_guard: float = 0.5   # keep repair only if >=50% area survives
+    # global clipping bbox (minlon, minlat, maxlon, maxlat) or None:
+    # only tiles intersecting it are emitted (reference --bbox,
+    # src/tilemaker.cpp:368-379)
+    clip_bbox: tuple | None = None
     high_resolution: bool = False    # 8192 extent at maxzoom
     name: str = "tilemaker_spark"
     version: str = "0.1"

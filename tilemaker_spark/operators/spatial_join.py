@@ -174,10 +174,16 @@ def pip_join(
         *[F.col(c) for c in points.columns], *list(poly_cols))
     if how == "inner":
         return matched
-    # left: re-attach unmatched points with null poly columns
-    un = points.join(
-        matched.select(*points.columns).dropDuplicates(points.columns),
-        on=points.columns, how="left_anti")
+    # left: re-attach unmatched points with null poly columns (null-safe
+    # equality so null-valued point columns don't break the anti join)
+    hit_pts = matched.select(
+        *[F.col(c).alias(f"_m_{c}") for c in points.columns]
+    ).dropDuplicates()
+    cond = None
+    for c in points.columns:
+        e = points[c].eqNullSafe(F.col(f"_m_{c}"))
+        cond = e if cond is None else (cond & e)
+    un = points.join(hit_pts, on=cond, how="left_anti")
     for c in poly_cols:
         un = un.withColumn(
             c, F.lit(None).cast(dict(

@@ -516,11 +516,49 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
     return M.build_tile(live, compress=cfg.compress)
 
 
+def _tile_intersects_bbox(z_col, x_col, y_col, bbox) -> "F.Column":
+    """Column predicate: tile (z, x, y) intersects the lon/lat bbox
+    (reference clipping-box tile skip, src/tilemaker.cpp:368-379)."""
+    minlon, minlat, maxlon, maxlat = bbox
+    min_latp = float(P.lat2latp(minlat))
+    max_latp = float(P.lat2latp(maxlat))
+    span = F.lit(360.0) / F.pow(F.lit(2.0), z_col.cast("double"))
+    tminlon = x_col.cast("double") * span - F.lit(180.0)
+    tmaxlatp = F.lit(180.0) - y_col.cast("double") * span
+    return (
+        (tminlon + span >= F.lit(float(minlon)))
+        & (tminlon <= F.lit(float(maxlon)))
+        & (tmaxlatp >= F.lit(min_latp))
+        & (tmaxlatp - span <= F.lit(max_latp))
+    )
+
+
 def build_tiles(covered: DataFrame, cfg: Config,
                 base_zoom: int = 14) -> DataFrame:
     """Covered features -> (z, x, y, tile binary) for zooms
-    [cfg.minzoom, base_zoom], grouped by z6 subtree (clip-pyramid reuse)."""
+    [cfg.minzoom, base_zoom], grouped by z6 subtree (clip-pyramid reuse).
+    With cfg.clip_bbox set, out-of-box cover rows are pruned before the
+    shuffle and only tiles intersecting the box are emitted."""
     dz = base_zoom - CLUSTER_ZOOM
+    if cfg.clip_bbox is not None:
+        # prune cover rows early: exact rows at base-tile granularity,
+        # coarse rows at their z6 cell's tile range
+        minlon, minlat, maxlon, maxlat = cfg.clip_bbox
+        m = (1 << base_zoom) - 1
+        x0 = max(0, min(m, int(P.lon2tilexf(minlon, base_zoom))))
+        x1 = max(0, min(m, int(P.lon2tilexf(maxlon, base_zoom))))
+        y0 = max(0, min(m, int(P.lat2tileyf(maxlat, base_zoom))))
+        y1 = max(0, min(m, int(P.lat2tileyf(minlat, base_zoom))))
+        width = 1 << dz
+        exact_ok = (F.col("bx").between(x0, x1)
+                    & F.col("by").between(y0, y1))
+        coarse_ok = ((F.col("bx") <= x1)
+                     & (F.col("bx") + width - 1 >= x0)
+                     & (F.col("by") <= y1)
+                     & (F.col("by") + width - 1 >= y0))
+        covered = covered.filter(
+            F.when(F.col("coarse"), coarse_ok).otherwise(exact_ok)
+            if "coarse" in covered.columns else exact_ok)
     with_cell = covered.withColumn(
         "_cx", F.shiftright(F.col("bx"), dz)
     ).withColumn("_cy", F.shiftright(F.col("by"), dz))
