@@ -32,6 +32,13 @@ class LayerDef:
     source: str = ""                 # external source layers (shp/geojson)
     source_columns: list = field(default_factory=list)
     write_to: str = ""               # merge this layer into another's output
+    # typed attribute output (reference Attribute{Numeric,Boolean,Integer},
+    # include/attribute_store.h:45-175): key -> Number|Integer|Boolean;
+    # unlisted keys stay String
+    attr_types: dict = field(default_factory=dict)
+    # per-attribute minzoom (reference src/output_object.cpp:42): the
+    # attribute is only written into tiles at z >= its minzoom
+    attr_minzoom: dict = field(default_factory=dict)
 
 
 @dataclass

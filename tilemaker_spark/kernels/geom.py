@@ -582,6 +582,16 @@ def simplify_ring(ring, tol, algorithm="dp"):
             else visvalingam(closed, tol * tol))
     if len(simp) < 4:
         return np.zeros((0, 2))
+    # topology guard (reference src/geom.cpp:18-117 checks candidate
+    # edges against ring intersections during DP): if simplification
+    # produced a self-intersecting ring, retry at half tolerance, then
+    # fall back to the unsimplified ring
+    if ring_self_intersects(simp):
+        simp2 = (douglas_peucker(closed, tol / 2) if algorithm == "dp"
+                 else visvalingam(closed, tol * tol / 4))
+        if len(simp2) >= 4 and not ring_self_intersects(simp2):
+            return simp2
+        return closed
     return simp
 
 

@@ -306,6 +306,23 @@ def _merge_lines(lines: list[np.ndarray], cap: int = 6000) -> list[np.ndarray]:
     return out
 
 
+def _coerce_attr(v, typ: str | None):
+    """String attr -> typed MVT value (reference typed Attribute* calls,
+    include/attribute_store.h:45-175).  Unparseable values stay strings."""
+    if typ is None or v is None:
+        return v
+    try:
+        if typ == "Number":
+            return float(v)
+        if typ == "Integer":
+            return int(float(v))
+        if typ == "Boolean":
+            return str(v).lower() in ("true", "1", "yes")
+    except (TypeError, ValueError):
+        return v
+    return v
+
+
 def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
                     cfg: Config) -> bytes | None:
     """All features already known to touch (z,x,y) -> MVT tile bytes."""
@@ -356,6 +373,13 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
             if row["minzoom"] > z:
                 continue
             attrs = dict(row["attrs"]) if row["attrs"] is not None else {}
+            if ld.attr_minzoom:
+                # attribute minzoom (reference output_object.cpp:42)
+                attrs = {k: v for k, v in attrs.items()
+                         if ld.attr_minzoom.get(k, 0) <= z}
+            if ld.attr_types:
+                attrs = {k: _coerce_attr(v, ld.attr_types.get(k))
+                         for k, v in attrs.items()}
             akey = (row["kind"], tuple(sorted(attrs.items())), row["zorder"])
             coords = np.asarray(row["coords"], np.float64).reshape(-1, 2)
             kind = row["kind"]

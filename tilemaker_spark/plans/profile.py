@@ -39,6 +39,45 @@ def has_tags() -> Column:
     return F.size("tags") > 0
 
 
+def significant_tags(filters: list[str]) -> Column:
+    """The node_keys / way_keys significant-tag filter as a Column
+    predicate (reference src/significant_tags.cpp:5-90).
+
+    Filters are ``[~]key[=value]``, all of one polarity:
+    * accept mode (no ``~``): entity passes if at least one of its tags
+      matches some filter;
+    * reject mode (``~``): entity passes if at least one of its tags is
+      NOT matched by any filter (e.g. ``["~building"]`` = everything
+      except building-only entities).
+    """
+    if not filters:
+        return F.lit(False)
+    parsed = []
+    accept = not filters[0].startswith("~")
+    for raw in filters:
+        neg = raw.startswith("~")
+        if neg != (not accept):
+            raise ValueError(
+                f"cannot mix reject and accept filters: {filters}")
+        body = raw[1:] if neg else raw
+        key, _, val = body.partition("=")
+        parsed.append((key, val))
+
+    def tag_matches_any(e):
+        conds = None
+        for key, val in parsed:
+            c = e["key"] == F.lit(key)
+            if val:
+                c = c & (e["value"] == F.lit(val))
+            conds = c if conds is None else (conds | c)
+        return conds
+
+    entries = F.map_entries(F.col("tags"))
+    if accept:
+        return F.exists(entries, tag_matches_any)
+    return F.exists(entries, lambda e: ~tag_matches_any(e))
+
+
 @dataclass
 class LayerRule:
     """One feature-emission rule: WHERE match -> emit into layer."""
@@ -48,6 +87,45 @@ class LayerRule:
     attrs: dict[str, Callable[[], Column]] = field(default_factory=dict)
     minzoom: Callable[[], Column] | int = 0
     zorder: Callable[[], Column] | int = 0
+    # LayerAsCentroid (reference src/osm_lua_processing.cpp:749-863): emit
+    # a label point (polylabel pole of inaccessibility) instead of the
+    # polygon geometry; valid for way_area / relation sources
+    as_centroid: bool = False
+
+
+def _polygons_to_label_points(features: DataFrame) -> DataFrame:
+    """LayerAsCentroid: replace each polygon feature's geometry with its
+    polylabel label point (reference src/osm_lua_processing.cpp:749-863 /
+    CentroidAlgorithm::Polylabel; largest-area polygon of a multipolygon
+    carries the label, matching the reference's polylabel_macro)."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    schema = features.schema
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            coords_o, rs_o, pc_o = [], [], []
+            for i in range(len(pdf)):
+                mp = G.unpack_multipolygon(
+                    np.asarray(pdf["coords"].iloc[i], np.float64),
+                    np.asarray(pdf["ring_sizes"].iloc[i], np.int64),
+                    np.asarray(pdf["poly_ring_counts"].iloc[i], np.int64))
+                biggest = max(
+                    mp, key=lambda p: abs(G.signed_ring_area_planar(p[0])))
+                x, y = G.polylabel(biggest)
+                coords_o.append([x, y])
+                rs_o.append([1])
+                pc_o.append([])
+            out = pdf.copy()
+            out["kind"] = np.int8(G.POINT)
+            out["coords"] = coords_o
+            out["ring_sizes"] = rs_o
+            out["poly_ring_counts"] = pc_o
+            yield out
+
+    return features.mapInPandas(gen, schema=schema)
 
 
 class Profile:
@@ -106,16 +184,20 @@ class Profile:
                     F.array((F.size("coords") / 2).cast("int")), empty_i))
             elif rule.source == "way_area" and way_geoms is not None:
                 closed = way_geoms.filter(F.col("is_closed"))
-                outs.append(self._emit(
+                emitted = self._emit(
                     closed, rule, G.POLYGON,
                     F.col("coords"),
                     F.array((F.size("coords") / 2).cast("int")),
-                    F.array(F.lit(1))))
+                    F.array(F.lit(1)))
+                outs.append(_polygons_to_label_points(emitted)
+                            if rule.as_centroid else emitted)
             elif rule.source == "relation" and rel_geoms is not None:
-                outs.append(self._emit(
+                emitted = self._emit(
                     rel_geoms, rule, G.POLYGON,
                     F.col("coords"), F.col("ring_sizes"),
-                    F.col("poly_ring_counts")))
+                    F.col("poly_ring_counts"))
+                outs.append(_polygons_to_label_points(emitted)
+                            if rule.as_centroid else emitted)
         if not outs:
             raise ValueError("profile emitted no rules for given inputs")
         res = outs[0]
