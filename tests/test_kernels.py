@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from tilemaker_spark.kernels import geom, proj
+from tilemaker_spark.kernels import geom as G
 
 
 class TestProjection:
@@ -166,3 +167,42 @@ class TestGeom:
         line = np.array([[0, 0], [1, 0]], float)
         assert geom.line_length_m(line) == pytest.approx(
             6371000 * np.pi / 180, rel=1e-9)
+
+
+def test_simplify_buildings_removes_stub():
+    """Rectilinear stub removal (reference src/simplify_buildings.cpp):
+    a small notch on a rectangle edge vanishes, corners snap to right
+    angles, and the overall footprint survives."""
+    # 10x10 square with a 0.4-wide, 0.3-deep notch on the top edge
+    ring = np.array([
+        [0, 0], [10, 0], [10, 10],
+        [5.4, 10], [5.4, 9.7], [5.0, 9.7], [5.0, 10],
+        [0, 10], [0, 0],
+    ], float)
+    out = G.simplify_buildings([[ring]], max_distance=1.0)
+    assert len(out) == 1
+    simplified = out[0][0]
+    # the notch (4 extra points) is gone -> plain rectangle (5 pts closed)
+    assert len(simplified) == 5
+    xs = sorted(set(np.round(simplified[:, 0], 6)))
+    ys = sorted(set(np.round(simplified[:, 1], 6)))
+    assert xs == [0.0, 10.0] and ys == [0.0, 10.0]
+
+
+def test_simplify_buildings_keeps_big_detours():
+    """Stubs larger than the distance filter survive."""
+    ring = np.array([
+        [0, 0], [10, 0], [10, 10],
+        [7, 10], [7, 6], [3, 6], [3, 10],   # a big 4x4 recess
+        [0, 10], [0, 0],
+    ], float)
+    out = G.simplify_buildings([[ring]], max_distance=1.0)
+    assert len(out[0][0]) == len(ring)  # untouched
+
+
+def test_simplify_buildings_collinear():
+    """Collinear vertices are removed first (COLLINEAR_TOL band)."""
+    ring = np.array([
+        [0, 0], [5, 0.01], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    out = G.simplify_buildings([[ring]], max_distance=0.5)
+    assert len(out[0][0]) == 5

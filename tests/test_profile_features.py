@@ -97,3 +97,44 @@ def test_layer_as_centroid(spark):
     # label point of a rectangle = its center (pole of inaccessibility)
     assert x == pytest.approx(7.42, abs=1e-3)
     assert y == pytest.approx(43.72, abs=1e-3)
+
+
+def test_used_closure_prunes_nodes(spark):
+    """usedNodes/usedWays (reference include/osm_store.h:270-300): nodes
+    are kept iff referenced by a used way, listed by an accepted
+    relation's member way, or passing node_keys."""
+    from tilemaker_spark.sources import pbf as pbf_src
+    nodes, ways, rels = pbf_src.read_pbf(
+        spark, "/root/reference/test/monaco.pbf")
+    n_all = nodes.count()
+    nu, wu = prof.used_closure(
+        nodes, ways,
+        way_filter=prof.significant_tags(["highway"]),
+        node_filter=prof.significant_tags(["place"]))
+    n_used, w_used = nu.count(), wu.count()
+    assert w_used < ways.count()
+    assert n_used < n_all
+    # every used way's refs are present in the pruned node set (minus
+    # extract-boundary missing nodes, which the pbf itself lacks)
+    ref_ids = wu.select(F.explode("refs").alias("id")).distinct()
+    present = ref_ids.join(nodes, "id", "left_semi").count()
+    kept = ref_ids.join(nu, "id", "left_semi").count()
+    assert kept == present
+    # relation closure pulls member ways in even when way_keys reject them
+    nu2, wu2 = prof.used_closure(
+        nodes, ways, relations=rels,
+        way_filter=prof.significant_tags(["highway"]),
+        relation_pred=F.col("tags")["boundary"] == "administrative")
+    assert wu2.count() > w_used
+
+
+def test_modify_id(spark):
+    way_geoms = spark.createDataFrame(
+        [(7, {"highway": "path"}, [0.0, 0.0, 1.0, 1.0], False)],
+        "id long, tags map<string,string>, coords array<double>, "
+        "is_closed boolean")
+    rules = [prof.LayerRule(
+        layer="t", source="way_line", match=lambda: prof.holds("highway"),
+        feature_id=lambda: F.col("id") * 2 + 1)]
+    out = prof.Profile(rules).apply(way_geoms=way_geoms).collect()
+    assert out[0]["feature_id"] == 15

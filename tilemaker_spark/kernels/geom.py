@@ -596,6 +596,187 @@ def simplify_ring(ring, tol, algorithm="dp"):
 
 
 # ---------------------------------------------------------------------------
+# Rectilinear building simplification (reference src/simplify_buildings.cpp
+# semantics, written from scratch in numpy): retain the typical right-angled
+# shape while removing short "stub" detours — iteratively pick the shortest
+# edge below the distance filter, replace the 4-point detour around it with
+# the intersection of the two flanking lines (snapped to a right angle when
+# close), guarded by area / parallel / path-length / self-intersection
+# checks.  remove-collinear runs first.
+# ---------------------------------------------------------------------------
+
+_B_COLLINEAR_TOL = 8.0     # degrees around 180
+_B_SNAP_TOL = 3.0          # degrees around 90/270: snap to right angle
+_B_PARALLEL_TOL = 0.1      # normalized cross-product threshold
+_B_INTERSECT_TOL = 0.001   # parametric interior margin
+
+
+def _b_turn_angle(a, b, c) -> float:
+    rad = np.arctan2(c[1] - b[1], c[0] - b[0]) - np.arctan2(
+        a[1] - b[1], a[0] - b[0])
+    deg = np.degrees(rad)
+    return deg - 360.0 * np.floor(deg / 360.0)
+
+
+def _b_remove_collinear(ring: list) -> None:
+    changed = True
+    while changed and len(ring) > 3:
+        changed = False
+        for i in range(1, len(ring) - 1):
+            a = _b_turn_angle(ring[i - 1], ring[i], ring[i + 1])
+            if 180.0 - _B_COLLINEAR_TOL <= a <= 180.0 + _B_COLLINEAR_TOL:
+                del ring[i]
+                changed = True
+                break
+
+
+def _b_line_intersection(pL1, pL2, pM1, pM2):
+    """Intersection of the infinite lines, snapping to a right angle when
+    the angle is within SNAP_TOL of 90/270 (perpendicular drop of pM2
+    onto line L); midpoint fallback for parallel lines."""
+    a1 = pL1[1] - pL2[1]; b1 = pL2[0] - pL1[0]
+    c1 = (pL2[1] - pL1[1]) * pL1[0] - (pL2[0] - pL1[0]) * pL1[1]
+    a2 = pM1[1] - pM2[1]; b2 = pM2[0] - pM1[0]
+    c2 = (pM2[1] - pM1[1]) * pM1[0] - (pM2[0] - pM1[0]) * pM1[1]
+    ang = np.degrees(np.arctan2(a2 * b1 - a1 * b2,
+                                a1 * a2 + b1 * b2)) + 180.0
+    if (90.0 - _B_SNAP_TOL < ang < 90.0 + _B_SNAP_TOL
+            or 270.0 - _B_SNAP_TOL < ang < 270.0 + _B_SNAP_TOL):
+        denom = (pL2[0] - pL1[0]) ** 2 + (pL2[1] - pL1[1]) ** 2
+        if denom < 1e-20:
+            return ((pL2[0] + pM1[0]) / 2.0, (pL2[1] + pM1[1]) / 2.0)
+        t = ((pM2[0] - pL1[0]) * (pL2[0] - pL1[0])
+             + (pM2[1] - pL1[1]) * (pL2[1] - pL1[1])) / denom
+        return (pL1[0] + (pL2[0] - pL1[0]) * t,
+                pL1[1] + (pL2[1] - pL1[1]) * t)
+    num = a1 * b2 - a2 * b1
+    if abs(num) < 1e-20:
+        return ((pL2[0] + pM1[0]) / 2.0, (pL2[1] + pM1[1]) / 2.0)
+    return ((b1 * c2 - b2 * c1) / num, (c1 * a2 - c2 * a1) / num)
+
+
+def _b_properly_intersects(l1, l2, m1, m2, tol=_B_INTERSECT_TOL) -> bool:
+    det = (l2[0] - l1[0]) * (m2[1] - m1[1]) \
+        - (m2[0] - m1[0]) * (l2[1] - l1[1])
+    if det == 0.0:
+        return False
+    lv = ((m2[1] - m1[1]) * (m2[0] - l1[0])
+          + (m1[0] - m2[0]) * (m2[1] - l1[1])) / det
+    gv = ((l1[1] - l2[1]) * (m2[0] - l1[0])
+          + (l2[0] - l1[0]) * (m2[1] - l1[1])) / det
+    return tol < lv < 1.0 - tol and tol < gv < 1.0 - tol
+
+
+def _b_new_edges_hit(p, q, segments, skip) -> bool:
+    for (s1, s2) in segments:
+        skipped = False
+        for (k1, k2) in skip:
+            if (s1 == k1 and s2 == k2) or (s1 == k2 and s2 == k1):
+                skipped = True
+                break
+        if not skipped and _b_properly_intersects(p, q, s1, s2):
+            return True
+    return False
+
+
+def _b_simplify_open_ring(ring: list, distance_filter: float,
+                          area_filter: float, area_narrow: float,
+                          other_segs: list) -> None:
+    _b_remove_collinear(ring)
+    while True:
+        m = len(ring)
+        if m < 4:
+            break
+        segs = [np.hypot(ring[(k + 1) % m][0] - ring[k][0],
+                         ring[(k + 1) % m][1] - ring[k][1])
+                for k in range(m)]
+        all_segs = [(ring[k], ring[(k + 1) % m]) for k in range(m)]
+        shortest = distance_filter
+        best = -1
+        best_xy = None
+        for k in range(m):
+            if segs[k] >= shortest:
+                continue
+            d1, d2 = segs[k], segs[(k + 1) % m]
+            if (d1 * d2 > area_filter and d1 >= area_narrow
+                    and d2 >= area_narrow):
+                continue
+            km1 = (k + m - 1) % m
+            kp1, kp2, kp3 = (k + 1) % m, (k + 2) % m, (k + 3) % m
+            dxl = ring[k][0] - ring[km1][0]
+            dyl = ring[k][1] - ring[km1][1]
+            dxm = ring[kp3][0] - ring[kp2][0]
+            dym = ring[kp3][1] - ring[kp2][1]
+            crossv = dxl * dym - dyl * dxm
+            scale = np.sqrt((dxl * dxl + dyl * dyl)
+                            * (dxm * dxm + dym * dym))
+            if abs(crossv) < _B_PARALLEL_TOL * scale:
+                continue
+            xy = _b_line_intersection(ring[km1], ring[k],
+                                      ring[kp2], ring[kp3])
+            old_len = segs[km1] + segs[k] + segs[kp1] + segs[kp2]
+            new_len = (np.hypot(xy[0] - ring[km1][0], xy[1] - ring[km1][1])
+                       + np.hypot(xy[0] - ring[kp3][0],
+                                  xy[1] - ring[kp3][1]))
+            if new_len > old_len:
+                continue
+            skip = [(ring[km1], ring[k]), (ring[k], ring[kp1]),
+                    (ring[kp1], ring[kp2]), (ring[kp2], ring[kp3])]
+            if _b_new_edges_hit(ring[km1], xy, all_segs, skip):
+                continue
+            if _b_new_edges_hit(xy, ring[kp3], all_segs, skip):
+                continue
+            if other_segs and (
+                    _b_new_edges_hit(ring[km1], xy, other_segs, [])
+                    or _b_new_edges_hit(xy, ring[kp3], other_segs, [])):
+                continue
+            shortest = segs[k]
+            best = k
+            best_xy = xy
+        if best < 0:
+            break
+        k = best
+        kp1, kp2 = (k + 1) % m, (k + 2) % m
+        ring[:] = [best_xy if i == k else ring[i]
+                   for i in range(m) if i not in (kp1, kp2)]
+
+
+def simplify_buildings(mp, max_distance: float):
+    """Simplify each polygon of a multipolygon with the rectilinear
+    building rules (reference simplifyBuildings entry point: area filter
+    = d^2/2, narrow-sliver exception = d/2); inners first, the outer
+    guarded against crossing the simplified inners."""
+    area_filter = max_distance * max_distance / 2.0
+    area_narrow = max_distance / 2.0
+    out = []
+    for poly in mp:
+        inner_segs: list = []
+        # inners first (reference order), then the outer
+        inners_out = []
+        for hole in poly[1:]:
+            ring = [tuple(p) for p in np.asarray(hole, np.float64)]
+            if len(ring) > 1 and ring[0] == ring[-1]:
+                ring = ring[:-1]
+            _b_simplify_open_ring(ring, max_distance, area_filter,
+                                  area_narrow, inner_segs)
+            if len(ring) >= 3:
+                inners_out.append(np.asarray(ring + [ring[0]], np.float64))
+                n = len(ring)
+                inner_segs.extend(
+                    (ring[k], ring[(k + 1) % n]) for k in range(n))
+        outer = [tuple(p) for p in np.asarray(poly[0], np.float64)]
+        if len(outer) > 1 and outer[0] == outer[-1]:
+            outer = outer[:-1]
+        _b_simplify_open_ring(outer, max_distance, area_filter,
+                              area_narrow, inner_segs)
+        if len(outer) >= 3:
+            new_poly = [np.asarray(outer + [outer[0]], np.float64)]
+            new_poly.extend(inners_out)
+            out.append(new_poly)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Tile covering (object -> set of base-zoom tiles), reference semantics:
 # point -> 1 tile; line -> supercover raster of the tile grid
 # (src/coordinates_geom.cpp:112-199); polygon -> boundary raster + per-column

@@ -462,7 +462,15 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
                             continue
                 tol = tol_cache.setdefault(
                     row["layer"], _simplify_tolerance(ld, z))
-                if tol > 0:
+                if tol > 0 and ld.simplify_algorithm == "buildings":
+                    # rectilinear building simplification (reference
+                    # tile_worker.cpp:231-235, simplify_buildings.cpp)
+                    if sum(len(p[0]) for p in clipped) > 5 or len(
+                            clipped) > 1:
+                        clipped = G.simplify_buildings(clipped, tol)
+                    if not clipped:
+                        continue
+                elif tol > 0:
                     mp2 = []
                     for poly in clipped:
                         outer = G.simplify_ring(poly[0], tol,

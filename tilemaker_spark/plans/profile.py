@@ -91,6 +91,39 @@ class LayerRule:
     # a label point (polylabel pole of inaccessibility) instead of the
     # polygon geometry; valid for way_area / relation sources
     as_centroid: bool = False
+    # ModifyId analogue (reference rawModifyId): override the emitted
+    # feature id with a Column expression over the entity row
+    feature_id: Callable[[], Column] | None = None
+
+
+def used_closure(nodes: DataFrame, ways: DataFrame,
+                 relations: DataFrame | None = None,
+                 node_filter: Column | None = None,
+                 way_filter: Column | None = None,
+                 relation_pred: Column | None = None
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Scan-pruning transitive closure (reference usedNodes/usedWays,
+    include/osm_store.h:270-300 + the way_keys phase of
+    src/pbf_processor.cpp:179-230): used ways = way_keys-passing ways
+    UNION way-members of accepted relations; used nodes = node_keys-
+    passing nodes UNION refs of used ways.  Explicit left_semi joins so
+    the node table is pruned BEFORE assembly — at planet scale most
+    nodes are untagged vertices whose only consumers are the used ways.
+
+    Returns (nodes_used, ways_used)."""
+    w = ways.filter(way_filter) if way_filter is not None else ways
+    if relations is not None and relation_pred is not None:
+        rel_way_ids = relations.filter(relation_pred).select(
+            F.explode(F.filter(
+                "members", lambda m: m["mtype"] == F.lit(1))).alias("m")
+        ).select(F.col("m.ref").alias("id")).distinct()
+        w = ways.join(rel_way_ids, "id", "left_semi").unionByName(
+            w).dropDuplicates(["id"])
+    used_node_ids = w.select(F.explode("refs").alias("id")).distinct()
+    n = nodes.join(used_node_ids, "id", "left_semi")
+    if node_filter is not None:
+        n = nodes.filter(node_filter).unionByName(n).dropDuplicates(["id"])
+    return n, w
 
 
 def _polygons_to_label_points(features: DataFrame) -> DataFrame:
@@ -148,8 +181,10 @@ class Profile:
         else:
             attr_col = F.map_from_arrays(
                 F.array().cast("array<string>"), F.array().cast("array<string>"))
+        fid = (rule.feature_id() if rule.feature_id is not None
+               else F.col("id"))
         return df.filter(rule.match()).select(
-            F.col("id").alias("feature_id"),
+            fid.cast("long").alias("feature_id"),
             F.lit(rule.layer).alias("layer"),
             F.lit(kind).cast("tinyint").alias("kind"),
             mz.cast("int").alias("minzoom"),
