@@ -248,23 +248,32 @@ def _to_tile_frac(pts: np.ndarray, z: int, x: int, y: int) -> np.ndarray:
     return np.column_stack([fx, fy])
 
 
-def _simplify_tolerance(ld: LayerDef, z: int) -> float:
+def _tile_mid_latp(z: int, y: int) -> float:
+    """Mid-latp of a tile row (reference tile_worker.cpp:477-479)."""
+    return (float(P.tiley2latp(y, z)) + float(P.tiley2latp(y + 1, z))) / 2.0
+
+
+def _simplify_tolerance(ld: LayerDef, z: int, latp: float = 0.0) -> float:
     """Zoom-scaled simplify tolerance in degrees (reference
-    src/tile_worker.cpp:476-487: level * ratio^(simplify_below-1-z))."""
+    src/tile_worker.cpp:480-487): simplify_length (meters, converted at
+    the tile's latitude) takes precedence over simplify_level (degrees);
+    either is scaled by ratio^(simplify_below-1-z)."""
     if ld.simplify_below <= 0 or z >= ld.simplify_below:
         return 0.0
-    return ld.simplify_level * (ld.simplify_ratio ** (ld.simplify_below - 1 - z))
+    if ld.simplify_length > 0:
+        level = float(P.meter2degp(ld.simplify_length, latp))
+    else:
+        level = ld.simplify_level
+    return level * (ld.simplify_ratio ** (ld.simplify_below - 1 - z))
 
 
-def _area_threshold(ld: LayerDef, z: int) -> float:
-    """Area filter threshold in squared degrees (reference
-    src/tile_worker.cpp:488-490: filterArea * 2^(filter_below-1-z))."""
+def _area_threshold(ld: LayerDef, z: int, latp: float = 0.0) -> float:
+    """Area filter threshold (reference src/tile_worker.cpp:488-490:
+    meter2degp(filter_area, latp) * 2^(filter_below-1-z))."""
     if ld.filter_below <= 0 or z >= ld.filter_below:
         return 0.0
-    # filter_area is in squared pixels at 256px/tile; convert to deg^2
-    tile_deg = 360.0 / (1 << z)
-    px_deg = tile_deg / 256.0
-    return ld.filter_area * (px_deg * px_deg) * (2.0 ** (ld.filter_below - 1 - z))
+    return float(P.meter2degp(ld.filter_area, latp)) * (
+        2.0 ** (ld.filter_below - 1 - z))
 
 
 def _merge_lines(lines: list[np.ndarray], cap: int = 6000) -> list[np.ndarray]:
@@ -403,7 +412,7 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
                 if not parts:
                     continue
                 tol = tol_cache.setdefault(
-                    row["layer"], _simplify_tolerance(ld, z))
+                    row["layer"], _simplify_tolerance(ld, z, _tile_mid_latp(z, y)))
                 if tol > 0:
                     parts = [
                         (G.douglas_peucker(p, tol)
@@ -461,7 +470,7 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
                         else:
                             continue
                 tol = tol_cache.setdefault(
-                    row["layer"], _simplify_tolerance(ld, z))
+                    row["layer"], _simplify_tolerance(ld, z, _tile_mid_latp(z, y)))
                 if tol > 0 and ld.simplify_algorithm == "buildings":
                     # rectilinear building simplification (reference
                     # tile_worker.cpp:231-235, simplify_buildings.cpp)
@@ -485,7 +494,7 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
                                 rings.append(hh)
                         mp2.append(rings)
                     clipped = mp2
-                athr = _area_threshold(ld, z)
+                athr = _area_threshold(ld, z, _tile_mid_latp(z, y))
                 if athr > 0:
                     clipped = [
                         poly for poly in clipped
