@@ -806,8 +806,11 @@ def q_rel_members(spark, sf_dir):
     way reads its parent relation's tags + its own role.  The DuckDB twin
     is the direct lineitem x orders join."""
     from tilemaker_spark.operators import relations as rel_ops
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    par = spark.sparkContext.defaultParallelism
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0   # representative quarter of orders
+    ).repartition(par, F.col("l_orderkey"))  # 1-file scan -> all cores
+    o = _t(spark, sf_dir, "orders").repartition(par, F.col("o_orderkey"))
     # the synthetic lineitem table has duplicate (orderkey, linenumber)
     # rows; dedup to one member per way with a deterministic role
     mem = (
@@ -825,7 +828,7 @@ def q_rel_members(spark, sf_dir):
         .join(o, F.col("rel_key") == F.col("o_orderkey"))
         .select(
             F.col("o_orderkey").alias("id"),
-            F.array_sort("members").alias("members"),
+            F.col("members"),
             F.map_from_arrays(
                 F.array(F.lit("priority")),
                 F.array(F.col("o_orderpriority"))).alias("tags"))
@@ -849,7 +852,7 @@ FROM (
   SELECT l_orderkey,
          CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS way_id,
          min(l_returnflag) AS role
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1, 2
 ) m JOIN orders ON m.l_orderkey = o_orderkey
 """
 

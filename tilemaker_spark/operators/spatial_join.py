@@ -310,7 +310,11 @@ def geom_join(
     """
     gcells = geometry_cells_udf(index_zoom)
     pcells = polygon_cells_udf(index_zoom)
-    pr = probes.select(
+    # spread the probe side first: geometry tables often arrive as one
+    # parquet file (1 input split), which would run the covering UDF and
+    # the refine on a single core
+    parallelism = probes.sparkSession.sparkContext.defaultParallelism
+    pr = probes.repartition(parallelism).select(
         *probe_cols, "kind", "coords", "ring_sizes", "poly_ring_counts",
         F.explode(gcells("kind", "coords", "ring_sizes",
                          "poly_ring_counts")).alias("_cell"),

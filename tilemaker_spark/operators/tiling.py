@@ -90,6 +90,11 @@ def cover_features(features: DataFrame, base_zoom: int = 14,
     out_schema = FEATURE_SCHEMA + ", bx long, by long, coarse boolean"
     dz = base_zoom - CLUSTER_ZOOM
     dual = large_threshold is not None and dz > 0
+    # spread the input first: single-file feature tables would otherwise
+    # run the whole covering fan-out on one core
+    parallelism = features.sparkSession.sparkContext.defaultParallelism
+    if features.rdd.getNumPartitions() < parallelism:
+        features = features.repartition(parallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
