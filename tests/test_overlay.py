@@ -105,3 +105,55 @@ def test_ring_self_intersects_detects():
     assert not G.ring_self_intersects(simple)
     bow = np.array([[0, 0], [1, 1], [1, 0], [0, 1], [0, 0]], float)
     assert G.ring_self_intersects(bow)
+
+
+def _grid_area(mps, x0, x1, y0, y1, n=400):
+    """Ground-truth union area via dense point sampling (even-odd PIP per
+    input, coverage>0), good to ~(span/n) * perimeter."""
+    xs = np.linspace(x0, x1, n)
+    ys = np.linspace(y0, y1, n)
+    gx, gy = np.meshgrid(xs, ys)
+    px, py = gx.ravel(), gy.ravel()
+    from tilemaker_spark.kernels import geom as G
+    cov = np.zeros(len(px), bool)
+    for mp in mps:
+        for poly in mp:
+            inside = G.points_in_polygon(px, py, poly)
+            cov |= inside
+    cell = (xs[1] - xs[0]) * (ys[1] - ys[0])
+    return cov.sum() * cell
+
+
+def test_union_random_rectangles_property():
+    """Property: union area of random axis-aligned rectangles matches a
+    dense rasterized ground truth within sampling tolerance (catches
+    stitching / hole-assignment bugs on arbitrary overlap patterns)."""
+    rng = np.random.RandomState(1234)
+    for trial in range(8):
+        k = rng.randint(2, 9)
+        mps = []
+        for _ in range(k):
+            x0, y0 = rng.uniform(0, 8, 2)
+            w, h = rng.uniform(0.5, 4, 2)
+            mps.append(sq(x0, y0, x0 + w, y0 + h))
+        u = O.union_many(mps)
+        got = O.area_planar(u)
+        want = _grid_area(mps, -1, 13, -1, 13, n=500)
+        assert got == pytest.approx(want, abs=0.028 * 14 * 2 * k + 0.05), \
+            f"trial {trial}: got {got} want {want}"
+
+
+def test_union_random_triangles_property():
+    rng = np.random.RandomState(99)
+    for trial in range(6):
+        k = rng.randint(2, 6)
+        mps = []
+        for _ in range(k):
+            pts = rng.uniform(0, 10, (3, 2))
+            ring = np.vstack([pts, pts[:1]])
+            mps.append([[ring]])
+        u = O.union_many(mps)
+        got = O.area_planar(u)
+        want = _grid_area(mps, -1, 11, -1, 11, n=500)
+        assert got == pytest.approx(want, abs=0.024 * 12 * 3 * k + 0.05), \
+            f"trial {trial}: got {got} want {want}"
