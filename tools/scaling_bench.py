@@ -146,7 +146,12 @@ def main():
     levels = [int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALE_LEVELS", "4,16,8,32").split(",")]
     results: dict[int, dict] = {}
-    def wait_quiet(max_wait: float = 300.0, threshold: float = 1.5):
+    def wait_quiet(
+        max_wait: float = float(os.environ.get(
+            "SPARK_GRAFT_SCALE_MAXWAIT", "300")),
+        threshold: float = float(os.environ.get(
+            "SPARK_GRAFT_SCALE_QUIET", "1.5")),
+    ):
         """Shared-host mitigation: delay the next timed run until the
         1-min loadavg (external tenants; we run nothing between reps)
         drops below threshold, so neither level's sample is polluted.
