@@ -148,6 +148,50 @@ class TestGeom:
         ny = ys.max() - ys.min() + 1
         assert len(cells) == nx * ny
 
+    def test_supercover_vectorized_matches_scalar(self):
+        # property check: the batched Amanatides-Woo walk produces the
+        # same cell set as the scalar reference walk on generic (float,
+        # non-lattice) inputs; exact-corner ties may legitimately differ
+        # (the scalar's incremental t_max fuzzes exact ties).
+        rng = np.random.RandomState(11)
+        for _ in range(120):
+            n = rng.randint(2, 10)
+            line = np.column_stack([rng.uniform(-30, 30, n),
+                                    rng.uniform(-30, 30, n)])
+            z = int(rng.choice([6, 10, 14]))
+            fx = geom.lon2tilexf(line[:, 0], z)
+            fy = geom.lat2tileyf(line[:, 1], z)
+            old = np.clip(np.unique(np.concatenate([
+                geom._supercover_segment(fx[i], fy[i], fx[i + 1], fy[i + 1])
+                for i in range(n - 1)]), axis=0),
+                0, (np.int64(1) << z) - 1)
+            new = geom.covering_tiles_line(line, z)
+            assert np.array_equal(np.unique(old, axis=0),
+                                  np.unique(new, axis=0))
+
+    def test_box_fastpath_matches_general_cover(self):
+        # the closed-form axis-aligned-rectangle cover equals boundary
+        # supercover + per-column fill
+        rng = np.random.RandomState(5)
+        for _ in range(40):
+            x0, y0 = rng.uniform(-60, 40, 2)
+            w, h = rng.uniform(0.05, 25, 2)
+            ring = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                             [x0, y0 + h], [x0, y0]])
+            z = int(rng.choice([4, 8, 12]))
+            assert geom._axis_aligned_box([[ring]]) is not None
+            fast = geom.covering_tiles_polygon([[ring]], z)
+            # general path: force through the ring supercover
+            fx = geom.lon2tilexf(ring[:-1, 0], z)
+            fy = geom.lat2tileyf(ring[:-1, 1], z)
+            tx = geom.lon2tilexf(ring[1:, 0], z)
+            ty = geom.lat2tileyf(ring[1:, 1], z)
+            m = (np.int64(1) << z) - 1
+            gen = geom.fill_covered_tiles(np.unique(np.clip(
+                geom._supercover_segments(fx, fy, tx, ty), 0, m), axis=0))
+            key = lambda a: set(map(tuple, a.tolist()))
+            assert key(fast) == key(gen)
+
     def test_pack_roundtrip(self):
         mp = [[self.RING, self.RING * 0.5 + 0.2], [self.RING + 3]]
         flat, rs, pc = geom.pack_multipolygon(mp)

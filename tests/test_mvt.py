@@ -135,3 +135,45 @@ def test_polygon_winding_sign():
     rings2 = _rings_from_cmds(cmds2)
     assert _shoelace2(rings2[0]) > 0
     assert _shoelace2(rings2[1]) < 0
+
+
+def test_merge_rescales_extent_mismatch():
+    """merge_tile_blobs with old=8192-extent and new=4096-extent layers:
+    old features must be rescaled to the merged layer's extent, not
+    re-encoded verbatim (which would double their coordinates)."""
+    old_lb = mvt.LayerBuilder("t", extent=8192)
+    old_lb.add_feature(
+        mvt.GEOM_POINT, mvt.encode_point_geom(np.array([[0.5, 0.25]]), 8192),
+        {"src": "old"})
+    new_lb = mvt.LayerBuilder("t", extent=4096)
+    new_lb.add_feature(
+        mvt.GEOM_POINT, mvt.encode_point_geom(np.array([[0.75, 0.5]]), 4096),
+        {"src": "new"})
+    merged = mvt.merge_tile_blobs(
+        mvt.build_tile([old_lb]), mvt.build_tile([new_lb]))
+    dec = mvt.decode_tile(merged)["t"]
+    assert dec["extent"] == 4096
+    pts = {f["attrs"]["src"]: (_unzig(f["cmds"][1]), _unzig(f["cmds"][2]))
+           for f in dec["features"]}
+    assert pts["new"] == (3072, 2048)
+    assert pts["old"] == (2048, 1024)  # 0.5, 0.25 of a 4096 grid
+
+
+def test_merge_rescales_polygon_rings():
+    outer = np.array([[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9],
+                      [0.1, 0.1]])
+    old_lb = mvt.LayerBuilder("lu", extent=8192)
+    old_lb.add_feature(mvt.GEOM_POLYGON,
+                       mvt.encode_polygon_geom([[outer]], 8192))
+    new_lb = mvt.LayerBuilder("lu", extent=4096)
+    new_lb.add_feature(mvt.GEOM_POLYGON,
+                       mvt.encode_polygon_geom([[outer]], 4096))
+    merged = mvt.merge_tile_blobs(
+        mvt.build_tile([old_lb]), mvt.build_tile([new_lb]))
+    feats = mvt.decode_tile(merged)["lu"]["features"]
+    # after rescale both encodings of the same ring agree to within the
+    # 1-grid-unit quantization difference of encoding at either extent
+    r_old = np.array(_rings_from_cmds(feats[0]["cmds"])[0])
+    r_new = np.array(_rings_from_cmds(feats[1]["cmds"])[0])
+    assert r_old.shape == r_new.shape
+    assert np.abs(r_old - r_new).max() <= 1

@@ -182,6 +182,16 @@ def test_pairwise_kernels():
     assert G.multipolygon_intersects_multipolygon(small, box)
     assert G.multipolygon_covered_by(small, box)
     assert not G.multipolygon_covered_by(box, small)
+    # multi-part probe whose SECOND component lies wholly inside box with
+    # no boundary crossing (first is far away) — containment must be
+    # tested per component, not just on the first vertex of part 0
+    multi = [
+        [np.array([[50, 50], [60, 50], [60, 60], [50, 60], [50, 50]],
+                  float)],
+        [np.array([[4, 4], [5, 4], [5, 5], [4, 5], [4, 4]], float)],
+    ]
+    assert G.multipolygon_intersects_multipolygon(multi, box)
+    assert G.multipolygon_intersects_multipolygon(box, multi)
 
 
 def test_knn_cell_audit(spark):

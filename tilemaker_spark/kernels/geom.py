@@ -446,15 +446,20 @@ def line_intersects_multipolygon(line: np.ndarray, mp) -> bool:
 
 def multipolygon_intersects_multipolygon(a, b) -> bool:
     """Polygon/polygon Intersects: boundary crossing OR containment
-    either way."""
+    either way.  Containment is tested per COMPONENT (one representative
+    outer-ring vertex of each polygon part) — a multi-part geometry can
+    have a non-first part wholly inside the other polygon with no
+    boundary crossing anywhere."""
     ra, rb = _mp_rings(a), _mp_rings(b)
     for x in ra:
         for y in rb:
             if _any_segment_crossing(x, y):
                 return True
-    if bool(points_in_multipolygon(ra[0][:1, 0], ra[0][:1, 1], b)[0]):
+    if any(bool(points_in_multipolygon(
+            poly[0][:1, 0], poly[0][:1, 1], b)[0]) for poly in a):
         return True
-    return bool(points_in_multipolygon(rb[0][:1, 0], rb[0][:1, 1], a)[0])
+    return any(bool(points_in_multipolygon(
+        poly[0][:1, 0], poly[0][:1, 1], a)[0]) for poly in b)
 
 
 def line_covered_by_multipolygon(line: np.ndarray, mp) -> bool:
@@ -811,15 +816,67 @@ def _supercover_segment(x0, y0, x1, y1):
     return np.asarray(cells, np.int64)
 
 
+def _supercover_segments(x0, y0, x1, y1):
+    """Vectorized Amanatides–Woo supercover over MANY segments at once
+    (endpoints in fractional tile coords, shape (n,)).  Returns (K,2)
+    int64 cells, duplicates included.  Produces the same cell set per
+    segment as :func:`_supercover_segment` (crossing events are merged by
+    parameter t; exact corner ties step y before x like the scalar walk's
+    ``t_max_x < t_max_y`` comparison)."""
+    x0 = np.asarray(x0, np.float64); y0 = np.asarray(y0, np.float64)
+    x1 = np.asarray(x1, np.float64); y1 = np.asarray(y1, np.float64)
+    n = len(x0)
+    cx = np.floor(x0).astype(np.int64); cy = np.floor(y0).astype(np.int64)
+    ex = np.floor(x1).astype(np.int64); ey = np.floor(y1).astype(np.int64)
+    dx = x1 - x0; dy = y1 - y0
+    nx = np.abs(ex - cx); ny = np.abs(ey - cy)
+    step_x = np.where(dx > 0, 1, -1).astype(np.int64)
+    step_y = np.where(dy > 0, 1, -1).astype(np.int64)
+
+    def events(cnt, c0, step, p0, dp):
+        """(seg_id, t, step) for every axis-boundary crossing."""
+        total = int(cnt.sum())
+        seg = np.repeat(np.arange(n), cnt)
+        j = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        bound = np.where(step[seg] > 0, c0[seg] + 1 + j, c0[seg] - j)
+        t = (bound - p0[seg]) / dp[seg]
+        return seg, t, step[seg]
+
+    seg_x, t_x, sx = events(nx, cx, step_x, x0, dx)
+    seg_y, t_y, sy = events(ny, cy, step_y, y0, dy)
+    seg = np.concatenate([seg_x, seg_y])
+    t = np.concatenate([t_x, t_y])
+    sdx = np.concatenate([sx, np.zeros(len(seg_y), np.int64)])
+    sdy = np.concatenate([np.zeros(len(seg_x), np.int64), sy])
+    is_x = np.concatenate([np.ones(len(seg_x), np.int8),
+                           np.zeros(len(seg_y), np.int8)])
+    order = np.lexsort((is_x, t, seg))
+    seg = seg[order]; sdx = sdx[order]; sdy = sdy[order]
+
+    counts = nx + ny
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    cum_dx = np.concatenate([[0], np.cumsum(sdx)])
+    cum_dy = np.concatenate([[0], np.cumsum(sdy)])
+    base_dx = np.repeat(cum_dx[offsets[:-1]], counts)
+    base_dy = np.repeat(cum_dy[offsets[:-1]], counts)
+    ecx = cx[seg] + (cum_dx[1:] - base_dx)
+    ecy = cy[seg] + (cum_dy[1:] - base_dy)
+    return np.concatenate([
+        np.column_stack([cx, cy]),          # every segment's start cell
+        np.column_stack([ecx, ecy]),
+    ])
+
+
 def covering_tiles_line(line_lonlat, z):
     """Tiles covered by a polyline at zoom z. Returns unique (K,2) int64."""
     fx = lon2tilexf(line_lonlat[:, 0], z)
     fy = lat2tileyf(line_lonlat[:, 1], z)
-    chunks = [
-        _supercover_segment(fx[i], fy[i], fx[i + 1], fy[i + 1])
-        for i in range(len(fx) - 1)
-    ] or [np.asarray([[int(fx[0]), int(fy[0])]], np.int64)]
-    cells = np.unique(np.concatenate(chunks), axis=0)
+    if len(fx) < 2:
+        cells = np.asarray([[int(fx[0]), int(fy[0])]], np.int64)
+    else:
+        cells = np.unique(
+            _supercover_segments(fx[:-1], fy[:-1], fx[1:], fy[1:]), axis=0)
     m = (np.int64(1) << z) - 1
     return np.clip(cells, 0, m)
 
@@ -827,27 +884,75 @@ def covering_tiles_line(line_lonlat, z):
 def fill_covered_tiles(cells):
     """Per-column fill between consecutive covered y's (reference
     fillCoveredTiles, src/coordinates.cpp:52-67: every per-x gap between
-    successive present tiles is filled)."""
+    successive present tiles is filled).  Fully vectorized: gap runs are
+    materialized with one repeat+arange, no per-gap Python loop."""
     if len(cells) == 0:
         return cells
     order = np.lexsort((cells[:, 1], cells[:, 0]))
     c = cells[order]
-    out = [c]
     same_x = c[1:, 0] == c[:-1, 0]
     gaps = np.nonzero(same_x & (c[1:, 1] > c[:-1, 1] + 1))[0]
-    for i in gaps:
-        ys = np.arange(c[i, 1] + 1, c[i + 1, 1])
-        out.append(np.column_stack([np.full(len(ys), c[i, 0]), ys]))
-    return np.unique(np.concatenate(out), axis=0)
+    if len(gaps) == 0:
+        return c
+    lens = (c[gaps + 1, 1] - c[gaps, 1] - 1).astype(np.int64)
+    total = int(lens.sum())
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    fy = (np.arange(total) - np.repeat(offs, lens)
+          + np.repeat(c[gaps, 1] + 1, lens))
+    fx = np.repeat(c[gaps, 0], lens)
+    out = np.concatenate([c, np.column_stack([fx, fy])])
+    return out[np.lexsort((out[:, 1], out[:, 0]))]
+
+
+def _axis_aligned_box(mp):
+    """(minlon, minlat, maxlon, maxlat) if mp is a single hole-free
+    axis-aligned rectangle ring, else None."""
+    if len(mp) != 1 or len(mp[0]) != 1:
+        return None
+    r = mp[0][0]
+    if len(r) != 5 or not np.array_equal(r[0], r[-1]):
+        return None
+    xs = np.unique(r[:4, 0]); ys = np.unique(r[:4, 1])
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    corners = {(x, y) for x in xs for y in ys}
+    if {(p[0], p[1]) for p in r[:4]} != corners:
+        return None
+    return float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])
+
+
+def covering_tiles_box(minlon, minlat, maxlon, maxlat, z):
+    """Closed-form cover of an axis-aligned lon/lat box: the full product
+    of the tile ranges its corners span (== boundary supercover + fill)."""
+    m = (np.int64(1) << z) - 1
+    xa = min(max(int(np.floor(lon2tilexf(minlon, z))), 0), int(m))
+    xb = min(max(int(np.floor(lon2tilexf(maxlon, z))), 0), int(m))
+    ya = min(max(int(np.floor(lat2tileyf(maxlat, z))), 0), int(m))
+    yb = min(max(int(np.floor(lat2tileyf(minlat, z))), 0), int(m))
+    gx, gy = np.meshgrid(np.arange(xa, xb + 1, dtype=np.int64),
+                         np.arange(ya, yb + 1, dtype=np.int64),
+                         indexing="ij")
+    return np.column_stack([gx.ravel(), gy.ravel()])
 
 
 def covering_tiles_polygon(mp, z):
-    """Tiles covered by a multipolygon at zoom z: ring supercover + fill."""
+    """Tiles covered by a multipolygon at zoom z: ring supercover + fill.
+    Axis-aligned rectangles (the overwhelmingly common synthetic-bbox
+    shape) short-circuit to a closed-form tile-range product."""
+    box = _axis_aligned_box(mp)
+    if box is not None:
+        return covering_tiles_box(*box, z)
     rings = [r for poly in mp for r in poly]
-    cells = np.unique(
-        np.concatenate([covering_tiles_line(r, z) for r in rings]), axis=0
-    )
-    return fill_covered_tiles(cells)
+    fx = np.concatenate([lon2tilexf(r[:-1, 0], z) for r in rings])
+    fy = np.concatenate([lat2tileyf(r[:-1, 1], z) for r in rings])
+    tx = np.concatenate([lon2tilexf(r[1:, 0], z) for r in rings])
+    ty = np.concatenate([lat2tileyf(r[1:, 1], z) for r in rings])
+    if len(fx) == 0:
+        r0 = rings[0]
+        return covering_tiles_point(r0[0, 0], r0[0, 1], z)
+    m = (np.int64(1) << z) - 1
+    cells = np.clip(_supercover_segments(fx, fy, tx, ty), 0, m)
+    return fill_covered_tiles(np.unique(cells, axis=0))
 
 
 def covering_tiles_point(lon, lat, z):

@@ -225,13 +225,47 @@ def build_tile(layers: list[LayerBuilder], compress: str = "gzip") -> bytes:
     return raw
 
 
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _rescale_cmds(cmds: list[int], num: int, den: int) -> list[int]:
+    """Rescale MVT geometry commands from extent ``den`` to ``num``:
+    decode zigzag deltas to absolute grid coords, scale with rounding on
+    ABSOLUTE positions (no delta drift), re-encode deltas."""
+    out: list[int] = []
+    cx = cy = 0   # cursor in the old grid
+    ox = oy = 0   # last emitted point in the new grid
+    i = 0
+    n = len(cmds)
+    while i < n:
+        cmd = cmds[i]
+        i += 1
+        out.append(cmd)
+        op, count = cmd & 7, cmd >> 3
+        if op == 7:  # ClosePath carries no params
+            continue
+        for _ in range(count):
+            cx += _unzigzag(cmds[i])
+            cy += _unzigzag(cmds[i + 1])
+            i += 2
+            nx = round(cx * num / den)
+            ny = round(cy * num / den)
+            out.append(_zigzag(nx - ox))
+            out.append(_zigzag(ny - oy))
+            ox, oy = nx, ny
+    return out
+
+
 def merge_tile_blobs(old_blob: bytes, new_blob: bytes,
                      compress: str = "gzip") -> bytes:
     """Feature-level tile merge (reference --merge semantics,
     src/tile_worker.cpp:452-465: the existing tile's features are decoded
     and concatenated with the new tile's, per layer).  MVT geometry
     commands are per-feature self-contained (cursor resets per feature),
-    so decoded features re-encode verbatim."""
+    so same-extent features re-encode verbatim; when the two runs encoded
+    a layer at different extents (e.g. 8192 high_resolution vs 4096) the
+    old features are rescaled to the new extent."""
     old = decode_tile(old_blob)
     new = decode_tile(new_blob)
     builders: list[LayerBuilder] = []
@@ -243,7 +277,10 @@ def merge_tile_blobs(old_blob: bytes, new_blob: bytes,
             if not src:
                 continue
             for f in src["features"]:
-                lb.add_feature(f["type"], f["cmds"], f["attrs"],
+                cmds = f["cmds"]
+                if src["extent"] != extent:
+                    cmds = _rescale_cmds(cmds, extent, src["extent"])
+                lb.add_feature(f["type"], cmds, f["attrs"],
                                feature_id=f["id"])
         builders.append(lb)
     return build_tile(builders, compress=compress)

@@ -85,10 +85,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     a_j = (rng.randint(0, 2**63, n_hashes, np.uint64) * 2 + 1).astype(
         np.uint64)
     b_j = rng.randint(0, 2**63, n_hashes, np.uint64).astype(np.uint64)
-    pows = np.empty(k, np.uint64)
-    pows[0] = 1
-    for i in range(1, k):
-        pows[i] = pows[i - 1] * np.uint64(1099511628211)  # FNV prime
+    # rolling-hash powers mod 2^64 computed in Python ints (numpy scalar
+    # multiply would raise RuntimeWarning on intentional wraparound)
+    pows = np.array(
+        [pow(1099511628211, i, 1 << 64) for i in range(k)],  # FNV prime
+        np.uint64)
 
     def _mix(x: np.ndarray) -> np.ndarray:
         # splitmix64 finalizer, vectorized (public domain algorithm)

@@ -701,7 +701,14 @@ def build_tiles(covered: DataFrame, cfg: Config,
         )
         low = part if low is None else low.unionByName(part)
     if low is None:
+        low_in.unpersist()
         return high
+    # materialize the low union now (bounded: < 4^CLUSTER_ZOOM tiles) so
+    # low_in's cache can be released — a lazy return would leak the
+    # persisted blocks for the whole session; the checkpoint RDD itself is
+    # GC-managed by Spark's ContextCleaner once the result is dropped
+    low = low.localCheckpoint(eager=True)
+    low_in.unpersist()
     return high.unionByName(low)
 
 
