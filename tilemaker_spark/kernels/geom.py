@@ -435,6 +435,161 @@ def _mp_rings(mp) -> list:
     return [r for poly in mp for r in poly]
 
 
+def _segments_cross_any(a1, a2, b1, b2, pair_budget: int = 1 << 21):
+    """bool per a-segment: does it properly cross OR touch any b-segment.
+    Fully vectorized (touch test included — no per-pair Python); a-side is
+    chunked so the pair matrices stay under ``pair_budget`` entries."""
+    n, m = len(a1), len(b1)
+    out = np.zeros(n, bool)
+    if n == 0 or m == 0:
+        return out
+    step = max(1, pair_budget // m)
+    B1x = b1[:, 0][None, :]; B1y = b1[:, 1][None, :]
+    B2x = b2[:, 0][None, :]; B2y = b2[:, 1][None, :]
+    bminx = np.minimum(B1x, B2x); bmaxx = np.maximum(B1x, B2x)
+    bminy = np.minimum(B1y, B2y); bmaxy = np.maximum(B1y, B2y)
+    for s in range(0, n, step):
+        e = min(n, s + step)
+        A1x = a1[s:e, 0][:, None]; A1y = a1[s:e, 1][:, None]
+        A2x = a2[s:e, 0][:, None]; A2y = a2[s:e, 1][:, None]
+        d1 = (A1x - B1x) * (B2y - B1y) - (A1y - B1y) * (B2x - B1x)
+        d2 = (A2x - B1x) * (B2y - B1y) - (A2y - B1y) * (B2x - B1x)
+        d3 = (B1x - A1x) * (A2y - A1y) - (B1y - A1y) * (A2x - A1x)
+        d4 = (B2x - A1x) * (A2y - A1y) - (B2y - A1y) * (A2x - A1x)
+        hit = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        # touch / collinear overlap: an endpoint of one lies on the other
+        aminx = np.minimum(A1x, A2x); amaxx = np.maximum(A1x, A2x)
+        aminy = np.minimum(A1y, A2y); amaxy = np.maximum(A1y, A2y)
+        hit |= (d1 == 0) & (A1x >= bminx) & (A1x <= bmaxx) \
+            & (A1y >= bminy) & (A1y <= bmaxy)
+        hit |= (d2 == 0) & (A2x >= bminx) & (A2x <= bmaxx) \
+            & (A2y >= bminy) & (A2y <= bmaxy)
+        hit |= (d3 == 0) & (B1x >= aminx) & (B1x <= amaxx) \
+            & (B1y >= aminy) & (B1y <= amaxy)
+        hit |= (d4 == 0) & (B2x >= aminx) & (B2x <= amaxx) \
+            & (B2y >= aminy) & (B2y <= amaxy)
+        out[s:e] = hit.any(axis=1)
+    return out
+
+
+def _batch_segments(parts: list) -> tuple:
+    """Concatenate the segments of many polylines/rings.
+    Returns (a1, a2, owner) where owner[i] is the part index."""
+    segs1 = [p[:-1] for p in parts if len(p) >= 2]
+    segs2 = [p[1:] for p in parts if len(p) >= 2]
+    owners = [np.full(len(p) - 1, i)
+              for i, p in enumerate(parts) if len(p) >= 2]
+    if not segs1:
+        z = np.zeros((0, 2))
+        return z, z, np.zeros(0, np.int64)
+    return (np.concatenate(segs1), np.concatenate(segs2),
+            np.concatenate(owners).astype(np.int64))
+
+
+def _mp_boundary_segments(mp) -> tuple:
+    """(b1, b2) stacked segments of every ring of a multipolygon."""
+    rings = [r for r in _mp_rings(mp) if len(r) >= 2]
+    if not rings:
+        z = np.zeros((0, 2))
+        return z, z
+    return (np.concatenate([r[:-1] for r in rings]),
+            np.concatenate([r[1:] for r in rings]))
+
+
+def lines_intersect_multipolygon_batch(lines: list, mp) -> np.ndarray:
+    """Vectorized twin of :func:`line_intersects_multipolygon` over MANY
+    probe lines against ONE multipolygon: one crossing matrix + one
+    batched ray cast instead of per-line Python."""
+    n = len(lines)
+    a1, a2, owner = _batch_segments(lines)
+    b1, b2 = _mp_boundary_segments(mp)
+    hit = np.zeros(n, bool)
+    seg_hit = _segments_cross_any(a1, a2, b1, b2)
+    np.logical_or.at(hit, owner[seg_hit], True)
+    rest = ~hit
+    if rest.any():
+        px = np.array([lines[i][0, 0] for i in range(n)])
+        py = np.array([lines[i][0, 1] for i in range(n)])
+        inside = points_in_multipolygon(px[rest], py[rest], mp)
+        hit[np.nonzero(rest)[0][inside]] = True
+    return hit
+
+
+def lines_covered_by_multipolygon_batch(lines: list, mp) -> np.ndarray:
+    """Vectorized twin of :func:`line_covered_by_multipolygon`."""
+    n = len(lines)
+    pts = np.concatenate(lines)
+    powner = np.repeat(np.arange(n), [len(l) for l in lines])
+    inside = points_in_multipolygon(pts[:, 0], pts[:, 1], mp)
+    ok = np.ones(n, bool)
+    np.logical_and.at(ok, powner, inside)
+    if ok.any():
+        a1, a2, owner = _batch_segments(lines)
+        b1, b2 = _mp_boundary_segments(mp)
+        seg_hit = _segments_cross_any(a1, a2, b1, b2)
+        ok[owner[seg_hit]] = False
+    return ok
+
+
+def mps_intersect_multipolygon_batch(probes: list, mp) -> np.ndarray:
+    """Vectorized twin of :func:`multipolygon_intersects_multipolygon`
+    over many probe multipolygons vs one polygon."""
+    n = len(probes)
+    rings = [(i, r) for i, p in enumerate(probes) for r in _mp_rings(p)]
+    a1, a2, owner = _batch_segments([r for _, r in rings])
+    ridx = np.array([i for i, _ in rings], np.int64)
+    b1, b2 = _mp_boundary_segments(mp)
+    hit = np.zeros(n, bool)
+    seg_hit = _segments_cross_any(a1, a2, b1, b2)
+    if seg_hit.any():
+        np.logical_or.at(hit, ridx[owner[seg_hit]], True)
+    # probe component representative vertex inside mp
+    rest = ~hit
+    if rest.any():
+        reps = [(i, poly[0][0]) for i in np.nonzero(rest)[0]
+                for poly in probes[i]]
+        if reps:
+            rown = np.array([i for i, _ in reps], np.int64)
+            rp = np.array([p for _, p in reps])
+            inside = points_in_multipolygon(rp[:, 0], rp[:, 1], mp)
+            np.logical_or.at(hit, rown[inside], True)
+    # mp component representative vertex inside probe (few mp components;
+    # only probes still undecided)
+    mp_reps = np.array([poly[0][0] for poly in mp])
+    for i in np.nonzero(~hit)[0]:
+        if points_in_multipolygon(
+                mp_reps[:, 0], mp_reps[:, 1], probes[i]).any():
+            hit[i] = True
+    return hit
+
+
+def mps_covered_by_batch(probes: list, mp) -> np.ndarray:
+    """Vectorized twin of :func:`multipolygon_covered_by`."""
+    n = len(probes)
+    rings = [(i, r) for i, p in enumerate(probes) for r in _mp_rings(p)]
+    pts = np.concatenate([r for _, r in rings])
+    powner = np.repeat(
+        np.array([i for i, _ in rings], np.int64),
+        [len(r) for _, r in rings])
+    inside = points_in_multipolygon(pts[:, 0], pts[:, 1], mp)
+    ok = np.ones(n, bool)
+    np.logical_and.at(ok, powner, inside)
+    if ok.any():
+        a1, a2, owner = _batch_segments([r for _, r in rings])
+        ridx = np.array([i for i, _ in rings], np.int64)
+        b1, b2 = _mp_boundary_segments(mp)
+        seg_hit = _segments_cross_any(a1, a2, b1, b2)
+        ok[ridx[owner[seg_hit]]] = False
+    # no b-hole may poke into a surviving probe
+    holes = [h for poly in mp for h in poly[1:]]
+    for i in np.nonzero(ok)[0]:
+        for h in holes:
+            if points_in_multipolygon(h[:, 0], h[:, 1], probes[i]).any():
+                ok[i] = False
+                break
+    return ok
+
+
 def line_intersects_multipolygon(line: np.ndarray, mp) -> bool:
     """Line/polygon Intersects: boundary crossing OR line inside."""
     for r in _mp_rings(mp):

@@ -238,52 +238,68 @@ def geometry_cells_udf(index_zoom: int):
     return cells
 
 
-def _unpack_probe(kind, coords, rs, pc):
-    arr = np.asarray(coords, np.float64)
-    if kind in (G.LINESTRING, G.MULTILINESTRING):
-        return ("line", G.unpack_lines(arr, np.asarray(rs, np.int64)))
-    return ("poly", G.unpack_multipolygon(
-        arr, np.asarray(rs, np.int64), np.asarray(pc, np.int64)))
-
-
-def _refine_udf(predicate: str):
-    """pandas_udf evaluating the exact pairwise predicate on candidate
-    (probe geometry, polygon geometry) rows.  intersects / covered_by
-    return boolean; area returns the planar intersection area (deg^2)
-    via the overlay kernel."""
-    out_type = "double" if predicate == "area" else "boolean"
-
-    @F.pandas_udf(out_type)
-    def refine(k: pd.Series, c1: pd.Series, r1: pd.Series, p1: pd.Series,
-               c2: pd.Series, r2: pd.Series, p2: pd.Series) -> pd.Series:
-        from ..kernels import overlay as OV
-        out = []
-        for kind, ca, ra, pa, cb, rb, pb in zip(k, c1, r1, p1, c2, r2, p2):
-            shape, ga = _unpack_probe(kind, ca, ra, pa)
-            mpb = G.unpack_multipolygon(
-                np.asarray(cb, np.float64), np.asarray(rb, np.int64),
-                np.asarray(pb, np.int64))
+def _refine_batch(pdf: pd.DataFrame, predicate: str,
+                  probe_cols: list, poly_cols: list) -> pd.DataFrame:
+    """Refine one Arrow batch of candidate rows: group by polygon (by the
+    poly id VALUES — no hash proxies), unpack each polygon once, and test
+    all of its probes in one vectorized batch-kernel call."""
+    from ..kernels import overlay as OV
+    n = len(pdf)
+    keep = np.zeros(n, bool)
+    areas = np.zeros(n, np.float64)
+    kinds = pdf["kind"].to_numpy()
+    is_line = np.isin(kinds, (G.LINESTRING, G.MULTILINESTRING))
+    for _, idx in pdf.groupby(list(poly_cols), sort=False).indices.items():
+        idx = np.asarray(idx)
+        r0 = pdf.iloc[idx[0]]
+        mpb = G.unpack_multipolygon(
+            np.asarray(r0["_pcoords"], np.float64),
+            np.asarray(r0["_pring_sizes"], np.int64),
+            np.asarray(r0["_ppoly_ring_counts"], np.int64))
+        lpos = idx[is_line[idx]]
+        ppos = idx[~is_line[idx]]
+        if len(lpos):
+            # flatten each probe's component lines; reduce back per probe
+            probe_lines, owner = [], []
+            for j, i in enumerate(lpos):
+                ls = G.unpack_lines(
+                    np.asarray(pdf["coords"].iloc[i], np.float64),
+                    np.asarray(pdf["ring_sizes"].iloc[i], np.int64))
+                probe_lines.extend(ls)
+                owner.extend([j] * len(ls))
+            owner = np.asarray(owner, np.int64)
             if predicate == "intersects":
-                if shape == "line":
-                    out.append(any(
-                        G.line_intersects_multipolygon(l, mpb) for l in ga))
-                else:
-                    out.append(
-                        G.multipolygon_intersects_multipolygon(ga, mpb))
+                per_line = G.lines_intersect_multipolygon_batch(
+                    probe_lines, mpb)
+                agg = np.zeros(len(lpos), bool)
+                np.logical_or.at(agg, owner, per_line)
             elif predicate == "covered_by":
-                if shape == "line":
-                    out.append(all(
-                        G.line_covered_by_multipolygon(l, mpb) for l in ga))
-                else:
-                    out.append(G.multipolygon_covered_by(ga, mpb))
+                per_line = G.lines_covered_by_multipolygon_batch(
+                    probe_lines, mpb)
+                agg = np.ones(len(lpos), bool)
+                np.logical_and.at(agg, owner, per_line)
+            else:  # area: lines contribute none
+                agg = np.zeros(len(lpos), bool)
+            keep[lpos] = agg
+        if len(ppos):
+            mps = [G.unpack_multipolygon(
+                np.asarray(pdf["coords"].iloc[i], np.float64),
+                np.asarray(pdf["ring_sizes"].iloc[i], np.int64),
+                np.asarray(pdf["poly_ring_counts"].iloc[i], np.int64))
+                for i in ppos]
+            if predicate == "intersects":
+                keep[ppos] = G.mps_intersect_multipolygon_batch(mps, mpb)
+            elif predicate == "covered_by":
+                keep[ppos] = G.mps_covered_by_batch(mps, mpb)
             else:  # area
-                if shape == "line":
-                    out.append(0.0)
-                else:
-                    out.append(OV.area_planar(OV.intersection(ga, mpb)))
-        return pd.Series(out)
-
-    return refine
+                a = np.array([
+                    OV.area_planar(OV.intersection(m, mpb)) for m in mps])
+                areas[ppos] = a
+                keep[ppos] = a > 0.0
+    out = pdf.loc[keep, probe_cols + poly_cols].reset_index(drop=True)
+    if predicate == "area":
+        out["area_deg2"] = areas[keep]
+    return out
 
 
 def geom_join(
@@ -299,10 +315,13 @@ def geom_join(
     Intersects / CoveredBy / AreaIntersecting with line/polygon arguments
     (src/osm_lua_processing.cpp:409-502).
 
-    Plan: both sides explode to covering cells at ``index_zoom`` (filter),
-    equi-join on the cell key (broadcast or shuffle), dedupe the candidate
-    pair (a pair can meet in many cells), then the exact pairwise refine
-    runs once per candidate in an Arrow batch.
+    Plan (geometry never rides a shuffle it doesn't need): both sides
+    explode ID-ONLY projections to covering cells at ``index_zoom``, the
+    candidate (probe, poly) pairs dedupe on bare ids, geometry is
+    re-attached once per candidate (probe side by id join, polygon side
+    broadcast when small), and the exact refine groups each Arrow batch
+    by polygon and evaluates all of a polygon's probes in one vectorized
+    kernel call (kernels.geom *_batch).
 
     probes: feature table with (kind, coords, ring_sizes,
     poly_ring_counts) + ``probe_cols`` identifying columns.
@@ -310,35 +329,53 @@ def geom_join(
     """
     gcells = geometry_cells_udf(index_zoom)
     pcells = polygon_cells_udf(index_zoom)
-    # spread the probe side first: geometry tables often arrive as one
-    # parquet file (1 input split), which would run the covering UDF and
-    # the refine on a single core
+    # spread the probe side if it arrives under-partitioned (single-file
+    # tables would run the covering UDF and refine on one core); keep the
+    # existing partitioning when it is already adequate — an unconditional
+    # repartition forces a shuffle that hurts N->4N scaling on small inputs
     parallelism = probes.sparkSession.sparkContext.defaultParallelism
-    pr = probes.repartition(parallelism).select(
-        *probe_cols, "kind", "coords", "ring_sizes", "poly_ring_counts",
-        F.explode(gcells("kind", "coords", "ring_sizes",
-                         "poly_ring_counts")).alias("_cell"),
-    )
-    geom2 = [F.col(c).alias(f"_p{c}") for c in
-             ("coords", "ring_sizes", "poly_ring_counts")]
-    po = polygons.select(
-        *poly_cols, *geom2,
+    if probes.rdd.getNumPartitions() < parallelism:
+        probes = probes.repartition(parallelism)
+    geom_cols = ["kind", "coords", "ring_sizes", "poly_ring_counts"]
+    pr_ids = probes.select(
+        *probe_cols,
+        F.explode(gcells(*geom_cols)).alias("_cell"))
+    po_ids = polygons.select(
+        *poly_cols,
         F.explode(pcells("coords", "ring_sizes", "poly_ring_counts"))
-        .alias("_cell"),
-    )
-    right = F.broadcast(po) if strategy == "broadcast" else po
-    cand = pr.join(right, on="_cell", how="inner").dropDuplicates(
-        list(probe_cols) + list(poly_cols))
+        .alias("_cell"))
+    right = F.broadcast(po_ids) if strategy == "broadcast" else po_ids
+    cand_ids = (
+        pr_ids.join(right, on="_cell", how="inner")
+        .select(*probe_cols, *poly_cols)
+        .dropDuplicates(list(probe_cols) + list(poly_cols)))
 
-    refine = _refine_udf(predicate)(
-        F.col("kind"), F.col("coords"), F.col("ring_sizes"),
-        F.col("poly_ring_counts"), F.col("_pcoords"),
-        F.col("_pring_sizes"), F.col("_ppoly_ring_counts"))
+    cand = cand_ids.join(
+        probes.select(*probe_cols, *geom_cols),
+        on=list(probe_cols), how="inner")
+    pol_geom = polygons.select(
+        *poly_cols, *[F.col(c).alias(f"_p{c}") for c in
+                      ("coords", "ring_sizes", "poly_ring_counts")])
+    cand = cand.join(
+        F.broadcast(pol_geom) if strategy == "broadcast" else pol_geom,
+        on=list(poly_cols), how="inner")
+    # local sort so Arrow batches hold runs of the same polygon — the
+    # refine unpacks each polygon once per run, no shuffle added
+    cand = cand.sortWithinPartitions(*poly_cols)
+
+    pc_l, pl_l = list(probe_cols), list(poly_cols)
+    types = {f.name: f.dataType.simpleString()
+             for f in list(probes.schema.fields) + list(polygons.schema.fields)}
+    out_schema = ", ".join(f"{c} {types[c]}" for c in pc_l + pl_l)
     if predicate == "area":
-        out = cand.withColumn("area_deg2", refine).filter(
-            F.col("area_deg2") > 0.0)
-        return out.select(*probe_cols, *poly_cols, "area_deg2")
-    return cand.filter(refine).select(*probe_cols, *poly_cols)
+        out_schema += ", area_deg2 double"
+
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _refine_batch(pdf, predicate, pc_l, pl_l)
+
+    return cand.mapInPandas(refine, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
