@@ -799,6 +799,50 @@ WHERE ({clon} - 0.2) >= {NB['minlon']} AND ({clon} + 0.2) <= {NB['maxlon']}
 """
 
 
+def q_area_intersect(spark, sf_dir):
+    """AreaIntersecting (reference src/osm_lua_processing.cpp:441-485):
+    planar intersection area of supplier 0.4-degree boxes with nation
+    boxes via geom_join(predicate='area') over the from-scratch overlay
+    kernel (kernels/overlay.py intersection).  Oracle: closed-form
+    rectangle-intersection area — exact for axis-aligned boxes."""
+    from tilemaker_spark.operators.spatial_join import geom_join
+    s = _t(spark, sf_dir, "supplier")
+    lon, lat = synth.geo_point_expr(F.col("s_suppkey"))
+    clon = F.greatest(F.lit(-179.5), F.least(F.lit(179.5), lon))
+    clat = F.greatest(F.lit(-84.0), F.least(F.lit(84.0), lat))
+    lo_x, hi_x = clon - F.lit(0.2), clon + F.lit(0.2)
+    lo_y, hi_y = clat - F.lit(0.2), clat + F.lit(0.2)
+    probes = s.select(
+        F.col("s_suppkey").alias("feature_id"),
+        F.lit(3).cast("tinyint").alias("kind"),
+        F.array(lo_x, lo_y, hi_x, lo_y, hi_x, hi_y, lo_x, hi_y,
+                lo_x, lo_y).cast("array<double>").alias("coords"),
+        F.array(F.lit(5)).alias("ring_sizes"),
+        F.array(F.lit(1)).alias("poly_ring_counts"),
+    )
+    boxes = _nation_boxes(spark, sf_dir)
+    out = geom_join(probes, boxes, predicate="area", index_zoom=6)
+    return out.select(
+        F.col("feature_id").alias("s_suppkey"), "poly_id",
+        F.round(F.col("area_deg2"), 6).alias("area_deg2"))
+
+
+def sql_area_intersect():
+    SUP_LON, SUP_LAT = synth.geo_point_sql("s_suppkey")
+    clon = f"least(greatest({SUP_LON}, -179.5), 179.5)"
+    clat = f"least(greatest({SUP_LAT}, -84.0), 84.0)"
+    w = (f"greatest(0.0, least({clon} + 0.2, {NB['maxlon']})"
+         f" - greatest({clon} - 0.2, {NB['minlon']}))")
+    h = (f"greatest(0.0, least({clat} + 0.2, {NB['maxlat']})"
+         f" - greatest({clat} - 0.2, {NB['minlat']}))")
+    return f"""
+SELECT s_suppkey, CAST(n_nationkey AS BIGINT) AS poly_id,
+       round(({w}) * ({h}), 6) AS area_deg2
+FROM supplier, nation
+WHERE ({w}) * ({h}) > 0
+"""
+
+
 def q_rel_members(spark, sf_dir):
     """Relation membership join (reference NextRelation/FindInRelation,
     include/osm_store.h:97-200): orders act as relations whose way members
@@ -807,9 +851,8 @@ def q_rel_members(spark, sf_dir):
     is the direct lineitem x orders join."""
     from tilemaker_spark.operators import relations as rel_ops
     par = spark.sparkContext.defaultParallelism
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_orderkey") % 4 == 0   # representative quarter of orders
-    ).repartition(par, F.col("l_orderkey"))  # 1-file scan -> all cores
+    li = _t(spark, sf_dir, "lineitem").repartition(
+        par, F.col("l_orderkey"))  # 1-file scan -> all cores
     o = _t(spark, sf_dir, "orders").repartition(par, F.col("o_orderkey"))
     # the synthetic lineitem table has duplicate (orderkey, linenumber)
     # rows; dedup to one member per way with a deterministic role
@@ -852,7 +895,7 @@ FROM (
   SELECT l_orderkey,
          CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS way_id,
          min(l_returnflag) AS role
-  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1, 2
+  FROM lineitem GROUP BY 1, 2
 ) m JOIN orders ON m.l_orderkey = o_orderkey
 """
 
@@ -936,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cover_large": q_cover_large,
         "poly_union": q_poly_union,
+        "area_intersect": q_area_intersect,
         "rel_members": q_rel_members,
         "pip_line": q_pip_line,
         "covered_by": q_covered_by,
@@ -969,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": sql_ngram_jaccard(),
         "cover_large": sql_cover_large(),
         "poly_union": sql_poly_union(),
+        "area_intersect": sql_area_intersect(),
         "rel_members": sql_rel_members(),
         "pip_line": sql_pip_line(),
         "covered_by": sql_covered_by(),
