@@ -99,6 +99,97 @@ def test_layer_as_centroid(spark):
     assert y == pytest.approx(43.72, abs=1e-3)
 
 
+def test_centroid_algorithm_choice(spark):
+    """Centroid("centroid") picks the boost-style area centroid over
+    polylabel (reference src/osm_lua_processing.cpp:865-943,
+    parseCentroidAlgorithm): for an L-shaped polygon the two differ —
+    the area centroid can sit outside the thickest region."""
+    # L shape: [0,4]x[0,1] plus [0,1]x[0,4]
+    coords = [0.0, 0.0, 4.0, 0.0, 4.0, 1.0, 1.0, 1.0, 1.0, 4.0,
+              0.0, 4.0, 0.0, 0.0]
+    way_geoms = spark.createDataFrame(
+        [(1, {"place": "x"}, coords, True)],
+        "id long, tags map<string,string>, coords array<double>, "
+        "is_closed boolean")
+
+    def run(algo):
+        rules = [prof.LayerRule(
+            layer="place", source="way_area",
+            match=lambda: prof.holds("place"),
+            as_centroid=True, centroid_algorithm=algo)]
+        return prof.Profile(rules).apply(way_geoms=way_geoms).collect()[0]
+
+    cx, cy = run("centroid")["coords"]
+    # closed-form centroid of the L: both arms 4x1, total area 7
+    assert cx == pytest.approx((4 * 2.0 + 3 * 0.5) / 7, abs=1e-9)
+    assert cy == pytest.approx((4 * 0.5 + 3 * 2.5) / 7, abs=1e-9)
+    px, py = run("polylabel")["coords"]
+    assert (px, py) != (cx, cy)  # polylabel stays in an arm's interior
+
+
+def test_centroid_role_member(spark):
+    """LayerAsCentroid(layer, role...): relation label point comes from
+    the member node with the preferred role; relations without a matching
+    member fall back to the centroid algorithm (reference
+    src/osm_lua_processing.cpp:749-812)."""
+    rel_geoms = spark.createDataFrame(
+        [(10, {"type": "boundary", "name": "A"},
+          [0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0, 0.0, 0.0], [5], [1]),
+         (11, {"type": "boundary", "name": "B"},
+          [5.0, 5.0, 7.0, 5.0, 7.0, 7.0, 5.0, 7.0, 5.0, 5.0], [5], [1])],
+        "id long, tags map<string,string>, coords array<double>, "
+        "ring_sizes array<int>, poly_ring_counts array<int>")
+    relations = spark.createDataFrame(
+        [(10, [(0, 100, "admin_centre"), (0, 101, "label"),
+               (1, 200, "outer")], {"type": "boundary"}),
+         (11, [(1, 201, "outer")], {"type": "boundary"})],
+        "id long, members array<struct<mtype:int,ref:long,role:string>>, "
+        "tags map<string,string>")
+    nodes = spark.createDataFrame(
+        [(100, 1.9, 1.9, {}), (101, 0.5, 0.5, {})],
+        "id long, lon double, lat double, tags map<string,string>")
+    rules = [prof.LayerRule(
+        layer="place", source="relation",
+        match=lambda: prof.holds("type"),
+        attrs={"name": lambda: prof.find("name")},
+        as_centroid=True, centroid_roles=("label", "admin_centre"))]
+    feats = {r["feature_id"]: r for r in prof.Profile(rules).apply(
+        nodes=nodes, rel_geoms=rel_geoms, relations=relations).collect()}
+    # rel 10: "label" preferred over "admin_centre" -> node 101
+    assert feats[10]["coords"] == [0.5, 0.5]
+    # rel 11: no label member -> polylabel fallback (center of its box)
+    x, y = feats[11]["coords"]
+    assert x == pytest.approx(6.0, abs=1e-2)
+    assert y == pytest.approx(6.0, abs=1e-2)
+    assert all(f["kind"] == 0 for f in feats.values())
+
+
+def test_get_data_expr(spark, tagged):
+    """GetData/SetData analogue (reference osm_lua_processing.cpp:203-210):
+    dict lookup as a Column expression inside a rule."""
+    lookup = prof.get_data_expr({"primary": "P-road", "motorway": "M-road"})
+    rows = spark.createDataFrame(
+        [(1, 1.0, 2.0, {"highway": "primary"}),
+         (2, 3.0, 4.0, {"highway": "motorway"}),
+         (3, 5.0, 6.0, {"highway": "footway"})],
+        "id long, lon double, lat double, tags map<string,string>")
+    rules = [prof.LayerRule(
+        layer="roads", source="node",
+        match=lambda: prof.holds("highway"),
+        attrs={"kindname": lambda: lookup(prof.find("highway"))})]
+    feats = {r["feature_id"]: dict(r["attrs"])
+             for r in prof.Profile(rules).apply(nodes=rows).collect()}
+    assert feats[1] == {"kindname": "P-road"}
+    assert feats[2] == {"kindname": "M-road"}
+    assert feats[3] == {}  # unmatched key -> null -> attr dropped
+
+    # collect_data round-trip from a small relation-scan table
+    d = prof.collect_data(
+        spark.createDataFrame([("FR", "France"), ("MC", "Monaco")],
+                              "k string, v string"), "k", "v")
+    assert d == {"FR": "France", "MC": "Monaco"}
+
+
 def test_used_closure_prunes_nodes(spark):
     """usedNodes/usedWays (reference include/osm_store.h:270-300): nodes
     are kept iff referenced by a used way, listed by an accepted

@@ -1136,6 +1136,32 @@ def ring_centroid(ring):
     return float(cx), float(cy)
 
 
+def multipolygon_centroid(mp):
+    """Planar area-weighted centroid of a multipolygon, holes subtracting
+    — the boost::geometry::centroid analogue behind the reference's
+    ``Centroid("centroid")`` algorithm choice
+    (src/osm_lua_processing.cpp:865-905, CentroidAlgorithm::Centroid)."""
+    num_x = num_y = den = 0.0
+    for poly in mp:
+        for k, ring in enumerate(poly):
+            x, y = ring[:-1, 0], ring[:-1, 1]
+            x1, y1 = np.roll(x, -1), np.roll(y, -1)
+            cross = x * y1 - x1 * y
+            a = cross.sum() / 2.0
+            if a == 0.0:
+                continue
+            cx = ((x + x1) * cross).sum() / (6.0 * a)
+            cy = ((y + y1) * cross).sum() / (6.0 * a)
+            w = abs(a) if k == 0 else -abs(a)
+            num_x += cx * w
+            num_y += cy * w
+            den += w
+    if den == 0.0:
+        r = mp[0][0]
+        return float(r[:-1, 0].mean()), float(r[:-1, 1].mean())
+    return num_x / den, num_y / den
+
+
 def _dist_to_rings(px, py, rings):
     """Signed distance from one point to polygon rings (+ inside)."""
     p = np.asarray([px, py])

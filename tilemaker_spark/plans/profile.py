@@ -88,12 +88,53 @@ class LayerRule:
     minzoom: Callable[[], Column] | int = 0
     zorder: Callable[[], Column] | int = 0
     # LayerAsCentroid (reference src/osm_lua_processing.cpp:749-863): emit
-    # a label point (polylabel pole of inaccessibility) instead of the
-    # polygon geometry; valid for way_area / relation sources
+    # a label point instead of the polygon geometry; valid for way_area /
+    # relation sources
     as_centroid: bool = False
+    # Centroid algorithm choice (reference :865-943,
+    # parseCentroidAlgorithm): "polylabel" (default, pole of
+    # inaccessibility) or "centroid" (boost-style area centroid)
+    centroid_algorithm: str = "polylabel"
+    # LayerAsCentroid(layer, role1, role2...): for relation sources, take
+    # the label point from a member NODE whose role matches, in preference
+    # order (reference :749-812 — e.g. "label", "admin_centre"); fall back
+    # to centroid_algorithm when no member matches
+    centroid_roles: tuple = ()
     # ModifyId analogue (reference rawModifyId): override the emitted
     # feature id with a Column expression over the entity row
     feature_id: Callable[[], Column] | None = None
+
+
+def get_data_expr(data: dict[str, str]) -> Callable[[Column], Column]:
+    """GetData analogue (reference src/osm_lua_processing.cpp:203-210):
+    the Lua API's small external k/v store, exposed as a map-literal
+    Column lookup usable inside rule lambdas::
+
+        lookup = get_data_expr({"FR": "France", "MC": "Monaco"})
+        attrs={"name_en": lambda: lookup(find("ISO3166-1"))}
+
+    The dict is embedded in the plan as a literal (Catalyst broadcasts it
+    with the plan — the right shape for the small tables SetData holds).
+    For large tables use a broadcast dim-table join instead."""
+    if not data:
+        return lambda key: F.lit(None).cast("string")
+    m = F.create_map(*[F.lit(x) for kv in data.items() for x in kv])
+    return lambda key: F.element_at(m, key)
+
+
+def collect_data(df: DataFrame, key_col: str, val_col: str,
+                 max_rows: int = 100_000) -> dict[str, str]:
+    """SetData analogue: materialize a SMALL (key, value) DataFrame —
+    typically produced during a relation pre-scan — into the dict that
+    :func:`get_data_expr` embeds.  The reference's SetData writes to an
+    in-memory map during RelationScan (osm_lua_processing.cpp:203-206);
+    this is the same driver-side store with an explicit size guard."""
+    rows = df.select(key_col, val_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"collect_data: >{max_rows} rows; use a broadcast join for "
+            "large external tables")
+    return {r[0]: r[1] for r in rows}
 
 
 def used_closure(nodes: DataFrame, ways: DataFrame,
@@ -126,28 +167,54 @@ def used_closure(nodes: DataFrame, ways: DataFrame,
     return n, w
 
 
-def _polygons_to_label_points(features: DataFrame) -> DataFrame:
+def _polygons_to_label_points(features: DataFrame,
+                              algorithm: str = "polylabel",
+                              label_cols: tuple | None = None) -> DataFrame:
     """LayerAsCentroid: replace each polygon feature's geometry with its
-    polylabel label point (reference src/osm_lua_processing.cpp:749-863 /
-    CentroidAlgorithm::Polylabel; largest-area polygon of a multipolygon
-    carries the label, matching the reference's polylabel_macro)."""
+    label point (reference src/osm_lua_processing.cpp:749-943).
+
+    algorithm="polylabel": pole of inaccessibility of the largest-area
+    polygon (the reference's polylabel_macro / default).
+    algorithm="centroid": boost-style area centroid of the whole
+    multipolygon (CentroidAlgorithm::Centroid).
+    label_cols=(lon_col, lat_col): rows where these are non-null take the
+    pre-resolved role-member label point instead (reference's node-member
+    role path); the columns are dropped from the output."""
     import numpy as np
     import pandas as pd
     from typing import Iterator
 
-    schema = features.schema
+    if algorithm not in ("polylabel", "centroid"):
+        raise ValueError(f"unknown centroid algorithm: {algorithm}")
+    out_fields = [f for f in features.schema.fields
+                  if label_cols is None or f.name not in label_cols]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in out_fields)
+    out_names = [f.name for f in out_fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             coords_o, rs_o, pc_o = [], [], []
             for i in range(len(pdf)):
+                if label_cols is not None:
+                    llon = pdf[label_cols[0]].iloc[i]
+                    llat = pdf[label_cols[1]].iloc[i]
+                    if llon is not None and not pd.isna(llon):
+                        coords_o.append([float(llon), float(llat)])
+                        rs_o.append([1])
+                        pc_o.append([])
+                        continue
                 mp = G.unpack_multipolygon(
                     np.asarray(pdf["coords"].iloc[i], np.float64),
                     np.asarray(pdf["ring_sizes"].iloc[i], np.int64),
                     np.asarray(pdf["poly_ring_counts"].iloc[i], np.int64))
-                biggest = max(
-                    mp, key=lambda p: abs(G.signed_ring_area_planar(p[0])))
-                x, y = G.polylabel(biggest)
+                if algorithm == "centroid":
+                    x, y = G.multipolygon_centroid(mp)
+                else:
+                    biggest = max(
+                        mp,
+                        key=lambda p: abs(G.signed_ring_area_planar(p[0])))
+                    x, y = G.polylabel(biggest)
                 coords_o.append([x, y])
                 rs_o.append([1])
                 pc_o.append([])
@@ -156,7 +223,7 @@ def _polygons_to_label_points(features: DataFrame) -> DataFrame:
             out["coords"] = coords_o
             out["ring_sizes"] = rs_o
             out["poly_ring_counts"] = pc_o
-            yield out
+            yield out[out_names]
 
     return features.mapInPandas(gen, schema=schema)
 
@@ -167,7 +234,7 @@ class Profile:
 
     def _emit(self, df: DataFrame, rule: LayerRule, kind: int,
               coords: Column, ring_sizes: Column,
-              poly_counts: Column) -> DataFrame:
+              poly_counts: Column, extra_cols: tuple = ()) -> DataFrame:
         mz = rule.minzoom() if callable(rule.minzoom) else F.lit(rule.minzoom)
         zo = rule.zorder() if callable(rule.zorder) else F.lit(rule.zorder)
         if rule.attrs:
@@ -193,16 +260,46 @@ class Profile:
             coords.alias("coords"),
             ring_sizes.alias("ring_sizes"),
             poly_counts.alias("poly_ring_counts"),
+            *[F.col(c) for c in extra_cols],
         )
+
+    def _label_member_points(self, relations: DataFrame, nodes: DataFrame,
+                             roles: tuple) -> DataFrame:
+        """Per relation, the lon/lat of its best label member node:
+        node members whose role matches ``roles``, preferred in the order
+        given, ties broken by member ref (reference
+        src/osm_lua_processing.cpp:749-812)."""
+        from pyspark.sql import Window
+        pref = F.array(*[F.lit(r) for r in roles])
+        mem = (
+            relations.select(F.col("id").alias("_rid"),
+                             F.explode("members").alias("m"))
+            .filter((F.col("m.mtype") == F.lit(0))
+                    & F.col("m.role").isin(*roles))
+            .select("_rid", F.col("m.ref").alias("_nid"),
+                    F.array_position(pref, F.col("m.role")).alias("_pri"))
+        )
+        mem = mem.join(
+            nodes.select(F.col("id").alias("_nid"),
+                         F.col("lon").alias("_label_lon"),
+                         F.col("lat").alias("_label_lat")),
+            on="_nid", how="inner")
+        w = Window.partitionBy("_rid").orderBy("_pri", "_nid")
+        return (mem.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select("_rid", "_label_lon", "_label_lat"))
 
     def apply(self, nodes: DataFrame | None = None,
               way_geoms: DataFrame | None = None,
-              rel_geoms: DataFrame | None = None) -> DataFrame:
+              rel_geoms: DataFrame | None = None,
+              relations: DataFrame | None = None) -> DataFrame:
         """Build the features table from entity DataFrames.
 
         nodes: (id, lon, lat, tags); way_geoms: assembly output
         (id, tags, coords, is_closed, ...); rel_geoms: multipolygon
-        assembly output (id, tags, coords, ring_sizes, poly_ring_counts).
+        assembly output (id, tags, coords, ring_sizes, poly_ring_counts);
+        relations: raw relations (id, members, tags) — needed only for
+        rules with ``centroid_roles`` (role-based label members).
         """
         outs: list[DataFrame] = []
         empty_i = F.array().cast("array<int>")
@@ -224,15 +321,29 @@ class Profile:
                     F.col("coords"),
                     F.array((F.size("coords") / 2).cast("int")),
                     F.array(F.lit(1)))
-                outs.append(_polygons_to_label_points(emitted)
-                            if rule.as_centroid else emitted)
+                outs.append(_polygons_to_label_points(
+                    emitted, algorithm=rule.centroid_algorithm)
+                    if rule.as_centroid else emitted)
             elif rule.source == "relation" and rel_geoms is not None:
+                src = rel_geoms
+                label_cols = None
+                if (rule.as_centroid and rule.centroid_roles
+                        and relations is not None and nodes is not None):
+                    best = self._label_member_points(
+                        relations, nodes, rule.centroid_roles)
+                    src = rel_geoms.join(
+                        best, rel_geoms["id"] == best["_rid"], "left"
+                    ).drop("_rid")
+                    label_cols = ("_label_lon", "_label_lat")
                 emitted = self._emit(
-                    rel_geoms, rule, G.POLYGON,
+                    src, rule, G.POLYGON,
                     F.col("coords"), F.col("ring_sizes"),
-                    F.col("poly_ring_counts"))
-                outs.append(_polygons_to_label_points(emitted)
-                            if rule.as_centroid else emitted)
+                    F.col("poly_ring_counts"),
+                    extra_cols=label_cols or ())
+                outs.append(_polygons_to_label_points(
+                    emitted, algorithm=rule.centroid_algorithm,
+                    label_cols=label_cols)
+                    if rule.as_centroid else emitted)
         if not outs:
             raise ValueError("profile emitted no rules for given inputs")
         res = outs[0]
