@@ -340,8 +340,12 @@ def remove_spikes(ring, eps=0.0):
 def ring_self_intersects(ring) -> bool:
     """True if any two non-adjacent edges of the ring intersect (the
     validity test gating the reference's repair chain,
-    src/tile_data.cpp:380-426 via boost is_valid).  Vectorized O(n^2)
-    segment test — rings here are post-clip/simplify, so n is small."""
+    src/tile_data.cpp:380-426 via boost is_valid).
+
+    Candidate pairs come from an x-interval sweep (sort segments by min-x,
+    pair each with the segments whose min-x falls inside its x-span, then
+    bbox-filter on y) — near-linear for real rings instead of the naive
+    O(n^2) pair matrix, so 10k-point coastline rings stay cheap."""
     pts = np.asarray(ring, np.float64)
     if len(pts) >= 2 and (pts[0] == pts[-1]).all():
         pts = pts[:-1]
@@ -350,33 +354,48 @@ def ring_self_intersects(ring) -> bool:
         return False
     a = pts
     b = np.roll(pts, -1, axis=0)
+    minx = np.minimum(a[:, 0], b[:, 0]); maxx = np.maximum(a[:, 0], b[:, 0])
+    miny = np.minimum(a[:, 1], b[:, 1]); maxy = np.maximum(a[:, 1], b[:, 1])
+
+    order = np.argsort(minx, kind="stable")
+    sminx = minx[order]
+    hi = np.searchsorted(sminx, maxx[order], side="right")
+    cnt = np.maximum(hi - np.arange(n) - 1, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return False
+    ii_s = np.repeat(np.arange(n), cnt)
+    jj_s = (np.arange(total)
+            - np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+            + ii_s + 1)
+    oi, oj = order[ii_s], order[jj_s]
+    # exclude adjacent edges (share a vertex): |i-j| == 1 or the wrap pair
+    dd = np.abs(oi - oj)
+    keep = (dd != 1) & (dd != n - 1)
+    # y-bbox overlap (x overlap holds by construction of the sweep)
+    keep &= (miny[oi] <= maxy[oj]) & (miny[oj] <= maxy[oi])
+    oi, oj = oi[keep], oj[keep]
+    if len(oi) == 0:
+        return False
 
     def cross(ox, oy, ax, ay, bx, by):
         return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
 
-    ii, jj = np.triu_indices(n, k=2)
-    # adjacent wrap pair (0, n-1) shares a vertex — not a crossing
-    m = ~((ii == 0) & (jj == n - 1))
-    ii, jj = ii[m], jj[m]
-    p1x, p1y, p2x, p2y = a[ii, 0], a[ii, 1], b[ii, 0], b[ii, 1]
-    p3x, p3y, p4x, p4y = a[jj, 0], a[jj, 1], b[jj, 0], b[jj, 1]
-    d1 = cross(p3x, p3y, p4x, p4y, p1x, p1y)
-    d2 = cross(p3x, p3y, p4x, p4y, p2x, p2y)
-    d3 = cross(p1x, p1y, p2x, p2y, p3x, p3y)
-    d4 = cross(p1x, p1y, p2x, p2y, p4x, p4y)
-    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
-    if proper.any():
-        return True
-    # collinear touching / overlap of non-adjacent edges also invalid
-    deg = (d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)
-    if deg.any():
-        for k in np.nonzero(deg)[0]:
-            i, j = int(ii[k]), int(jj[k])
-            if (max(min(a[i, 0], b[i, 0]), min(a[j, 0], b[j, 0]))
-                    <= min(max(a[i, 0], b[i, 0]), max(a[j, 0], b[j, 0]))
-                    and max(min(a[i, 1], b[i, 1]), min(a[j, 1], b[j, 1]))
-                    <= min(max(a[i, 1], b[i, 1]), max(a[j, 1], b[j, 1]))):
-                return True
+    for s in range(0, len(oi), 1 << 22):
+        i = oi[s:s + (1 << 22)]
+        j = oj[s:s + (1 << 22)]
+        p1x, p1y, p2x, p2y = a[i, 0], a[i, 1], b[i, 0], b[i, 1]
+        p3x, p3y, p4x, p4y = a[j, 0], a[j, 1], b[j, 0], b[j, 1]
+        d1 = cross(p3x, p3y, p4x, p4y, p1x, p1y)
+        d2 = cross(p3x, p3y, p4x, p4y, p2x, p2y)
+        d3 = cross(p1x, p1y, p2x, p2y, p3x, p3y)
+        d4 = cross(p1x, p1y, p2x, p2y, p4x, p4y)
+        if (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))).any():
+            return True
+        # collinear overlap of non-adjacent edges also invalid (bbox
+        # overlap already holds for every candidate pair)
+        if ((d1 == 0) & (d2 == 0) & (d3 == 0) & (d4 == 0)).any():
+            return True
     return False
 
 

@@ -338,8 +338,17 @@ def _coerce_attr(v, typ: str | None):
 
 
 def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
-                    cfg: Config) -> bytes | None:
-    """All features already known to touch (z,x,y) -> MVT tile bytes."""
+                    cfg: Config, geom_in=None,
+                    clip_out: dict | None = None) -> bytes | None:
+    """All features already known to touch (z,x,y) -> MVT tile bytes.
+
+    Clip-pyramid reuse (reference include/clip_cache.h:21-37): when
+    ``geom_in`` is given, geom_in((feature_id, layer)) may return the
+    feature's geometry already clipped to the PARENT tile's box (a
+    superset of this tile's box+margin) — clipping proceeds from that
+    much smaller input instead of the original geometry.  When
+    ``clip_out`` is given, this tile's pre-simplify clip is stored under
+    the same key for the four child tiles to consume."""
     minlon, minlatp, maxlon, maxlatp = _tile_bbox(z, x, y)
     minlat = float(P.latp2lat(minlatp))
     maxlat = float(P.latp2lat(maxlatp))
@@ -407,13 +416,17 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
                     point_groups.setdefault(
                         (akey, i), ([], attrs, row))[0].extend(coords)
             elif kind in (G.LINESTRING, G.MULTILINESTRING):
-                lines = G.unpack_lines(
+                gkey = (row["feature_id"], row["layer"])
+                cached = geom_in(gkey) if geom_in is not None else None
+                lines = cached if cached is not None else G.unpack_lines(
                     coords.reshape(-1),
                     np.asarray(row["ring_sizes"], np.int64))
                 parts = []
                 for l in lines:
                     parts.extend(G.clip_line_to_box(
                         l, minlon, minlat, maxlon, maxlat))
+                if clip_out is not None:
+                    clip_out[gkey] = parts
                 if not parts:
                     continue
                 tol = tol_cache.setdefault(
@@ -436,12 +449,16 @@ def _build_one_tile(group: pd.DataFrame, z: int, x: int, y: int,
                         feature_id=int(row["feature_id"])
                         if cfg.include_ids else None)
             else:  # polygon
-                mp = G.unpack_multipolygon(
+                gkey = (row["feature_id"], row["layer"])
+                cached = geom_in(gkey) if geom_in is not None else None
+                mp = cached if cached is not None else G.unpack_multipolygon(
                     coords.reshape(-1),
                     np.asarray(row["ring_sizes"], np.int64),
                     np.asarray(row["poly_ring_counts"], np.int64))
                 clipped = G.clip_multipolygon_to_box(
                     mp, minlon, minlat, maxlon, maxlat)
+                if clip_out is not None:
+                    clip_out[gkey] = clipped
                 if not clipped:
                     continue
                 if (cfg.repair_geometry
@@ -621,20 +638,36 @@ def build_tiles(covered: DataFrame, cfg: Config,
             lambda n: layer_targets.get(n, n))
         pdf = pdf.drop_duplicates(subset=["feature_id", "layer", "bx", "by"])
         out_z, out_x, out_y, out_b = [], [], [], []
+        # clip pyramid (reference include/clip_cache.h:21-37): each tile
+        # caches its pre-simplify clip keyed by (feature, tile); the four
+        # children at z+1 clip from the parent's clip, not the original
+        prev_clips: dict = {}
         for z in range(lo, base_zoom + 1):
             shift = base_zoom - z
             tx = pdf["bx"].to_numpy() >> shift
             ty = pdf["by"].to_numpy() >> shift
             key = (tx.astype(np.int64) << 32) | ty.astype(np.int64)
             pdf["_tkey"] = key
+            cur_clips: dict = {}
             for tkey, group in pdf.groupby("_tkey"):
                 x = int(tkey >> 32)
                 y = int(tkey & 0xFFFFFFFF)
                 g = group.drop_duplicates(subset=["feature_id", "layer"])
-                blob = _build_one_tile(g, z, x, y, cfg)
+                px, py = x >> 1, y >> 1
+                geom_in = (
+                    (lambda gkey, _px=px, _py=py:
+                     prev_clips.get((gkey, _px, _py)))
+                    if z > lo else None)
+                clip_out: dict = {}
+                blob = _build_one_tile(g, z, x, y, cfg,
+                                       geom_in=geom_in, clip_out=clip_out)
+                if z < base_zoom:
+                    for gkey, geomv in clip_out.items():
+                        cur_clips[(gkey, x, y)] = geomv
                 if blob is not None:
                     out_z.append(z); out_x.append(x); out_y.append(y)
                     out_b.append(blob)
+            prev_clips = cur_clips
         return pd.DataFrame({"z": out_z, "x": out_x, "y": out_y,
                              "tile": out_b})
 
