@@ -83,16 +83,83 @@ def _decode_blobs(batches: Iterator[pd.DataFrame], which: str):
             })
 
 
+def _blob_entity_kinds(path: str, ref) -> set:
+    ents = K.decode_block(K.read_blob(path, ref))
+    kinds = set()
+    if ents.nodes:
+        kinds.add("n")
+    if ents.ways:
+        kinds.add("w")
+    if ents.relations:
+        kinds.add("r")
+    return kinds
+
+
+def blob_type_ranges(path: str) -> dict | None:
+    """Per-entity blob index ranges for ``Sort.Type_then_ID`` files
+    (reference src/pbf_processor.cpp:545-591): binary-search the data-blob
+    list for the node->way and way->relation boundaries so each phase
+    decodes only ~its third of the file — O(log n) driver-side blob
+    decodes instead of a per-phase full scan.  Returns
+    {"nodes"|"ways"|"relations": (lo, hi) inclusive blob positions} with
+    one blob of slack at each boundary (the per-phase decoder filters
+    entity kinds anyway), or None when the file is not type-sorted."""
+    if "Sort.Type_then_ID" not in read_header(path).get("features", []):
+        return None
+    data = [r for r in K.scan_blobs(path) if r.kind == "OSMData"]
+    n = len(data)
+    if n == 0:
+        return None
+    memo: dict[int, set] = {}
+
+    def kinds(i: int) -> set:
+        if i not in memo:
+            memo[i] = _blob_entity_kinds(path, data[i])
+        return memo[i]
+
+    def first_where(pred) -> int:
+        lo, hi = 0, n  # smallest i with pred(i), else n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if pred(kinds(mid)):
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    first_wr = first_where(lambda s: "w" in s or "r" in s)
+    first_r = first_where(lambda s: "r" in s)
+    if not (first_wr <= first_r):
+        return None  # inconsistent ordering — fall back to full scans
+    return {
+        "nodes": (0, min(first_wr, n - 1)),
+        "ways": (max(first_wr - 1, 0), min(first_r, n - 1)),
+        "relations": (max(first_r - 1, 0), n - 1),
+    }
+
+
 def read_pbf(spark: SparkSession, path: str, partitions: int | None = None):
-    """-> (nodes, ways, relations) DataFrames decoded blob-parallel."""
-    idx = blob_index_df(spark, path)
-    n_blobs = idx.count()
-    parts = partitions or max(1, min(n_blobs, 64))
-    idx = idx.repartition(parts)
-    nodes = idx.mapInPandas(lambda it: _decode_blobs(it, "nodes"), NODES_SCHEMA)
-    ways = idx.mapInPandas(lambda it: _decode_blobs(it, "ways"), WAYS_SCHEMA)
-    rels = idx.mapInPandas(lambda it: _decode_blobs(it, "relations"), RELS_SCHEMA)
-    return nodes, ways, rels
+    """-> (nodes, ways, relations) DataFrames decoded blob-parallel.
+    For Sort.Type_then_ID files each entity table scans only its blob
+    type-range (plus one boundary blob of slack) — the reference's block
+    type-range pruning (src/pbf_processor.cpp:545-591)."""
+    data = [r for r in K.scan_blobs(path) if r.kind == "OSMData"]
+    ranges = blob_type_ranges(path)
+
+    def phase(which: str, schema: str) -> DataFrame:
+        refs = data
+        if ranges is not None:
+            lo, hi = ranges[which]
+            refs = data[lo:hi + 1]
+        parts = partitions or max(1, min(len(refs), 64))
+        src = spark.createDataFrame(
+            [(path, r.offset, r.size, r.kind) for r in refs],
+            "path string, offset long, size long, kind string"
+        ).repartition(parts)
+        return src.mapInPandas(lambda it: _decode_blobs(it, which), schema)
+
+    return (phase("nodes", NODES_SCHEMA), phase("ways", WAYS_SCHEMA),
+            phase("relations", RELS_SCHEMA))
 
 
 def read_header(path: str) -> dict:
