@@ -41,35 +41,49 @@ def main():
         "minhash_pairs", "ann_topk", "cover_large", "poly_union", "area_intersect",
         "rel_members", "pip_line", "covered_by",
     ]
+    # best-of-N with INTERLEAVED rounds (run the whole list, then run it
+    # again): single-shot numbers on this noisy shared host drift 20-50%
+    # between rounds, which made round-over-round comparisons meaningless
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
     timings: dict[str, float] = {}
-    for name in headline:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
-    # flagship image->tile pipeline at bench scale
-    t0 = time.time()
-    img = images_df(spark, n_images, with_bytes=False,
-                    partitions=max(cpus, 16))
-    grid = grid_polygons_df(spark, nx=72, ny=34)
-    assigned = spatial_join.pip_join_broadcast(
-        img.select("image_id", "lon", "lat"), grid,
-        poly_cols=("poly_id",), index_zoom=6)
-    z = 12
-    tiles = (
-        assigned.select(
-            TE.lon2tilex(F.col("lon"), z).alias("x"),
-            TE.lat2tiley(F.col("lat"), z).alias("y"))
-        .groupBy("x", "y").agg(F.count("*").alias("n"))
-    )
-    n_tiles = tiles.count()
-    pipe_sec = time.time() - t0
-    timings["image_pipeline"] = round(pipe_sec, 3)
+    def flagship() -> tuple[float, int]:
+        t0 = time.time()
+        img = images_df(spark, n_images, with_bytes=False,
+                        partitions=max(cpus, 16))
+        grid = grid_polygons_df(spark, nx=72, ny=34)
+        assigned = spatial_join.pip_join_broadcast(
+            img.select("image_id", "lon", "lat"), grid,
+            poly_cols=("poly_id",), index_zoom=6)
+        z = 12
+        tiles = (
+            assigned.select(
+                TE.lon2tilex(F.col("lon"), z).alias("x"),
+                TE.lat2tiley(F.col("lat"), z).alias("y"))
+            .groupBy("x", "y").agg(F.count("*").alias("n"))
+        )
+        n_tiles = tiles.count()
+        return time.time() - t0, n_tiles
+
+    n_tiles = 0
+    for rnd in range(rounds):
+        for name in headline:
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            sec = round(time.time() - t0, 3)
+            if name not in timings or sec < timings[name]:
+                timings[name] = sec
+            print(f"# r{rnd} {name}: {n} rows in {sec}s", file=sys.stderr)
+        pipe_sec, n_tiles = flagship()
+        if ("image_pipeline" not in timings
+                or pipe_sec < timings["image_pipeline"]):
+            timings["image_pipeline"] = round(pipe_sec, 3)
+        print(f"# r{rnd} image_pipeline: {n_images} images -> {n_tiles} "
+              f"tiles in {pipe_sec:.1f}s", file=sys.stderr)
+
+    pipe_sec = timings["image_pipeline"]
     images_per_sec = round(n_images / pipe_sec, 1)
     tiles_per_sec = round(n_tiles / pipe_sec, 1)
-    print(f"# image_pipeline: {n_images} images -> {n_tiles} tiles "
-          f"in {pipe_sec:.1f}s ({images_per_sec}/s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -81,6 +95,7 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extras": {
             "cpus": cpus,
+            "bench_rounds": rounds,
             "bench_images": n_images,
             "images_assigned_per_sec": images_per_sec,
             "tiles_per_sec": tiles_per_sec,

@@ -1,7 +1,18 @@
 """Monaco end-to-end parity gate (SURVEY.md §7.2 milestone): the full
 pbf -> assembly -> profile -> tiling -> mbtiles pipeline on the reference's
 own fixture, with checked-in expected z14 per-tile feature counts for
-the transportation and building layers."""
+the transportation and building layers.
+
+GOLDEN PROVENANCE: tests/golden/monaco_z14_counts.json is SELF-GENERATED
+(captured from this engine's own output in round 2) — it is a regression
+lock, not independent cross-engine parity.  What IS independently
+verified against the reference: the monaco entity statistics
+(30477/4825/285, reference's own published fixture counts,
+tests/test_pbf_monaco.py) and the per-operator semantics via the
+reference-cited kernel tests.  A true reference-built tile comparison is
+not possible in this container (no cmake/boost/lua toolchain); if one
+becomes available, regenerate the golden from the reference binary with
+the resources/config-openmaptiles profile restricted to the layers here."""
 
 import json
 import os

@@ -66,6 +66,21 @@ def test_pip_left_join_marks_nonmatches(spark, grid):
     assert rows["out"] is None
 
 
+def test_pip_left_join_with_id_key_and_nan_column(spark, grid):
+    # point_id_cols: anti-join runs on the compact id key, so a NaN float
+    # payload column can't break matching (NaN != NaN under plain equality)
+    pts = spark.createDataFrame(
+        [("in", 10.0, 10.0, 1.5), ("out", 0.0, 89.9, float("nan"))],
+        "image_id string, lon double, lat double, score double")
+    j = spatial_join.pip_join_broadcast(
+        pts, grid, poly_cols=("poly_id",), how="left",
+        point_id_cols=("image_id",))
+    rows = {r["image_id"]: r["poly_id"] for r in j.collect()}
+    assert rows["in"] is not None
+    assert rows["out"] is None
+    assert j.count() == 2
+
+
 def test_knn_cell_matches_bruteforce_on_cluster(spark):
     # dense cluster so the kth neighbor is well within one cell ring
     img = synth.images_df(spark, 400, with_bytes=False)

@@ -120,6 +120,7 @@ def pip_join(
     n_salts: int = 1,
     how: str = "inner",
     poly_cols: tuple = ("poly_id",),
+    point_id_cols: tuple | None = None,
 ) -> DataFrame:
     """Filter-refine PIP join; returns point columns + matched poly_cols.
 
@@ -128,7 +129,11 @@ def pip_join(
     cell key (large layers); ``n_salts`` > 1 replicates polygon-cell rows
     across salts to split hot cells beyond what AQE does.
     how='left' keeps unmatched points with null poly columns (the boolean
-    Intersects form is then ``poly_id IS NOT NULL``).
+    Intersects form is then ``poly_id IS NOT NULL``).  Pass
+    ``point_id_cols`` (a key uniquely identifying point rows) so the
+    left path's anti-join runs on the compact key — without it the
+    anti-join falls back to null-safe equality over EVERY point column,
+    which is O(cols) and fragile for NaN-bearing floats.
     """
     iz = index_zoom
     cells = polygon_cells_udf(iz)
@@ -174,13 +179,16 @@ def pip_join(
         *[F.col(c) for c in points.columns], *list(poly_cols))
     if how == "inner":
         return matched
-    # left: re-attach unmatched points with null poly columns (null-safe
-    # equality so null-valued point columns don't break the anti join)
+    # left: re-attach unmatched points with null poly columns
+    key_cols = (list(point_id_cols) if point_id_cols
+                else list(points.columns))
+    # null-safe equality so null-valued key columns don't break the anti
+    # join; with point_id_cols this is a compact single-key comparison
     hit_pts = matched.select(
-        *[F.col(c).alias(f"_m_{c}") for c in points.columns]
+        *[F.col(c).alias(f"_m_{c}") for c in key_cols]
     ).dropDuplicates()
     cond = None
-    for c in points.columns:
+    for c in key_cols:
         e = points[c].eqNullSafe(F.col(f"_m_{c}"))
         cond = e if cond is None else (cond & e)
     un = points.join(hit_pts, on=cond, how="left_anti")
