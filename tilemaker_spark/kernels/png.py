@@ -146,7 +146,12 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio between two uint8 images; inf if equal."""
-    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    # int16 diff / int32 square: exact integer math (255^2 fits int32)
+    # at a quarter of the float64 path's memory traffic — the decode+
+    # verify stage is bandwidth-bound at wide core counts
+    d = a.astype(np.int16) - b.astype(np.int16)
+    d32 = d.astype(np.int32)
+    mse = float(np.mean(d32 * d32))
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
