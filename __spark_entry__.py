@@ -955,6 +955,211 @@ GROUP BY 1, 2
 """
 
 
+def q_line_clip(spark, sf_dir):
+    """Segment clipping against a tile-style axis box (reference's
+    segment-wise linestring clip, src/tile_data.cpp:254-293), via the
+    vectorized Liang–Barsky kernel (kernels/geom.py
+    clip_segments_to_box).  One world-spanning segment per order (both
+    endpoints LCG-derived), clipped to [-60,60]x[-45,45]; the oracle is
+    the same parametric clip written as closed-form SQL."""
+    import pandas as pd
+    from tilemaker_spark.kernels import geom as G
+
+    o = _t(spark, sf_dir, "orders")
+    lon0, lat0 = synth.geo_point_expr(F.col("o_orderkey"))
+    lon1, lat1 = synth.geo_point_expr(F.col("o_orderkey") * 31 + 7)
+    seg = o.select(F.col("o_orderkey"), lon0.alias("x0"), lat0.alias("y0"),
+                   lon1.alias("x1"), lat1.alias("y1"))
+
+    def gen(batches):
+        import numpy as np
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.column_stack([pdf["x0"], pdf["y0"]])
+            b = np.column_stack([pdf["x1"], pdf["y1"]])
+            ok, pa, pb = G.clip_segments_to_box(a, b, -60.0, -45.0,
+                                                60.0, 45.0)
+            yield pd.DataFrame({
+                "o_orderkey": pdf["o_orderkey"].to_numpy()[ok],
+                "cx0": np.round(pa[ok, 0], 7),
+                "cy0": np.round(pa[ok, 1], 7),
+                "cx1": np.round(pb[ok, 0], 7),
+                "cy1": np.round(pb[ok, 1], 7),
+            })
+
+    return seg.mapInPandas(
+        gen, "o_orderkey long, cx0 double, cy0 double, "
+             "cx1 double, cy1 double")
+
+
+def sql_line_clip():
+    lon1, lat1 = synth.geo_point_sql("(o_orderkey * 31 + 7)")
+    tpar = []
+    for v0, dv, lo, hi in (("x0", "dx", -60.0, 60.0),
+                           ("y0", "dy", -45.0, 45.0)):
+        tpar.append(
+            f"CASE WHEN {dv} <> 0 THEN least(({lo} - {v0}) / {dv},"
+            f" ({hi} - {v0}) / {dv})"
+            f" WHEN {v0} >= {lo} AND {v0} <= {hi} THEN 0.0"
+            f" ELSE 2.0 END AS tmin{dv}")
+        tpar.append(
+            f"CASE WHEN {dv} <> 0 THEN greatest(({lo} - {v0}) / {dv},"
+            f" ({hi} - {v0}) / {dv})"
+            f" WHEN {v0} >= {lo} AND {v0} <= {hi} THEN 1.0"
+            f" ELSE -1.0 END AS tmax{dv}")
+    return f"""
+WITH seg AS (
+  SELECT o_orderkey, {ORD_LON} AS x0, {ORD_LAT} AS y0,
+         {lon1} AS x1, {lat1} AS y1
+  FROM orders
+), dseg AS (
+  SELECT *, (x1 - x0) AS dx, (y1 - y0) AS dy FROM seg
+), par AS (
+  SELECT *, {', '.join(tpar)} FROM dseg
+), lam AS (
+  SELECT *, greatest(0.0, tmindx, tmindy) AS t0,
+            least(1.0, tmaxdx, tmaxdy) AS t1
+  FROM par
+)
+SELECT o_orderkey,
+       round(x0 + t0 * dx, 7) AS cx0, round(y0 + t0 * dy, 7) AS cy0,
+       round(x0 + t1 * dx, 7) AS cx1, round(y0 + t1 * dy, 7) AS cy1
+FROM lam WHERE t0 <= t1
+"""
+
+
+def q_getdata_lookup(spark, sf_dir):
+    """GetData/SetData (reference src/osm_lua_processing.cpp:203-210):
+    a small external k/v table (nation key -> name) materialized with
+    collect_data and applied inside a profile rule via get_data_expr —
+    the Lua API's SetData store as a plan-literal broadcast map."""
+    from tilemaker_spark.plans import profile as prof
+
+    data = prof.collect_data(
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("string").alias("nk"), "n_name"),
+        "nk", "n_name")
+    lookup = prof.get_data_expr(data)
+    nodes = _customer_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("id"), "lon", "lat",
+        F.create_map(F.lit("nat"),
+                     F.col("c_nationkey").cast("string")).alias("tags"))
+    rules = [prof.LayerRule(
+        layer="places", source="node",
+        match=lambda: prof.holds("nat"),
+        attrs={"nname": lambda: lookup(prof.find("nat"))})]
+    feats = prof.Profile(rules).apply(nodes=nodes)
+    return feats.select(
+        F.col("feature_id").alias("c_custkey"),
+        F.element_at(F.col("attrs"), "nname").alias("nname"))
+
+
+def sql_getdata_lookup():
+    return """
+SELECT c_custkey, n_name AS nname
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_label_centroid(spark, sf_dir):
+    """LayerAsCentroid(layer, role...) + Centroid("centroid") (reference
+    src/osm_lua_processing.cpp:749-943): nations as relation polygons;
+    nations 0-19 get node members (customers, roles by c_custkey % 3:
+    0 -> 'label', 1 -> 'admin_centre', 2 -> 'outer'), so their label
+    point is the preferred role member's coordinates; nations 20-24 have
+    no matching member and fall back to the area-centroid algorithm
+    (box midpoint).  Oracle: role-priority window + closed-form
+    midpoint."""
+    from tilemaker_spark.plans import profile as prof
+
+    boxes = _nation_boxes(spark, sf_dir)
+    rel_geoms = boxes.select(
+        F.col("poly_id").cast("long").alias("id"),
+        "coords", "ring_sizes", "poly_ring_counts")
+    cust = _customer_points(spark, sf_dir)
+    members = (
+        cust.filter((F.col("c_custkey") % 25) < 20)
+        .select(
+            (F.col("c_custkey") % 25).cast("long").alias("id"),
+            F.struct(
+                F.when(F.col("c_custkey") % 3 == 2, F.lit(1))
+                .otherwise(F.lit(0)).cast("int").alias("mtype"),
+                F.col("c_custkey").cast("long").alias("ref"),
+                F.when(F.col("c_custkey") % 3 == 0, F.lit("label"))
+                .when(F.col("c_custkey") % 3 == 1, F.lit("admin_centre"))
+                .otherwise(F.lit("outer")).alias("role"),
+            ).alias("m"))
+        .groupBy("id").agg(F.collect_list("m").alias("members")))
+    relations = members.select(
+        "id", "members",
+        F.create_map(F.lit("type"), F.lit("boundary")).alias("tags"))
+    nodes = cust.select(F.col("c_custkey").alias("id"), "lon", "lat",
+                        F.create_map().cast("map<string,string>")
+                        .alias("tags"))
+    rules = [prof.LayerRule(
+        layer="place", source="relation", match=lambda: F.lit(True),
+        as_centroid=True, centroid_algorithm="centroid",
+        centroid_roles=("label", "admin_centre"))]
+    feats = prof.Profile(rules).apply(
+        nodes=nodes, rel_geoms=rel_geoms, relations=relations)
+    return feats.select(
+        F.col("feature_id").alias("poly_id"),
+        F.round(F.element_at("coords", 1), 6).alias("label_lon"),
+        F.round(F.element_at("coords", 2), 6).alias("label_lat"))
+
+
+def sql_label_centroid():
+    return f"""
+WITH mem AS (
+  SELECT (c_custkey % 25) AS nk, c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 2 END AS pri
+  FROM customer
+  WHERE (c_custkey % 25) < 20 AND (c_custkey % 3) < 2
+), best AS (
+  SELECT nk, c_custkey FROM (
+    SELECT nk, c_custkey,
+           row_number() OVER (PARTITION BY nk
+                              ORDER BY pri, c_custkey) AS rk
+    FROM mem) t WHERE rk = 1
+)
+SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+       round(CASE WHEN best.c_custkey IS NOT NULL THEN {CUST_LON.replace('c_custkey', 'best.c_custkey')}
+                  ELSE ({NB['minlon']} + {NB['maxlon']}) / 2 END, 6)
+           AS label_lon,
+       round(CASE WHEN best.c_custkey IS NOT NULL THEN {CUST_LAT.replace('c_custkey', 'best.c_custkey')}
+                  ELSE ({NB['minlat']} + {NB['maxlat']}) / 2 END, 6)
+           AS label_lat
+FROM nation LEFT JOIN best ON n_nationkey = best.nk
+"""
+
+
+def q_raster_roundtrip(spark, sf_dir):
+    """Raster<->vector tile assembly (north-star graft op; the reference
+    is vector-only): nation boxes -> PNG raster tiles at z3 (scanline
+    fill, kernels/raster.py) -> traced back to polygons
+    (boundary-chaining vectorizer) -> per-tile polygon/ring stats.
+    No SQL twin (rasterization is not SQL-expressible): rows-only by
+    design; pixel-exact round-trip is pytest-verified
+    (tests/test_raster.py)."""
+    from tilemaker_spark.operators import raster as raster_ops
+
+    boxes = _nation_boxes(spark, sf_dir)
+    feats = boxes.select(
+        F.col("poly_id").cast("long").alias("feature_id"),
+        F.lit("nation").alias("layer"),
+        F.lit(3).cast("tinyint").alias("kind"),
+        F.lit(0).alias("minzoom"), F.lit(0).cast("long").alias("zorder"),
+        F.create_map().cast("map<string,string>").alias("attrs"),
+        "coords", "ring_sizes", "poly_ring_counts")
+    tiles = raster_ops.render_raster_tiles(feats, zoom=3, size=64)
+    traced = raster_ops.raster_to_features(tiles)
+    return traced.select(
+        "z", "x", "y",
+        F.size("poly_ring_counts").alias("n_polys"),
+        F.size("ring_sizes").alias("n_rings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -986,6 +1191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_dups": q_simhash_dups,
         "ann_topk": q_ann_topk,
+        "line_clip": q_line_clip,
+        "getdata_lookup": q_getdata_lookup,
+        "label_centroid": q_label_centroid,
+        "raster_roundtrip": q_raster_roundtrip,
     }
 
 
@@ -1020,4 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash_pairs / simhash_dups: intentionally no oracle (xxhash64 /
         # FNV word hashes have no DuckDB twin) -> rows-only check
         "ann_topk": sql_ann_topk(),
+        "line_clip": sql_line_clip(),
+        "getdata_lookup": sql_getdata_lookup(),
+        "label_centroid": sql_label_centroid(),
     }

@@ -39,7 +39,7 @@ def main():
         "way_assembly", "zorder_topk", "tiles_rollup", "pricing_summary",
         "shipping_priority", "dedup_exact", "text_stats", "ngram_jaccard",
         "minhash_pairs", "ann_topk", "cover_large", "poly_union", "area_intersect",
-        "rel_members", "pip_line", "covered_by",
+        "rel_members", "pip_line", "covered_by", "line_clip",
     ]
     # best-of-N with INTERLEAVED rounds (run the whole list, then run it
     # again): single-shot numbers on this noisy shared host drift 20-50%

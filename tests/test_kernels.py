@@ -96,6 +96,24 @@ class TestGeom:
         parts = geom.clip_line_to_box(line, 0, 0, 1, 1)
         assert len(parts) == 2
 
+    def test_clip_segments_batch_matches_polyline(self):
+        # the vectorized N-segment clip agrees with the per-polyline clip
+        # applied to each 2-point segment, including axis-parallel and
+        # fully-inside/outside segments
+        rng = np.random.default_rng(42)
+        a = rng.uniform(-2, 3, (200, 2))
+        b = rng.uniform(-2, 3, (200, 2))
+        a[:20, 0] = b[:20, 0]          # vertical segments (dx == 0)
+        a[20:40, 1] = b[20:40, 1]      # horizontal segments (dy == 0)
+        ok, pa, pb = geom.clip_segments_to_box(a, b, 0, 0, 1, 1)
+        for i in range(len(a)):
+            parts = geom.clip_line_to_box(
+                np.array([a[i], b[i]]), 0, 0, 1, 1)
+            assert bool(ok[i]) == (len(parts) == 1)
+            if ok[i]:
+                np.testing.assert_array_equal(parts[0][0], pa[i])
+                np.testing.assert_array_equal(parts[0][-1], pb[i])
+
     def test_douglas_peucker(self):
         line = np.array([[0, 0], [1, 0.001], [2, 0], [3, 1]], float)
         out = geom.douglas_peucker(line, 0.01)

@@ -253,20 +253,17 @@ def clip_multipolygon_to_box(mp, minx, miny, maxx, maxy):
     return out
 
 
-def clip_line_to_box(line, minx, miny, maxx, maxy):
-    """Clip a polyline to a box -> list of line parts (multilinestring).
+def clip_segments_to_box(a, b, minx, miny, maxx, maxy):
+    """Liang–Barsky clip of N independent segments against an axis box,
+    fully vectorized (the batched form of the reference's segment-wise
+    clip, src/tile_data.cpp:254-293).
 
-    Mirrors the reference's segment-wise linestring clip
-    (src/tile_data.cpp:254-293): each segment is clipped independently
-    (Liang–Barsky) and consecutive surviving segments are re-chained.
+    a, b: (N, 2) endpoint arrays.  Returns (ok, pa, pb): boolean keep
+    mask and the clipped endpoints (valid where ok).
     """
-    p = np.asarray(line, np.float64)
-    if len(p) < 2:
-        return []
-    a, b = p[:-1], p[1:]
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
     d = b - a
-    parts, cur = [], []
-
     t0 = np.zeros(len(a))
     t1 = np.ones(len(a))
     for dim, lo, hi in ((0, minx, maxx), (1, miny, maxy)):
@@ -283,16 +280,33 @@ def clip_line_to_box(line, minx, miny, maxx, maxy):
         tmax = np.where((dd == 0) & ~inside0, -1.0, tmax)
         t0 = np.maximum(t0, tmin)
         t1 = np.minimum(t1, tmax)
-
     ok = t0 <= t1
+    pa = a + t0[:, None] * d
+    pb = a + t1[:, None] * d
+    return ok, pa, pb
+
+
+def clip_line_to_box(line, minx, miny, maxx, maxy):
+    """Clip a polyline to a box -> list of line parts (multilinestring).
+
+    Mirrors the reference's segment-wise linestring clip
+    (src/tile_data.cpp:254-293): each segment is clipped independently
+    (Liang–Barsky) and consecutive surviving segments are re-chained.
+    """
+    p = np.asarray(line, np.float64)
+    if len(p) < 2:
+        return []
+    a, b = p[:-1], p[1:]
+    parts, cur = [], []
+    ok, pas, pbs = clip_segments_to_box(a, b, minx, miny, maxx, maxy)
     for i in range(len(a)):
         if not ok[i]:
             if len(cur) >= 2:
                 parts.append(np.asarray(cur))
             cur = []
             continue
-        pa = a[i] + t0[i] * d[i]
-        pb = a[i] + t1[i] * d[i]
+        pa = pas[i]
+        pb = pbs[i]
         if not cur:
             cur = [pa, pb]
         elif np.allclose(cur[-1], pa):
