@@ -1,0 +1,159 @@
+"""spark-submit entry point: OSM source -> vector (and optional raster)
+tiles, resumable, for multi-executor clusters.
+
+The BASELINE north rule requires the pipeline to "run via spark-submit
+--py-files on multi-executor clusters".  Package and submit:
+
+    python tools/package_pyfiles.py          # -> dist/tilemaker_spark.zip
+    spark-submit --master <cluster> \
+        --py-files dist/tilemaker_spark.zip \
+        jobs/build_tiles_job.py \
+        --input monaco.osm.pbf --output monaco.mbtiles \
+        --maxzoom 14 [--bbox minlon,minlat,maxlon,maxlat] \
+        [--raster-zoom 8] [--checkpoint /path/ckpt]
+
+Unlike the test harness (tilemaker_spark.session.get_spark, which pins
+master=local[N]), this entry takes the master from spark-submit and only
+sets tuning config, so the same file runs on local[*], YARN, or k8s.
+Executors import tilemaker_spark from the shipped zip; nothing here
+depends on the driver's filesystem layout.
+
+With --checkpoint the tile write goes through lineage.CheckpointedSink
+keyed by z6 subtree: a re-run after failure skips committed subtrees
+(idempotent resume from the last committed snapshot), then the sink's
+committed data is exported to the .mbtiles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+try:  # running under spark-submit --py-files the zip provides the package;
+    import tilemaker_spark  # noqa: F401  # a bare checkout run falls back
+except ModuleNotFoundError:  # to the repo next to this file
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, _repo)
+    # python workers inherit the env, not the driver's sys.path
+    os.environ["PYTHONPATH"] = (
+        _repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+
+
+def make_session(app_name: str = "tilemaker_spark_build") -> SparkSession:
+    """Cluster-friendly session: master comes from spark-submit / env;
+    only engine tuning is set here (same knobs as session.get_spark)."""
+    return (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def read_features(spark: SparkSession, path: str):
+    """Dispatch on extension: .pbf -> decode + assemble + the
+    openmaptiles-lite profile (returning ITS Config, which carries the
+    layer definitions); .geojson/.json -> GeoJSON features; anything
+    else -> pre-built FEATURE_SCHEMA parquet.  Returns (features, cfg);
+    cfg is None when the source carries no layer config."""
+    if path.endswith(".pbf"):
+        from tilemaker_spark.operators.assembly import (
+            assemble_relation_multipolygons, assemble_way_geometries)
+        from tilemaker_spark.plans.profile import openmaptiles_lite
+        from tilemaker_spark.sources import pbf as pbf_src
+        nodes, ways, rels = pbf_src.read_pbf(spark, path)
+        wg = assemble_way_geometries(ways, nodes, skip_integrity=True)
+        rg = assemble_relation_multipolygons(
+            rels.filter("tags['type'] = 'multipolygon'"), wg)
+        prof, cfg = openmaptiles_lite()
+        return prof.apply(nodes=nodes, way_geoms=wg, rel_geoms=rg), cfg
+    if path.endswith((".geojson", ".json")):
+        from tilemaker_spark.sources.geojson import read_geojson
+        return read_geojson(spark, path), None
+    return spark.read.parquet(path), None
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help=".osm.pbf | .geojson | feature parquet dir")
+    ap.add_argument("--output", required=True,
+                    help=".mbtiles | .pmtiles | z/x/y directory")
+    ap.add_argument("--minzoom", type=int, default=0)
+    ap.add_argument("--maxzoom", type=int, default=14)
+    ap.add_argument("--bbox", default=None,
+                    help="minlon,minlat,maxlon,maxlat clip box")
+    ap.add_argument("--high-resolution", action="store_true")
+    ap.add_argument("--merge", action="store_true",
+                    help="feature-merge into an existing mbtiles")
+    ap.add_argument("--raster-zoom", type=int, default=None,
+                    help="also render PNG raster tiles at this zoom "
+                         "(written next to the output as .raster.mbtiles)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="lineage/checkpoint root for idempotent resume")
+    args = ap.parse_args(argv)
+
+    spark = make_session()
+    from tilemaker_spark.config import Config, LayerDef
+    from tilemaker_spark.operators.tiling import generate_tiles
+    from tilemaker_spark.sinks import mbtiles as MB
+
+    features, cfg = read_features(spark, args.input)
+    if cfg is None:
+        cfg = Config()
+    cfg.minzoom = args.minzoom
+    cfg.maxzoom = cfg.basezoom = args.maxzoom
+    cfg.high_resolution = args.high_resolution
+    if args.bbox:
+        cfg.clip_bbox = tuple(float(v) for v in args.bbox.split(","))
+    if not cfg.layers:
+        # external feature tables carry no layer config: the tile
+        # builder only emits layers it knows, so register each distinct
+        # layer with defaults (one tiny collect of layer names)
+        names = [r["layer"]
+                 for r in features.select("layer").distinct().collect()]
+        cfg.layers = {n: LayerDef(n, maxzoom=args.maxzoom) for n in names}
+
+    tiles = generate_tiles(features, cfg)
+
+    if args.checkpoint:
+        from tilemaker_spark.lineage import CheckpointedSink
+        sink = CheckpointedSink(args.checkpoint)
+        # z6 subtree = the tile builder's work unit = the resume unit;
+        # zooms < 6 form one extra group (they are one plan anyway)
+        pk = F.when(
+            F.col("z") >= 6,
+            F.expr("shiftright(x, z - 6) * 64 + shiftright(y, z - 6)"),
+        ).otherwise(F.lit(-1)).cast("long")
+        sink.write_partitioned(tiles.withColumn("pk", pk), "pk")
+        tiles = sink.read(spark).select("z", "x", "y", "tile")
+
+    if args.output.endswith(".mbtiles"):
+        n = MB.write_mbtiles(tiles, args.output, merge=args.merge)
+    elif args.output.endswith(".pmtiles"):
+        from tilemaker_spark.sinks.pmtiles import write_pmtiles
+        n = write_pmtiles(tiles, args.output)
+    else:
+        from tilemaker_spark.sinks.filetree import write_filetree
+        n = write_filetree(tiles, args.output)
+    print(f"wrote {n} vector tiles -> {args.output}")
+
+    if args.raster_zoom is not None:
+        from tilemaker_spark.operators.raster import render_raster_tiles
+        rt = render_raster_tiles(features, zoom=args.raster_zoom)
+        rpath = os.path.splitext(args.output)[0] + ".raster.mbtiles"
+        rn = MB.write_mbtiles(rt.withColumnRenamed("png", "tile"), rpath,
+                              metadata={"format": "png"})
+        print(f"wrote {rn} raster tiles -> {rpath}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
