@@ -1134,6 +1134,88 @@ FROM nation LEFT JOIN best ON n_nationkey = best.nk
 """
 
 
+def q_simplify(spark, sf_dir):
+    """Douglas-Peucker + Visvalingam simplify (reference
+    src/geom.cpp:119-124, src/visvalingam.cpp) on a staircase fixture
+    with exactly-collinear runs: integer-degree steps make intermediate
+    points exactly collinear (perpendicular distance / triangle area
+    exactly 0), so both algorithms keep precisely the endpoints and the
+    three corners — a closed-form SQL twin.  Even orderkeys run DP,
+    odd ones Visvalingam."""
+    import pandas as pd
+    from tilemaker_spark.kernels import geom as G
+
+    o = _t(spark, sf_dir, "orders")
+    lon, lat = synth.geo_point_expr(F.col("o_orderkey"))
+    base = o.select(
+        "o_orderkey",
+        F.greatest(F.lit(-170.0), F.least(F.lit(150.0), lon)).alias("x0"),
+        F.greatest(F.lit(-80.0), F.least(F.lit(60.0), lat)).alias("y0"),
+        (F.col("o_orderkey") % 3 + 1).cast("int").alias("r1"),
+        (F.floor(F.col("o_orderkey") / 3) % 3 + 1).cast("int").alias("r2"),
+        (F.floor(F.col("o_orderkey") / 9) % 3 + 1).cast("int").alias("r3"),
+        F.lit(2).alias("r4"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        for pdf in batches:
+            keys, idxs, xs, ys = [], [], [], []
+            for t in pdf.itertuples(index=False):
+                # integer offsets + ONE float add per point, so corner
+                # coordinates are bit-identical to the oracle's
+                # x0 + (integer sum) regardless of association order
+                pts = [(t.x0, t.y0)]
+                ox = oy = 0
+                for d, r in (((1, 0), t.r1), ((0, 1), t.r2),
+                             ((1, 0), t.r3), ((0, 1), t.r4)):
+                    for _ in range(int(r)):
+                        ox, oy = ox + d[0], oy + d[1]
+                        pts.append((t.x0 + ox, t.y0 + oy))
+                line = np.asarray(pts, np.float64)
+                # tol sits far above float collinearity noise (~1e-12 at
+                # these magnitudes) and far below any true corner's
+                # distance/area (>= ~0.09), so both algorithms keep
+                # exactly endpoints + corners
+                out = (G.douglas_peucker(line, 1e-6)
+                       if t.o_orderkey % 2 == 0
+                       else G.visvalingam(line, 1e-6))
+                for i, (px, py) in enumerate(out):
+                    keys.append(t.o_orderkey)
+                    idxs.append(i)
+                    xs.append(px)
+                    ys.append(py)
+            yield pd.DataFrame({"o_orderkey": keys, "pt": idxs,
+                                "x": xs, "y": ys})
+
+    return base.mapInPandas(
+        gen, "o_orderkey long, pt int, x double, y double")
+
+
+def sql_simplify():
+    x0 = f"greatest(-170.0, least(150.0, {ORD_LON}))"
+    y0 = f"greatest(-80.0, least(60.0, {ORD_LAT}))"
+    return f"""
+WITH p AS (
+  SELECT o_orderkey, {x0} AS x0, {y0} AS y0,
+         (o_orderkey % 3 + 1) AS r1,
+         (CAST(floor(o_orderkey / 3) AS BIGINT) % 3 + 1) AS r2,
+         (CAST(floor(o_orderkey / 9) AS BIGINT) % 3 + 1) AS r3,
+         2 AS r4
+  FROM orders
+)
+SELECT o_orderkey, 0 AS pt, x0 AS x, y0 AS y FROM p
+UNION ALL
+SELECT o_orderkey, 1, x0 + r1, y0 FROM p
+UNION ALL
+SELECT o_orderkey, 2, x0 + r1, y0 + r2 FROM p
+UNION ALL
+SELECT o_orderkey, 3, x0 + (r1 + r3), y0 + r2 FROM p
+UNION ALL
+SELECT o_orderkey, 4, x0 + (r1 + r3), y0 + (r2 + r4) FROM p
+"""
+
+
 def q_raster_roundtrip(spark, sf_dir):
     """Raster<->vector tile assembly (north-star graft op; the reference
     is vector-only): nation boxes -> PNG raster tiles at z3 (scanline
@@ -1195,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "getdata_lookup": q_getdata_lookup,
         "label_centroid": q_label_centroid,
         "raster_roundtrip": q_raster_roundtrip,
+        "simplify": q_simplify,
     }
 
 
@@ -1232,4 +1315,5 @@ def oracle_sql() -> dict[str, str]:
         "line_clip": sql_line_clip(),
         "getdata_lookup": sql_getdata_lookup(),
         "label_centroid": sql_label_centroid(),
+        "simplify": sql_simplify(),
     }
