@@ -50,8 +50,13 @@ from tilemaker_spark.operators import spatial_join, images as img_ops
 from tilemaker_spark.sql import tile_exprs as TE
 
 cpus = int(sys.argv[1]); path = sys.argv[2]; reps = int(sys.argv[3])
+# taskset confines the process to N cores but the JVM still sizes its
+# GC/netty/codegen pools from the 32 advertised vCPUs; tell it the
+# truth, as a real N-core executor (cgroup-aware JVM) would know it
 spark = get_spark(app_name=f"scale{{cpus}}", cpus=cpus,
-                  shuffle_partitions=max(cpus, 8))
+                  shuffle_partitions=max(cpus, 8),
+                  extra_conf={{"spark.driver.extraJavaOptions":
+                               f"-XX:ActiveProcessorCount={{cpus}}"}})
 # warm JVM; input cached so we measure compute scaling, not disk
 spark.range(1000).select(F.sum("id")).collect()
 img = spark.read.parquet(path).repartition(cpus * 2).cache()
