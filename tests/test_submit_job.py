@@ -48,3 +48,56 @@ def test_spark_submit_pyfiles(tmp_path):
     conn.close()
     assert n >= 5  # pyramid zooms 4..10 over Monaco
     assert meta["format"] == "pbf"
+
+
+def test_job_checkpoint_resume(spark, tmp_path):
+    """--checkpoint resumes idempotently: a second identical run skips
+    every committed z6-subtree key (no data file is rewritten) and the
+    exported mbtiles is byte-count identical."""
+    import glob
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import build_tiles_job as J
+
+    # tiny FEATURE_SCHEMA input: 30 points spread across the world
+    rows = [(i, "poi", 0, 0, 0, {},
+             [float(-150 + i * 10), float(-60 + (i % 13) * 9)], [1], [])
+            for i in range(30)]
+    feats = spark.createDataFrame(
+        rows,
+        "feature_id long, layer string, kind tinyint, minzoom int, "
+        "zorder long, attrs map<string,string>, coords array<double>, "
+        "ring_sizes array<int>, poly_ring_counts array<int>")
+    src = str(tmp_path / "feats.parquet")
+    feats.write.parquet(src)
+
+    out1 = str(tmp_path / "a.mbtiles")
+    out2 = str(tmp_path / "b.mbtiles")
+    ckpt = str(tmp_path / "ckpt")
+    J.main(["--input", src, "--output", out1, "--maxzoom", "8",
+            "--checkpoint", ckpt])
+    data_files = sorted(glob.glob(os.path.join(ckpt, "data", "**", "*"),
+                                  recursive=True))
+    mtimes = {f: os.path.getmtime(f) for f in data_files}
+    manifests1 = sorted(os.listdir(os.path.join(ckpt, "_manifest")))
+
+    J.main(["--input", src, "--output", out2, "--maxzoom", "8",
+            "--checkpoint", ckpt])
+    # no data file rewritten, no new snapshot -> keys were skipped
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m, f"rewritten: {f}"
+    assert sorted(os.listdir(os.path.join(ckpt, "_manifest"))) == manifests1
+
+    def tile_count(p):
+        conn = sqlite3.connect(p)
+        n = conn.execute("SELECT count(*) FROM tiles").fetchone()[0]
+        conn.close()
+        return n
+
+    assert tile_count(out1) == tile_count(out2) > 0
+
+    # lineage table records one row per committed subtree key
+    from tilemaker_spark.lineage import CheckpointedSink
+    sink = CheckpointedSink(ckpt)
+    lin = sink.lineage(spark)
+    assert lin.count() == len(sink.committed_keys())
