@@ -66,6 +66,12 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     raw = zlib.decompress(idat)
     stride = w * 3
+    # fast path: all rows filter 0 (what encode_png emits) -> one
+    # vectorized reshape instead of a per-row unfilter loop; the decode
+    # stage is the pipeline's hot loop
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    if not arr[:, 0].any():
+        return arr[:, 1:].reshape(h, w, 3).copy()
     out = np.zeros((h, stride), np.uint8)
     pos = 0
     prev = np.zeros(stride, np.int32)
