@@ -82,6 +82,24 @@ class TestKernels:
             polys = R.rings_to_multipolygon(R.trace_mask(m))
             assert _mp_area(polys) == pytest.approx(float(m.sum()))
 
+    def test_fill_area_matches_shoelace(self):
+        # scanline fill of random convex polygons covers |shoelace area|
+        # +- perimeter pixels (boundary discretization)
+        rng = np.random.default_rng(11)
+        for _ in range(15):
+            ang = np.sort(rng.uniform(0, 2 * np.pi, rng.integers(3, 9)))
+            r = rng.uniform(5, 45)
+            cx, cy = rng.uniform(50, 78, 2)
+            ring = np.column_stack([cx + r * np.cos(ang),
+                                    cy + r * np.sin(ang)])
+            ring = np.vstack([ring, ring[:1]])
+            canvas = np.zeros((128, 128, 3), np.uint8)
+            R.fill_polygon(canvas, [[ring]], np.array([1, 1, 1], np.uint8))
+            filled = int((canvas[:, :, 0] == 1).sum())
+            area = abs(G.signed_ring_area_planar(ring))
+            perim = np.sum(np.hypot(*(np.diff(ring, axis=0).T)))
+            assert abs(filled - area) <= perim + 4, (filled, area, perim)
+
     def test_render_deterministic(self):
         rows = [("water", 3,
                  [[np.array([[5, 5], [60, 5], [60, 60], [5, 60], [5, 5]],
