@@ -195,8 +195,12 @@ def read_steal() -> tuple[float, float]:
 
 
 def main():
-    n_images = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "600000"))
-    path = os.environ.get("SPARK_GRAFT_SCALE_PATH", "/tmp/scale_images_v2.pq")
+    # big enough that useful work dominates fixed per-run cost at every
+    # level (strong scaling at a too-small input measures Amdahl, not
+    # the engine: at 600k rows the 32-core level computes for ~2s
+    # against ~4s of job-fixed latency)
+    n_images = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "2400000"))
+    path = os.environ.get("SPARK_GRAFT_SCALE_PATH", "/tmp/scale_images_v4.pq")
     if not os.path.exists(path):
         print(f"# materializing {n_images} images at {path}...",
               file=sys.stderr)
