@@ -55,6 +55,82 @@ def test_embedding_near_dups(spark):
     assert (7, 100) in pairs
 
 
+def test_ann_bucket_cap_bounds_mega_bucket(spark):
+    """1k identical embeddings collapse into one LSH bucket; the cap must
+    drop it (bounded candidate count) while normal buckets keep working."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.standard_normal((40, 16)).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    mega = [1.0] * 16
+    rows += [(1000 + i, mega) for i in range(1000)]  # one degenerate bucket
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    stats = similarity.ann_bucket_stats(
+        df, dim=16, n_planes=6, max_bucket_size=100).collect()[0]
+    assert stats["n_dropped"] >= 1 and stats["rows_dropped"] >= 1000
+    assert stats["max_size"] >= 1000
+
+    out = similarity.embedding_near_dups(
+        df, threshold=0.99, dim=16, n_planes=6, max_bucket_size=100)
+    pairs = out.collect()
+    # mega-bucket pairs (would be ~500k) are dropped; no pair has both
+    # ends in the planted cluster
+    assert not any(r["id_a"] >= 1000 and r["id_b"] >= 1000 for r in pairs)
+
+    # and ann_lsh_topk stays bounded too: the join result can't contain
+    # candidates from the dropped bucket
+    q = df.filter(F.col("vec_id") == 1000).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = similarity.ann_lsh_topk(
+        q, df.select(F.col("vec_id").alias("cand_id"), "embedding"),
+        k=5, dim=16, n_planes=6, n_probes=1, max_bucket_size=100).collect()
+    assert all(r["cand_id"] < 1000 or r["cand_id"] == 1000 for r in top)
+
+
+def test_embedding_near_dups_recall_unchanged_with_cap(spark):
+    """The cap must not change results when no bucket exceeds it."""
+    rng = np.random.Generator(np.random.PCG64(9))
+    base = rng.standard_normal((30, 16)).astype(float)
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    rows.append((100, (base[7] * 1.01).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = similarity.embedding_near_dups(
+        df, threshold=0.99, dim=16, n_planes=6, max_bucket_size=10**9)
+    capped = similarity.embedding_near_dups(
+        df, threshold=0.99, dim=16, n_planes=6, max_bucket_size=64)
+    assert ({(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+            == {(r["id_a"], r["id_b"]) for r in capped.collect()})
+
+
+def test_margin_multiprobe_recall_at_fixed_budget(spark):
+    """Margin-based probing must find planted near-dups that the base
+    bucket misses — across many planted pairs, recall at n_probes=4
+    should be >= the single-probe recall and high in absolute terms."""
+    rng = np.random.Generator(np.random.PCG64(21))
+    base = rng.standard_normal((200, 16)).astype(float)
+    cand_rows = [(i, base[i].tolist()) for i in range(200)]
+    # 40 queries, each a tiny perturbation of candidate i (query ids are
+    # offset so the query_id != cand_id self-filter never hides a hit)
+    q_rows = [(1000 + i,
+               (base[i] + rng.standard_normal(16) * 0.02).tolist())
+              for i in range(40)]
+    cands = spark.createDataFrame(
+        cand_rows, "cand_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        q_rows, "query_id long, embedding array<double>")
+
+    def recall(n_probes):
+        out = similarity.ann_lsh_topk(
+            qs, cands, k=1, dim=16, n_planes=10, n_probes=n_probes)
+        hit = {r["query_id"] for r in out.collect()
+               if r["cand_id"] == r["query_id"] - 1000}
+        return len(hit) / 40
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 >= 0.85
+
+
 # ---------------- images ----------------
 
 @pytest.fixture(scope="module")

@@ -80,34 +80,97 @@ def lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return sig
 
 
+def lsh_probe_udf(dim: int, n_planes: int = 16, n_probes: int = 1,
+                  seed: int = 42):
+    """Margin-based multi-probe signatures: the base bucket plus the
+    (n_probes - 1) hamming-1 neighbors obtained by flipping the planes
+    with the SMALLEST |dot| margin for THIS query — the planes the point
+    sits closest to, i.e. the flips most likely to recover a near
+    neighbor that landed on the other side (standard multi-probe LSH,
+    Lv et al. VLDB'07).  Returns array<long> of bucket ids, base first.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    n_flip = max(0, min(n_planes, n_probes - 1))
+
+    @F.pandas_udf("array<long>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())          # (B, dim)
+        dots = mat @ planes.T                     # (B, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        base = ((dots > 0) @ weights).astype(np.int64)  # (B,)
+        if n_flip == 0:
+            return pd.Series(list(base[:, None]))
+        # per-row indices of the n_flip smallest |margin| planes
+        low = np.argpartition(np.abs(dots), n_flip - 1, axis=1)[:, :n_flip]
+        flipped = base[:, None] ^ weights[low]    # (B, n_flip)
+        return pd.Series(list(np.concatenate([base[:, None], flipped],
+                                             axis=1)))
+
+    return probes
+
+
+def _cap_buckets(df: DataFrame, bucket_col: str,
+                 max_bucket_size: int) -> DataFrame:
+    """Drop rows in buckets larger than ``max_bucket_size`` (same
+    mega-bucket guard as dedup.minhash_lsh_pairs): one window count over
+    the bucket key — the same shuffle the downstream equi-join needs, so
+    the cap is ~free.  Dropped-bucket counts are observable via
+    :func:`ann_bucket_stats`."""
+    w = Window.partitionBy(bucket_col)
+    return (df.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn"))
+
+
+def ann_bucket_stats(df: DataFrame, vec_col: str = "embedding",
+                     dim: int = 64, n_planes: int = 10,
+                     max_bucket_size: int = 1024) -> DataFrame:
+    """Observability for the ANN bucket cap ('no silent caps'): bucket
+    count, multi-member buckets, buckets over the cap, rows dropped, and
+    the max bucket size for a given plane configuration."""
+    sig = lsh_signature_udf(dim, n_planes)
+    sizes = (df.select(sig(F.col(vec_col)).alias("_bucket"))
+             .groupBy("_bucket").agg(F.count("*").alias("n")))
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("n_multi"),
+        F.sum(F.when(F.col("n") > max_bucket_size, 1).otherwise(0))
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("n") > max_bucket_size, F.col("n"))
+              .otherwise(0)).alias("rows_dropped"),
+        F.max("n").alias("max_size"),
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame, candidates: DataFrame, k: int, dim: int,
     n_planes: int = 12, n_probes: int = 1,
     query_id: str = "query_id", cand_id: str = "cand_id",
     q_vec: str = "embedding", c_vec: str = "embedding",
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join + exact re-rank.
 
-    ``n_probes`` > 1 additionally probes buckets at hamming distance 1
-    (flip one bit), boosting recall at the cost of a wider candidate set.
+    ``n_probes`` > 1 additionally probes the hamming-1 buckets whose
+    hyperplane margin is smallest for each query (margin-based
+    multi-probe), boosting recall at the cost of a wider candidate set.
+
+    Scale guard: candidate buckets larger than ``max_bucket_size`` are
+    dropped before the join — a degenerate embedding distribution (zero
+    vectors, one dense cluster) otherwise collapses into one bucket and
+    the equi-join goes O(b^2).  Use :func:`ann_bucket_stats` to size the
+    cap; queries probing a dropped bucket fall back to their remaining
+    probes (raise ``n_probes`` / ``n_planes`` if recall matters there).
     """
     sig = lsh_signature_udf(dim, n_planes)
     c = candidates.select(F.col(cand_id).alias("cand_id"),
                           F.col(c_vec).alias("_cv"),
                           sig(F.col(c_vec)).alias("_bucket"))
+    c = _cap_buckets(c, "_bucket", max_bucket_size)
+    probe = lsh_probe_udf(dim, n_planes, n_probes)
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(q_vec).alias("_qv"),
-                       sig(F.col(q_vec)).alias("_sig"))
-    if n_probes > 1:
-        probes = F.array(
-            F.col("_sig"),
-            *[F.col("_sig").bitwiseXOR(F.lit(1 << b))
-              for b in range(min(n_planes, n_probes - 1))],
-        )
-    else:
-        probes = F.array(F.col("_sig"))
-    q = q.select("query_id", "_qv",
-                 F.explode(probes).alias("_bucket"))
+                       F.explode(probe(F.col(q_vec))).alias("_bucket"))
     joined = q.join(c, on="_bucket", how="inner").filter(
         F.col("query_id") != F.col("cand_id"))
     sim = cosine_expr(F.col("_qv").cast("array<double>"),
@@ -125,12 +188,19 @@ def ann_lsh_topk(
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        dim: int = 64, n_planes: int = 10) -> DataFrame:
+                        dim: int = 64, n_planes: int = 10,
+                        max_bucket_size: int = 4096) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, LSH-blocked.
-    Output: (id_a, id_b, sim)."""
+    Output: (id_a, id_b, sim).
+
+    Scale guard: buckets larger than ``max_bucket_size`` are dropped
+    before the self-join (the O(b^2) mega-bucket hole — same cap +
+    observability pattern as dedup.minhash_lsh_pairs; see
+    :func:`ann_bucket_stats` for the dropped counts)."""
     sig = lsh_signature_udf(dim, n_planes)
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("_v"),
                      sig(F.col(vec_col)).alias("_bucket"))
+    base = _cap_buckets(base, "_bucket", max_bucket_size)
     a, b = base.alias("a"), base.alias("b")
     sim = cosine_expr(F.col("a._v").cast("array<double>"),
                       F.col("b._v").cast("array<double>")).alias("sim")
