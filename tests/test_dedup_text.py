@@ -64,6 +64,87 @@ def test_simhash_dups(docs):
     assert (1, 3) in got
 
 
+def test_minhash_signature_matches_per_doc_formula(spark):
+    """The batch-vectorized signature path (flat bytes + lexsort +
+    minimum.reduceat) must reproduce the per-document formula exactly,
+    including edge cases (empty, shorter-than-k, whitespace-only)."""
+    import re
+
+    import numpy as np
+
+    k, n_hashes = 5, 32
+    rng0 = np.random.RandomState(0x5EED)
+    a_j = (rng0.randint(0, 2**63, n_hashes, np.uint64) * 2 + 1).astype(
+        np.uint64)
+    b_j = rng0.randint(0, 2**63, n_hashes, np.uint64).astype(np.uint64)
+    pows = np.array(
+        [pow(1099511628211, i, 1 << 64) for i in range(k)], np.uint64)
+    ws = re.compile(r"\s+")
+
+    def mix(x):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def per_doc(t):
+        b = np.frombuffer(ws.sub(" ", t.lower()).encode("utf-8"), np.uint8)
+        if len(b) < k:
+            b = np.pad(b, (0, k - len(b)), constant_values=32)
+        win = np.lib.stride_tricks.sliding_window_view(b, k)
+        s64 = np.unique(mix((win.astype(np.uint64) * pows).sum(axis=1)))
+        hm = mix(a_j[:, None] * s64[None, :] + b_j[:, None]).min(axis=1)
+        return s64.astype(np.int64), hm.astype(np.int64)
+
+    short = ["the quick brown fox", "", "ab", "    ", "x\t\ny  z",
+             "Unicode café über tile", "aaaaaaaaaa",
+             "the quick brown fox"]
+    long = [("tile engine shard %d " % i) * 40 for i in range(4)]
+    # short batch takes the flat-vectorized kernel, long batch the
+    # per-doc kernel (adaptive gate at avg 64 bytes) — both must equal
+    # the reference formula
+    for texts in (short, long):
+        d = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+        got = {r["doc_id"]: r
+               for r in dedup.minhash_signatures(d, n_hashes=n_hashes,
+                                                 k=k).collect()}
+        for i, t in enumerate(texts):
+            s64, hm = per_doc(t)
+            assert list(got[i]["sh"]) == list(s64), \
+                f"shingles differ doc {i}"
+            assert [got[i][f"h{j}"] for j in range(n_hashes)] == list(hm), \
+                f"minhash differs doc {i}"
+
+
+def test_simhash_matches_per_word_formula(spark):
+    """The position-loop vectorized FNV + reduceat votes must equal the
+    scalar per-word formula (hash_word) for every doc, incl. empties."""
+    import numpy as np
+
+    def per_doc(t):
+        words = str(t).lower().split()
+        if not words:
+            return 0
+        hs = np.asarray([dedup.hash_word(w) for w in set(words)], np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        val = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                val |= np.uint64(1) << np.uint64(b)
+        return int(np.int64(val.astype(np.int64)))
+
+    texts = ["the quick brown fox", "", "   ", "one", "café über",
+             "a b c d e f g h i j k", "dup dup dup words words"]
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(d).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == per_doc(t), f"simhash differs doc {i}"
+
+
 def test_text_stats_values(spark):
     d = spark.createDataFrame(
         [(1, "the cat and the hat. yes!")], "doc_id long, text string")

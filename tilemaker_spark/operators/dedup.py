@@ -100,23 +100,98 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     ws = _re.compile(r"\s+")
 
+    # Two batch kernels producing IDENTICAL output (equivalence locked by
+    # tests/test_dedup_text.py::test_minhash_signature_matches_per_doc_
+    # formula), chosen adaptively per Arrow batch:
+    #
+    # * _sigs_flat — vectorized ACROSS documents: all docs' bytes in one
+    #   flat uint8 array, the rolling hash as k shifted multiply-adds,
+    #   per-doc unique via one lexsort, minhash via chunked
+    #   minimum.reduceat.  Wins when docs are SHORT (caption-scale) and
+    #   the per-row Python overhead dominates: measured 2.5x at 23
+    #   avg chars, 1.6x at 56, crossover ~64.
+    # * _sigs_perdoc — loop over docs, numpy inside: each doc's
+    #   (n_hashes x n_shingles) work stays L2-resident.  Wins for long
+    #   docs, where the flat path's global lexsort + permutation gathers
+    #   are cache-hostile (measured 0.3x at 700+ chars — the sort, not
+    #   the arithmetic, is the cost).
+    _FLAT_MAX_AVG_BYTES = 64
+
+    def _sigs_perdoc(texts):
+        n = len(texts)
+        hmat = np.empty((n, n_hashes), np.uint64)
+        sh_out = []
+        for i, b in enumerate(texts):
+            bb = np.frombuffer(b, np.uint8)
+            win = np.lib.stride_tricks.sliding_window_view(bb, k)
+            s64 = np.unique(
+                _mix((win.astype(np.uint64) * pows).sum(axis=1)))
+            sh_out.append(s64.astype(np.int64))
+            hmat[i] = _mix(
+                a_j[:, None] * s64[None, :] + b_j[:, None]).min(axis=1)
+        return sh_out, hmat
+
+    def _sigs_flat(texts):
+        n = len(texts)
+        lens = np.fromiter(map(len, texts), np.int64, n)
+        flat = np.frombuffer(b"".join(texts), np.uint8)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        nwin = lens - (k - 1)            # valid windows per doc
+        total = len(flat) - (k - 1)
+        fu = flat.astype(np.uint64)
+        hv = np.zeros(total, np.uint64)
+        for j in range(k):               # k=5 passes, each vectorized
+            hv += fu[j:j + total] * pows[j]
+        allh = _mix(hv)
+        # window -> owning doc, dropping windows that straddle docs
+        cw = np.concatenate(([0], np.cumsum(nwin)[:-1]))
+        within = np.arange(int(nwin.sum())) - np.repeat(cw, nwin)
+        h = allh[np.repeat(starts, nwin) + within]
+        docv = np.repeat(np.arange(n), nwin)
+        # per-doc unique: sort by (doc, hash), keep firsts
+        order = np.lexsort((h, docv))
+        dh, hh = docv[order], h[order]
+        keep = np.ones(len(hh), bool)
+        keep[1:] = (dh[1:] != dh[:-1]) | (hh[1:] != hh[:-1])
+        dh, hh = dh[keep], hh[keep]
+        counts = np.bincount(dh, minlength=n)
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        sh_i64 = hh.astype(np.int64)
+        sh_out = [sh_i64[bounds[i]:bounds[i + 1]] for i in range(n)]
+        # per-doc segment mins over cache-resident shingle chunks: a
+        # full (n_hashes, n_unique) mix matrix would be GBs of
+        # temporaries at Arrow batch sizes; an 8k chunk keeps all 32
+        # rows (~2 MB) in L2.  Chunk-straddling docs merge via
+        # np.minimum on the overlapping doc rows.  (Every doc has >=1
+        # shingle thanks to the padding, so segments are never empty.)
+        hmat = np.full((n, n_hashes), np.iinfo(np.uint64).max, np.uint64)
+        m = len(hh)
+        chunk = 8192
+        for s in range(0, m, chunk):
+            e = min(s + chunk, m)
+            i0 = int(np.searchsorted(bounds, s, "right")) - 1
+            i1 = int(np.searchsorted(bounds, e, "left"))
+            b_c = np.clip(bounds[i0:i1], s, e) - s
+            mixed = _mix(a_j[:, None] * hh[None, s:e] + b_j[:, None])
+            part = np.minimum.reduceat(mixed, b_c, axis=1).T
+            np.minimum(hmat[i0:i1], part, out=hmat[i0:i1])
+        return sh_out, hmat
+
     def run(batches):
         for pdf in batches:
             n = len(pdf)
-            sh_out = []
-            hmat = np.empty((n, n_hashes), np.uint64)
-            for i, t in enumerate(pdf[text_col].astype(str)):
-                b = np.frombuffer(
-                    ws.sub(" ", t.lower()).encode("utf-8"), np.uint8)
-                if len(b) < k:
-                    b = np.pad(b, (0, k - len(b)), constant_values=32)
-                win = np.lib.stride_tricks.sliding_window_view(b, k)
-                s64 = np.unique(
-                    _mix((win.astype(np.uint64) * pows).sum(axis=1)))
-                sh_out.append(s64.astype(np.int64))
-                # (n_hashes, n_shingles) permutation matrix -> row mins
-                hmat[i] = _mix(
-                    a_j[:, None] * s64[None, :] + b_j[:, None]).min(axis=1)
+            if n == 0:
+                continue
+            texts = [ws.sub(" ", str(t).lower()).encode("utf-8")
+                     for t in pdf[text_col]]
+            # pad short docs to k bytes with spaces
+            texts = [t if len(t) >= k else t + b" " * (k - len(t))
+                     for t in texts]
+            nbytes = sum(map(len, texts))
+            if nbytes <= n * _FLAT_MAX_AVG_BYTES:
+                sh_out, hmat = _sigs_flat(texts)
+            else:
+                sh_out, hmat = _sigs_perdoc(texts)
             out = pd.DataFrame({"doc_id": pdf[id_col].to_numpy(),
                                 "sh": sh_out})
             hs = hmat.astype(np.int64)
@@ -305,21 +380,42 @@ def simhash(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf("long")
     def sh(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), np.int64)
-        for i, t in enumerate(texts):
-            words = str(t).lower().split()
-            if not words:
-                continue
-            hs = np.asarray(
-                [hash_word(w) for w in set(words)], np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int32)
-            votes = (2 * bits - 1).sum(axis=0)
-            val = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    val |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(val.astype(np.int64))
+        # Vectorized across documents: every doc's unique words are
+        # hashed in one flat FNV-1a sweep (loop over CHAR POSITIONS, not
+        # words — each step a masked vectorized xor-multiply), bits are
+        # unpacked batch-wide, and per-doc votes come from one
+        # add.reduceat over doc word boundaries.
+        n = len(texts)
+        out = np.zeros(n, np.int64)
+        if n == 0:
+            return pd.Series(out)
+        per_doc = [sorted(set(str(t).lower().split())) for t in texts]
+        nw = np.fromiter(map(len, per_doc), np.int64, n)
+        words = [w.encode("utf-8") for ws_ in per_doc for w in ws_]
+        if not words:
+            return pd.Series(out)
+        wlen = np.fromiter(map(len, words), np.int64, len(words))
+        flat = np.frombuffer(b"".join(words), np.uint8)
+        wstart = np.concatenate(([0], np.cumsum(wlen)[:-1]))
+        h = np.full(len(words), 0xCBF29CE484222325, np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for pos in range(int(wlen.max())):
+            active = wlen > pos
+            c = flat[wstart[active] + pos].astype(np.uint64)
+            h[active] = (h[active] ^ c) * prime
+        # per-bit vote counting keeps temporaries at n_words elements
+        # (the (n_words, 64) unpack would be 100s of MB per batch):
+        # votes[d,b] = 2*set_count(d,b) - nw[d], bit set iff votes > 0
+        nz = nw > 0
+        bounds = np.concatenate(([0], np.cumsum(nw)))[:-1][nz]
+        nw_nz = nw[nz]
+        vals = np.zeros(int(nz.sum()), np.uint64)
+        for b in range(64):
+            setb = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            cnt = np.add.reduceat(setb, bounds)
+            vals |= ((2 * cnt > nw_nz).astype(np.uint64)
+                     << np.uint64(b))
+        out[nz] = vals.astype(np.int64)
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("doc_id"),
