@@ -147,10 +147,23 @@ def main(argv=None) -> int:
 
     if args.raster_zoom is not None:
         from tilemaker_spark.operators.raster import render_raster_tiles
-        rt = render_raster_tiles(features, zoom=args.raster_zoom)
+        rt = render_raster_tiles(features, zoom=args.raster_zoom,
+                                 clip_bbox=cfg.clip_bbox)
+        rt = rt.withColumnRenamed("png", "tile")
+        if args.checkpoint:
+            # same idempotent-resume path as the vector tiles, separate
+            # sink root so vector and raster commits don't collide
+            from tilemaker_spark.lineage import CheckpointedSink
+            rsink = CheckpointedSink(
+                os.path.join(args.checkpoint, "raster"))
+            rz = args.raster_zoom
+            rdz = max(0, rz - 6)
+            rpk = (F.shiftright(F.col("x"), rdz) * 64
+                   + F.shiftright(F.col("y"), rdz)).cast("long")
+            rsink.write_partitioned(rt.withColumn("pk", rpk), "pk")
+            rt = rsink.read(spark).select("z", "x", "y", "tile")
         rpath = os.path.splitext(args.output)[0] + ".raster.mbtiles"
-        rn = MB.write_mbtiles(rt.withColumnRenamed("png", "tile"), rpath,
-                              metadata={"format": "png"})
+        rn = MB.write_mbtiles(rt, rpath, metadata={"format": "png"})
         print(f"wrote {rn} raster tiles -> {rpath}")
     return 0
 

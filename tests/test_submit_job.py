@@ -101,3 +101,52 @@ def test_job_checkpoint_resume(spark, tmp_path):
     sink = CheckpointedSink(ckpt)
     lin = sink.lineage(spark)
     assert lin.count() == len(sink.committed_keys())
+
+
+def test_job_raster_sink_clips_and_resumes(spark, tmp_path):
+    """--raster-zoom honors --bbox (no world-spanning raster tiles) and
+    routes through the checkpoint sink (second run rewrites nothing)."""
+    import glob
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import build_tiles_job as J
+
+    rows = [(i, "poi", 0, 0, 0, {},
+             [float(-150 + i * 10), float(-60 + (i % 13) * 9)], [1], [])
+            for i in range(30)]
+    feats = spark.createDataFrame(
+        rows,
+        "feature_id long, layer string, kind tinyint, minzoom int, "
+        "zorder long, attrs map<string,string>, coords array<double>, "
+        "ring_sizes array<int>, poly_ring_counts array<int>")
+    src = str(tmp_path / "feats.parquet")
+    feats.write.parquet(src)
+
+    out = str(tmp_path / "a.mbtiles")
+    ckpt = str(tmp_path / "ckpt")
+    bbox = "--bbox=-60,-30,60,30"
+    J.main(["--input", src, "--output", out, "--maxzoom", "6",
+            bbox, "--raster-zoom", "4", "--checkpoint", ckpt])
+    rpath = str(tmp_path / "a.raster.mbtiles")
+    conn = sqlite3.connect(rpath)
+    # mbtiles rows are TMS-flipped: tile_row = 2^z - 1 - y
+    tiles = conn.execute(
+        "SELECT zoom_level, tile_column, tile_row FROM tiles").fetchall()
+    conn.close()
+    assert tiles
+    # bbox lon [-60, 60] at z4 -> x in [5, 10]; lat [-30, 30] -> y in
+    # [6, 9] (web mercator), i.e. tms rows [6, 9]
+    for z, x, row in tiles:
+        y = (1 << z) - 1 - row
+        assert 5 <= x <= 10, f"raster tile outside bbox: {(z, x, y)}"
+        assert 6 <= y <= 9, f"raster tile outside bbox: {(z, x, y)}"
+
+    rdata = sorted(glob.glob(os.path.join(ckpt, "raster", "data", "**",
+                                          "*"), recursive=True))
+    assert rdata, "raster tiles not checkpointed"
+    mtimes = {f: os.path.getmtime(f) for f in rdata}
+    out2 = str(tmp_path / "b.mbtiles")
+    J.main(["--input", src, "--output", out2, "--maxzoom", "6",
+            bbox, "--raster-zoom", "4", "--checkpoint", ckpt])
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m, f"raster rewritten: {f}"

@@ -154,26 +154,34 @@ def trace_mask(mask: np.ndarray):
     h, w = m.shape
     pad = np.zeros((h + 2, w + 2), bool)
     pad[1:-1, 1:-1] = m
+    # All four directed boundary-edge sets in four boolean-diff array
+    # ops (filled cell with an empty neighbor on that side) — no
+    # per-pixel Python; only the O(boundary) chain walk below stays
+    # scalar.  Edge conventions (interior on the LEFT) are unchanged:
+    #   top edge leftwards, bottom rightwards, left downwards, right
+    #   upwards, corners in unpadded pixel coords.
+    core = pad[1:-1, 1:-1]
+    starts_x, starts_y, ends_x, ends_y = [], [], [], []
+    for nbr, sx, sy, ex, ey in (
+        (pad[:-2, 1:-1], 1, 0, 0, 0),    # top:    (px+1,py) -> (px,py)
+        (pad[2:, 1:-1], 0, 1, 1, 1),     # bottom: (px,py+1) -> (px+1,py+1)
+        (pad[1:-1, :-2], 0, 0, 0, 1),    # left:   (px,py)   -> (px,py+1)
+        (pad[1:-1, 2:], 1, 1, 1, 0),     # right:  (px+1,py+1)->(px+1,py)
+    ):
+        ys, xs = np.nonzero(core & ~nbr)
+        starts_x.append(xs + sx)
+        starts_y.append(ys + sy)
+        ends_x.append(xs + ex)
+        ends_y.append(ys + ey)
     # corner -> list of outgoing edge ends: diagonal-touching cells give a
     # corner TWO outgoing edges, so a plain dict would break chains there
     segs: dict[tuple, list] = {}
-
-    def add(y, x, dy, dx):
-        # directed edge from corner (x, y) to (x+dx, y+dy)
-        segs.setdefault((x, y), []).append((x + dx, y + dy))
-
-    filled = np.argwhere(pad)
-    for y, x in filled:
-        # neighbors in padded coords; corners in unpadded pixel coords
-        py, px = y - 1, x - 1
-        if not pad[y - 1, x]:
-            add(py, px + 1, 0, -1)     # top edge, leftwards (interior below)
-        if not pad[y + 1, x]:
-            add(py + 1, px, 0, 1)      # bottom edge, rightwards
-        if not pad[y, x - 1]:
-            add(py, px, 1, 0)          # left edge, downwards
-        if not pad[y, x + 1]:
-            add(py + 1, px + 1, -1, 0)  # right edge, upwards
+    for sx, sy, ex, ey in zip(
+            np.concatenate(starts_x).tolist(),
+            np.concatenate(starts_y).tolist(),
+            np.concatenate(ends_x).tolist(),
+            np.concatenate(ends_y).tolist()):
+        segs.setdefault((sx, sy), []).append((ex, ey))
     def pop_edge(corner, incoming):
         outs = segs.get(corner)
         if not outs:

@@ -44,7 +44,8 @@ def _pixel_coords(flat: np.ndarray, z: int, x: int, y: int,
 
 
 def render_raster_tiles(features: DataFrame, zoom: int,
-                        size: int = 256) -> DataFrame:
+                        size: int = 256,
+                        clip_bbox: tuple | None = None) -> DataFrame:
     """Render FEATURE_SCHEMA features to (z int, x long, y long,
     png binary) raster tiles at one zoom.
 
@@ -52,8 +53,38 @@ def render_raster_tiles(features: DataFrame, zoom: int,
     small/large path included), shuffle on (bx, by), one Python worker
     call per tile.  Geometry outside the canvas never smears: polygon
     spans are clamped by the scanline fill, lines are Liang-Barsky
-    clipped to the canvas first, points are filtered."""
-    covered = expand_coarse(cover_features(features, base_zoom=zoom), zoom)
+    clipped to the canvas first, points are filtered.
+
+    ``clip_bbox`` (minlon, minlat, maxlon, maxlat) prunes cover rows to
+    tiles intersecting the box BEFORE the shuffle — the raster twin of
+    build_tiles' cfg.clip_bbox pruning, so --bbox runs emit clipped
+    raster tiles too."""
+    covered = cover_features(features, base_zoom=zoom)
+    if clip_bbox is not None:
+        minlon, minlat, maxlon, maxlat = clip_bbox
+        m = (1 << zoom) - 1
+        x0 = max(0, min(m, int(P.lon2tilexf(minlon, zoom))))
+        x1 = max(0, min(m, int(P.lon2tilexf(maxlon, zoom))))
+        y0 = max(0, min(m, int(P.lat2tileyf(maxlat, zoom))))
+        y1 = max(0, min(m, int(P.lat2tileyf(minlat, zoom))))
+        exact_ok = (F.col("bx").between(x0, x1)
+                    & F.col("by").between(y0, y1))
+        if "coarse" in covered.columns:
+            # coarse rows sit at a z6 anchor covering a 2^dz-wide block
+            width = 1 << max(0, zoom - 6)
+            coarse_ok = ((F.col("bx") <= x1)
+                         & (F.col("bx") + width - 1 >= x0)
+                         & (F.col("by") <= y1)
+                         & (F.col("by") + width - 1 >= y0))
+            covered = covered.filter(
+                F.when(F.col("coarse"), coarse_ok).otherwise(exact_ok))
+        else:
+            covered = covered.filter(exact_ok)
+    covered = expand_coarse(covered, zoom)
+    if clip_bbox is not None:
+        # exact post-expand prune (coarse blocks may overhang the box)
+        covered = covered.filter(F.col("bx").between(x0, x1)
+                                 & F.col("by").between(y0, y1))
 
     def render_group(pdf: pd.DataFrame) -> pd.DataFrame:
         x = int(pdf["bx"].iloc[0])
