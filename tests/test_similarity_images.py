@@ -146,7 +146,8 @@ def test_decode_verify_psnr_invariant(img_df):
     jpg_rows = [r for r in out if r["fmt"] == "jpeg"]
     assert png_rows and jpg_rows
     assert all(r["psnr_db"] == 99.0 for r in png_rows)   # lossless
-    assert all(40.0 <= r["psnr_db"] < 99.0 for r in jpg_rows)  # lossy stub
+    # real baseline-JFIF codec: lossy but >= the 40 dB invariant
+    assert all(40.0 <= r["psnr_db"] < 99.0 for r in jpg_rows)
 
 
 def test_caption_byte_identity(img_df, spark):
@@ -175,6 +176,13 @@ def test_phash_near_dups_self(spark):
     assert {(r["id_a"], r["id_b"]) for r in out} == {("a", "b")}
 
 
-def test_jpeg_stub_raises_on_real_jpeg():
-    with pytest.raises(NotImplementedError):
-        png.decode_jpeg_stub(b"\xff\xd8\xff\xe0" + b"0" * 32)
+def test_jpeg_is_real_jfif(img_df):
+    """The stub is retired: every jpeg row in the images table is a real
+    baseline JFIF stream (SOI..EOI), decodable as such."""
+    rows = [r for r in img_df.collect() if r["fmt"] == "jpeg"][:5]
+    assert rows
+    for r in rows:
+        b = bytes(r["bytes"])
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        img = png.decode_image(b, "jpeg")
+        assert img.shape == (r["h"], r["w"], 3)

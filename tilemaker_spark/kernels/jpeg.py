@@ -1,0 +1,628 @@
+"""Pure-numpy baseline JFIF (JPEG) codec — encoder and decoder.
+
+No image libraries exist in this container, so the lossy half of the
+BASELINE per-row invariant ("decoded pixels allclose to reference,
+PSNR >= 40 dB for lossy formats") is implemented from the public JPEG
+standard (ITU-T T.81 / ISO 10918-1):
+
+* ``encode_jpeg``: RGB -> YCbCr (JFIF BT.601 full-range), optional 2x2
+  chroma subsampling (4:2:0), 8x8 orthonormal DCT-II (one einsum over
+  all blocks), quality-scaled Annex-K quantization tables, zigzag,
+  differential DC + run-length AC Huffman coding with the Annex-K
+  standard tables, marker stream SOI/APP0/DQT/SOF0/DHT/SOS/EOI with
+  0xFF byte stuffing.
+* ``decode_jpeg``: full marker parse (multi-table DQT incl. 16-bit,
+  multi-table DHT, SOF0/SOF1, SOS, DRI/RSTn restart intervals),
+  LUT-driven Huffman entropy decode (16-bit peek -> symbol+length in
+  one table hit), vectorized dequantize + dezigzag + batch IDCT
+  (einsum), block scatter into component planes, chroma upsample,
+  YCbCr -> RGB.  Handles interleaved baseline scans with sampling
+  factors 1-2 and grayscale (1-component) images, i.e. foreign
+  baseline JFIFs, not just this encoder's output.
+
+The heavy math (DCT/IDCT, quantization, color transforms) is batch
+numpy; only the inherently sequential entropy coding walks symbols in
+Python, each step O(1) via the lookup tables.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Constants from the public JPEG standard (ITU-T T.81 Annex K)
+# --------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int32)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.int32).reshape(8, 8)
+
+QUANT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.int32).reshape(8, 8)
+
+# (bits-per-length[1..16], symbol values) for the four standard tables
+HUFF_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+HUFF_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                 list(range(12)))
+HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+HUFF_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# orthonormal 8x8 DCT-II basis: F = C @ f @ C.T, f = C.T @ F @ C
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.5) if _u == 0 else 1.0
+    for _x in range(8):
+        _C[_u, _x] = 0.5 * _a * np.cos((2 * _x + 1) * _u * np.pi / 16)
+del _u, _a, _x
+
+
+def _huff_codes(bits, vals):
+    """(symbol -> (code, length)) per T.81 C.2 canonical code assignment."""
+    out = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+_LUT_CACHE: dict = {}
+
+
+def _huff_lut(bits, vals):
+    """16-bit-peek decode LUT as two Python lists: sym[peek16],
+    nbits[peek16].  Any peek whose prefix matches a code maps to that
+    code's symbol.  Cached by table content — a 2x65536-entry table per
+    Huffman table would otherwise dominate small-image decode time
+    (every image in a corpus typically shares the 4 Annex-K tables)."""
+    key = (bytes(bits), bytes(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, np.uint16)
+    ln_ = np.zeros(1 << 16, np.uint8)
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            sym[lo:hi] = vals[i]
+            ln_[lo:hi] = ln
+            code += 1
+            i += 1
+        code <<= 1
+    out = (sym.tolist(), ln_.tolist())
+    if len(_LUT_CACHE) > 64:     # bound memory for adversarial inputs
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
+
+
+def quality_tables(quality: int):
+    """libjpeg-style quality scaling of the Annex-K base tables."""
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    lum = np.clip((QUANT_LUM * scale + 50) // 100, 1, 255).astype(np.int32)
+    chrom = np.clip((QUANT_CHROM * scale + 50) // 100, 1, 255).astype(
+        np.int32)
+    return lum, chrom
+
+
+def _rgb_to_ycbcr(px: np.ndarray):
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(
+        np.uint8)
+
+
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _split_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H,W % 8 == 0 -> (H//8 * W//8, 8, 8), raster order."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _join_blocks(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
+    return (blocks.reshape(h8, w8, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(h8 * 8, w8 * 8))
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int):
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:          # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)   # pad with 1-bits
+
+
+def _encode_block_stream(qblocks_z, comp_ids, dc_tabs, ac_tabs):
+    """qblocks_z: (nblocks, 64) zigzagged quantized coeffs in scan order;
+    comp_ids: per-block component index; *_tabs: per-component Huffman
+    (symbol -> (code, len)) dicts."""
+    w = _BitWriter()
+    pred = [0] * (max(comp_ids) + 1)
+    for bi in range(len(qblocks_z)):
+        c = comp_ids[bi]
+        blk = qblocks_z[bi]
+        dc_tab, ac_tab = dc_tabs[c], ac_tabs[c]
+        diff = int(blk[0]) - pred[c]
+        pred[c] = int(blk[0])
+        if diff == 0:
+            size = 0
+        else:
+            size = int(diff).bit_length() if diff > 0 else int(
+                -diff).bit_length()
+        code, ln = dc_tab[size]
+        w.put(code, ln)
+        if size:
+            v = diff if diff > 0 else diff + (1 << size) - 1
+            w.put(v, size)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]     # ZRL
+                w.put(code, ln)
+                run -= 16
+            size = v.bit_length() if v > 0 else (-v).bit_length()
+            code, ln = ac_tab[(run << 4) | size]
+            w.put(code, ln)
+            vv = v if v > 0 else v + (1 << size) - 1
+            w.put(vv, size)
+            run = 0
+        if last < 63:
+            code, ln = ac_tab[0x00]         # EOB
+            w.put(code, ln)
+    w.flush()
+    return bytes(w.buf)
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 95,
+                subsample: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes.
+
+    ``subsample=True`` emits 4:2:0 (2x2 box-averaged chroma); the
+    default 4:4:4 preserves the PSNR>=40dB invariant even on
+    noise-like images, where subsampled chroma cannot."""
+    h, w, _ = pixels.shape
+    lum_q, chrom_q = quality_tables(quality)
+    y, cb, cr = _rgb_to_ycbcr(pixels)
+    if subsample:
+        hs = vs = 2
+        cbp = _pad_to(cb, 2)
+        crp = _pad_to(cr, 2)
+        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
+            axis=(1, 3))
+        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
+            axis=(1, 3))
+    else:
+        hs = vs = 1
+
+    # pad planes so whole MCUs exist
+    y = _pad_to(y, 8 * vs)[:, :]
+    y = _pad_to(y, 8 * hs)
+    cb = _pad_to(cb, 8)
+    cr = _pad_to(cr, 8)
+
+    def q_blocks(plane, qt):
+        blocks = _split_blocks(plane) - 128.0
+        coef = np.einsum("ux,bxy,vy->buv", _C, blocks, _C)
+        q = np.round(coef / qt).astype(np.int32)
+        return q.reshape(-1, 64)[:, ZIGZAG]
+
+    yz = q_blocks(y, lum_q)
+    cbz = q_blocks(cb, chrom_q)
+    crz = q_blocks(cr, chrom_q)
+
+    # interleave blocks in MCU scan order
+    ybw = y.shape[1] // 8
+    cw = cb.shape[1] // 8
+    mcux = cb.shape[1] // 8 if subsample else y.shape[1] // 8
+    mcuy = cb.shape[0] // 8 if subsample else y.shape[0] // 8
+    order = []
+    comp_ids = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(vs):
+                for bx in range(hs):
+                    order.append(yz[(my * vs + by) * ybw + mx * hs + bx])
+                    comp_ids.append(0)
+            order.append(cbz[my * cw + mx])
+            comp_ids.append(1)
+            order.append(crz[my * cw + mx])
+            comp_ids.append(2)
+    dc_l = _huff_codes(*HUFF_DC_LUM)
+    ac_l = _huff_codes(*HUFF_AC_LUM)
+    dc_c = _huff_codes(*HUFF_DC_CHROM)
+    ac_c = _huff_codes(*HUFF_AC_CHROM)
+    body = _encode_block_stream(order, comp_ids, [dc_l, dc_c, dc_c],
+                                [ac_l, ac_c, ac_c])
+
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)             # APP0
+    for tid, qt in ((0, lum_q), (1, chrom_q)):         # DQT
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(qt.reshape(-1)[ZIGZAG].astype(np.uint8).tolist())
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF0
+    out += bytes([1, (hs << 4) | vs, 0])
+    out += bytes([2, 0x11, 1])
+    out += bytes([3, 0x11, 1])
+    for cls, tid, (bits, vals) in (
+            (0, 0, HUFF_DC_LUM), (1, 0, HUFF_AC_LUM),
+            (0, 1, HUFF_DC_CHROM), (1, 1, HUFF_AC_CHROM)):  # DHT
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)     # SOS
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += body
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+class _BitReader:
+    """MSB-first bit reader over an entropy segment (already unstuffed)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0          # bit position
+
+    def peek16(self) -> int:
+        byte = self.pos >> 3
+        chunk = self.data[byte:byte + 4]
+        v = int.from_bytes(chunk.ljust(4, b"\x00"), "big")
+        return (v >> (16 - (self.pos & 7))) & 0xFFFF
+
+    def skip(self, n: int):
+        self.pos += n
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self.peek16() >> (16 - n)
+        self.pos += n
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map magnitude bits to signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _unstuff(data: bytes):
+    """Remove 0x00 after 0xFF and split at RST markers.
+    Returns list of entropy segments (restart intervals)."""
+    segs = []
+    cur = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:       # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:                           # next real marker: done
+            break
+        continue
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale replicated).
+
+    Supports SOF0/SOF1 interleaved scans, sampling factors 1-2,
+    multi-table DQT/DHT segments, 16-bit quant tables, and DRI/RSTn
+    restart intervals.  Progressive (SOF2) raises ValueError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt = {}
+    huff = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    scan = None
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", data[i + 2:i + 4])[0]
+        seg = data[i + 4:i + 2 + ln]
+        i += 2 + ln
+        if marker == 0xDB:              # DQT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                prec = seg[p] >> 4
+                tid = seg[p] & 15
+                p += 1
+                if prec == 0:
+                    tbl = np.frombuffer(seg[p:p + 64], np.uint8).astype(
+                        np.int32)
+                    p += 64
+                else:
+                    tbl = np.frombuffer(seg[p:p + 128], ">u2").astype(
+                        np.int32)
+                    p += 128
+                qt[tid] = tbl[UNZIGZAG].reshape(8, 8)
+        elif marker in (0xC0, 0xC1):    # SOF0 / SOF1 (baseline)
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 15,
+                              "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG (SOF2) not supported")
+        elif marker == 0xC4:            # DHT (may hold several tables)
+            p = 0
+            while p < len(seg):
+                cls = seg[p] >> 4
+                tid = seg[p] & 15
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                huff[(cls, tid)] = _huff_lut(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:            # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:            # SOS
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c:3 + 2 * c]
+                sel[cid] = (tabs >> 4, tabs & 15)
+            segs, consumed = _unstuff(data[i:])
+            scan = (sel, segs)
+            i += consumed
+    if frame is None or scan is None:
+        raise ValueError("no baseline frame/scan found")
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    sel, segs = scan
+
+    # decode order template within one MCU
+    plan = []                           # (comp_idx, bx, by)
+    for ci, c in enumerate(comps):
+        for by in range(c["v"]):
+            for bx in range(c["h"]):
+                plan.append((ci, bx, by))
+    luts = [(huff[(0, sel[c["id"]][0])], huff[(1, sel[c["id"]][1])])
+            for c in comps]
+
+    # entropy-decode every block's zigzag coefficients.  The loop is
+    # inherently sequential, so it is tuned: the LUTs are converted to
+    # Python lists (C-speed int indexing, no numpy scalar boxing), bit
+    # state lives in locals, and coefficients accumulate into flat
+    # Python lists scattered into the numpy array once at the end.
+    nmcu = mcuy * mcux
+    coeffs = [np.zeros((mcuy * c["v"] * mcux * c["h"], 64), np.int32)
+              for c in comps]
+    lut_lists = luts    # already (sym_list, len_list) pairs from the cache
+    # per-plan-entry destination block index stride helpers
+    plan_flat = []
+    for ci, bx, by in plan:
+        c = comps[ci]
+        bw = mcux * c["h"]
+        plan_flat.append((ci, bx, by, bw, c["v"], c["h"]))
+    sc_bi = [[] for _ in comps]      # scatter: block row index
+    sc_k = [[] for _ in comps]      # zigzag position
+    sc_v = [[] for _ in comps]      # value
+    mcu_idx = 0
+    for seg_bytes in segs:
+        data_b = seg_bytes
+        nbytes8 = len(data_b) * 8
+        pos = 0
+        pred = [0] * len(comps)
+        end = mcu_idx + restart_interval if restart_interval else nmcu
+        while mcu_idx < min(end, nmcu):
+            my, mx = divmod(mcu_idx, mcux)
+            for ci, bx, by, bw, cv, ch in plan_flat:
+                (dc_sym, dc_len), (ac_sym, ac_len) = lut_lists[ci]
+                bi = (my * cv + by) * bw + mx * ch + bx
+                byte = pos >> 3
+                p16 = (int.from_bytes(data_b[byte:byte + 4].ljust(
+                    4, b"\x00"), "big") >> (16 - (pos & 7))) & 0xFFFF
+                size = dc_sym[p16]
+                pos += dc_len[p16]
+                if size:
+                    byte = pos >> 3
+                    v = (int.from_bytes(data_b[byte:byte + 4].ljust(
+                        4, b"\x00"), "big") >> (32 - size - (pos & 7))
+                    ) & ((1 << size) - 1)
+                    pos += size
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    pred[ci] += v
+                sc_bi[ci].append(bi)
+                sc_k[ci].append(0)
+                sc_v[ci].append(pred[ci])
+                k = 1
+                while k < 64:
+                    byte = pos >> 3
+                    p16 = (int.from_bytes(data_b[byte:byte + 4].ljust(
+                        4, b"\x00"), "big") >> (16 - (pos & 7))) & 0xFFFF
+                    rs = ac_sym[p16]
+                    pos += ac_len[p16]
+                    if rs == 0:         # EOB
+                        break
+                    if rs == 0xF0:      # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    size = rs & 15
+                    byte = pos >> 3
+                    v = (int.from_bytes(data_b[byte:byte + 4].ljust(
+                        4, b"\x00"), "big") >> (32 - size - (pos & 7))
+                    ) & ((1 << size) - 1)
+                    pos += size
+                    if k < 64:
+                        if v < (1 << (size - 1)):
+                            v -= (1 << size) - 1
+                        sc_bi[ci].append(bi)
+                        sc_k[ci].append(k)
+                        sc_v[ci].append(v)
+                    k += 1
+                if pos > nbytes8 + 64:
+                    raise ValueError("truncated JPEG entropy stream")
+            mcu_idx += 1
+    for ci in range(len(comps)):
+        if sc_bi[ci]:
+            coeffs[ci][np.array(sc_bi[ci]), np.array(sc_k[ci])] = \
+                np.array(sc_v[ci], np.int64).astype(np.int32)
+
+    # dequantize + dezigzag + IDCT per component (batch einsum)
+    planes = []
+    for ci, c in enumerate(comps):
+        bh, bw = mcuy * c["v"], mcux * c["h"]
+        z = coeffs[ci] * qt[c["tq"]].reshape(-1)[ZIGZAG]
+        blocks = z[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+        spat = np.einsum("xu,buv,yv->bxy", _C.T, blocks, _C.T) + 128.0
+        plane = _join_blocks(spat, bh, bw)
+        # upsample to full resolution
+        if c["h"] < hmax:
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
+        if c["v"] < vmax:
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        planes.append(plane[:frame["h"], :frame["w"]])
+    if len(planes) == 1:
+        y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -2,11 +2,11 @@
 
 Images are opaque ``binary`` columns with typed metadata (w, h, fmt) per
 BASELINE.json input_hint.  All processing is Arrow-batched ``mapInPandas``
-— schema, partitioning, UDF signature and batch shape are real; the only
-stubbed piece is the lossy codec itself (no image libraries in this
-container — see ``kernels.png``: PNG is a real codec, JPEG decode is a
-clearly-marked deterministic stub raising NotImplementedError for real
-JPEG payloads).
+— schema, partitioning, UDF signature and batch shape are real, and so
+are both codecs (no image libraries in this container — see
+``kernels.png`` for the PNG codec and ``kernels.jpeg`` for the
+from-scratch baseline JFIF codec; both implemented from the public
+specs).
 
 Operators: decode-verify (PSNR vs the deterministic reference pixels),
 feature extraction (mean channel stats, our perceptual hash), resize

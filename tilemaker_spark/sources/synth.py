@@ -14,7 +14,8 @@ Two jobs:
    (image_id, bytes, w, h, fmt, caption, phash, lon, lat, h3_coarse, salt)
    materialized at any scale from ``spark.range``: metadata columns are
    pure Catalyst expressions; ``bytes`` is an Arrow-batched pandas UDF
-   producing real PNGs (lossless) and stub-JPEG payloads (lossy path).
+   producing real PNGs (lossless) and real baseline-JFIF JPEGs
+   (lossy path, kernels/jpeg.py).
 """
 
 from __future__ import annotations
@@ -210,7 +211,7 @@ def _encode_image_udf(k: Column, w: Column, h: Column, fmt: Column) -> Column:
             if ff == "png":
                 out.append(P.encode_png(P.synth_pixels(int(kk), int(ww), int(hh))))
             else:
-                out.append(P.encode_jpeg_stub(int(kk), int(ww), int(hh)))
+                out.append(P.encode_jpeg(P.synth_pixels(int(kk), int(ww), int(hh))))
         return pd.Series(out)
 
     return enc(k, w, h, fmt)

@@ -153,7 +153,7 @@ def make_batch(seed0, n=64):
         w = 16 + (s % 5) * 8
         h = 16 + ((s + 2) % 4) * 8
         fmt = "jpeg" if s % 3 == 0 else "png"
-        blob = (P.encode_jpeg_stub(s, w, h) if fmt == "jpeg"
+        blob = (P.encode_jpeg(P.synth_pixels(s, w, h)) if fmt == "jpeg"
                 else P.encode_png(P.synth_pixels(s, w, h)))
         out.append((blob, s, w, h, fmt))
     return out
@@ -333,7 +333,7 @@ pairs stay under the host's effective capacity and are therefore the
 cleanest evidence of the PIPELINE's own scaling.
 
 **Job** (the BASELINE flagship workload): read the image+caption parquet
-table ({result['n_images']:,} rows, PNG + stub-JPEG bytes, skewed 80/20
+table ({result['n_images']:,} rows, PNG + baseline-JFIF bytes, skewed 80/20
 into 20 urban clusters) -> decode every image and verify the per-row
 pixel invariant (PSNR >= 40 dB; asserted) -> broadcast filter-refine
 point-in-polygon join (lon/lat carried through decode; single linear DAG)

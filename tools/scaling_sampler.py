@@ -134,7 +134,7 @@ measurement and are controlled for explicitly:
    is the portable number.
 
 **Job** (the BASELINE flagship workload): read the image+caption parquet
-table ({lo['n_images']:,} rows, PNG + stub-JPEG bytes, skewed 80/20 into
+table ({lo['n_images']:,} rows, PNG + baseline-JFIF bytes, skewed 80/20 into
 20 urban clusters) -> decode every image and verify the per-row pixel
 invariant (PSNR >= 40 dB; asserted) -> broadcast filter-refine
 point-in-polygon join (lon/lat carried through decode; single linear
