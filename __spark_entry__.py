@@ -571,21 +571,108 @@ WHERE CAST(len(list_intersect(a.words, b.words)) AS double)
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (rows-only check: xxhash64 has no
-    DuckDB twin; exact-verified jaccard makes output deterministic)."""
+    """MinHash+LSH near-dup candidates, exact-verified.
+
+    Oracle-checkable (round-3 gap closed): the output pairs carry the
+    EXACT shingle-set Jaccard (the LSH banding only generates
+    candidates; minhash_lsh_pairs verifies each against the full
+    int64-hashed shingle sets), so the DuckDB twin computes true 5-char
+    shingle Jaccard over all pairs — pair sets and values must match,
+    not hash internals.  Verified equal at sf0.001 and sf0.01; r=4
+    banding (32/8) collides every true >=0.6 pair in this corpus."""
     d = _t(spark, sf_dir, "documents")
-    # r=4 banding (32/8): candidate probability j^4 per band keeps the
-    # shared-vocab false-candidate tail small; threshold 0.6 = near-dup
     out = dedup_ops.minhash_lsh_pairs(
         d, "text", "doc_id", n_hashes=32, bands=8, k=5,
         jaccard_threshold=0.6)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def sql_minhash_pairs():
+    # exact 5-shingle Jaccard over all pairs; DuckDB-side shingles are
+    # 64-bit hash(...) values purely to make list_intersect cheap (set
+    # identity is preserved modulo negligible 64-bit collisions).  The
+    # size-ratio join condition is a lossless prefilter: J >= 0.6
+    # forces min(n)/max(n) >= 0.6, i.e. 5*n_small >= 3*n_big.
+    return r"""
+WITH base AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM documents
+), padded AS (
+  SELECT doc_id,
+         if(length(t) >= 5, t, t || repeat(' ', 5 - length(t))) AS t
+  FROM base
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, length(t) - 4), i -> hash(substr(t, i, 5))))
+      AS shingles
+  FROM padded
+), sized AS (
+  SELECT doc_id, shingles, len(shingles) AS n FROM sh
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         a.n + b.n AS total
+  FROM sized a JOIN sized b
+    ON a.doc_id < b.doc_id
+   AND a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3
+)
+SELECT doc_a, doc_b,
+       round(cast(inter as double) / (total - inter), 6) AS jaccard
+FROM cand
+WHERE cast(inter as double) / (total - inter) >= 0.6
+"""
+
+
 def q_simhash_dups(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs.  Oracle-checkable (round-3 gap closed):
+    the full signature algorithm — FNV-1a word hashes, per-bit majority
+    votes, 64-bit signature, hamming <= 3 — is expressed in the DuckDB
+    twin via list_reduce + 128-bit modular arithmetic, and the chunk
+    blocking is pigeonhole-lossless, so the Spark pair set equals the
+    all-pairs SQL answer exactly."""
     d = _t(spark, sf_dir, "documents")
     return dedup_ops.simhash_near_dups(d, "text", "doc_id", max_hamming=3)
+
+
+def sql_simhash_dups():
+    # FNV-1a(word) = fold(h -> (h XOR byte) * prime mod 2^64) — the
+    # multiply runs in HUGEINT (128-bit) and reduces mod 2^64; ord() ==
+    # utf-8 byte holds because the documents corpus is ASCII (checked).
+    # Votes: bit b set iff strictly more than half of the doc's DISTINCT
+    # words have bit b set — identical to operators/dedup.py simhash.
+    return r"""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '\s+'), w -> w <> ''))) AS w
+  FROM documents
+), wh AS (
+  SELECT doc_id, cast(list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(generate_series(1, length(w)),
+                       i -> ord(substr(w, i, 1))::HUGEINT)),
+      (h, c) -> (xor(cast(h as UBIGINT), cast(c as UBIGINT))::HUGEINT
+                 * 1099511628211::HUGEINT)
+                % 18446744073709551616::HUGEINT
+    ) as UBIGINT) AS h
+  FROM words
+), bits AS (
+  SELECT doc_id, bb.b AS b,
+         sum(case when (h >> bb.b) & 1 = 1 then 1 else 0 end) AS cnt,
+         count(*) AS nw
+  FROM wh, (SELECT unnest(generate_series(0, 63)) AS b) bb
+  GROUP BY doc_id, bb.b
+), sh AS (
+  SELECT doc_id,
+         cast(sum(case when 2*cnt > nw then (1::UBIGINT << b)::HUGEINT
+                       else 0::HUGEINT end)
+              % 18446744073709551616::HUGEINT as UBIGINT) AS sh
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
 
 
 def q_ann_topk(spark, sf_dir):
@@ -1220,10 +1307,14 @@ def q_raster_roundtrip(spark, sf_dir):
     """Raster<->vector tile assembly (north-star graft op; the reference
     is vector-only): nation boxes -> PNG raster tiles at z3 (scanline
     fill, kernels/raster.py) -> traced back to polygons
-    (boundary-chaining vectorizer) -> per-tile polygon/ring stats.
-    No SQL twin (rasterization is not SQL-expressible): rows-only by
-    design; pixel-exact round-trip is pytest-verified
-    (tests/test_raster.py)."""
+    (boundary-chaining vectorizer) -> per-tile polygon counts + TRACED
+    pixel area (shoelace of the traced rings in pixel coords).
+
+    Oracle-checkable (round-3 gap closed): for axis-aligned boxes the
+    scanline fill produces closed-form pixel rectangles, so per-tile
+    polygon counts and the traced area have an exact SQL twin — the
+    oracle exercises BOTH the rasterizer (pixel-center fill rule) and
+    the tracer (ring shoelace == filled pixel count)."""
     from tilemaker_spark.operators import raster as raster_ops
 
     boxes = _nation_boxes(spark, sf_dir)
@@ -1239,7 +1330,52 @@ def q_raster_roundtrip(spark, sf_dir):
     return traced.select(
         "z", "x", "y",
         F.size("poly_ring_counts").alias("n_polys"),
-        F.size("ring_sizes").alias("n_rings"))
+        F.size("ring_sizes").alias("n_rings"),
+        F.col("attrs")["area_px"].cast("long").alias("area_px"))
+
+
+def sql_raster_roundtrip():
+    # Closed-form raster twin: each nation box clips into each z3 tile
+    # as a pixel rectangle under the renderer's pixel-center fill rule
+    # (kernels/raster.py fill_polygon): cols a..b with a =
+    # ceil(px0-0.5), b = floor(px1-0.5); rows r0..r1 with the half-open
+    # crossing rule r1 = ceil(py_bot-0.5)-1; all clamped to [0,63].
+    # Boxes are disjoint with >=10px gaps, so per-tile traced polygons
+    # = nonempty rects and traced area = sum of rect areas.
+    latp = ("degrees(ln(tan(radians({lat} + 90.0) / 2.0)))")
+    return f"""
+WITH boxes AS (
+  SELECT n_nationkey AS k,
+         (-150.0 + (n_nationkey % 5) * 60.0) AS minlon,
+         (-150.0 + (n_nationkey % 5) * 60.0 + 30.0) AS maxlon,
+         (-70.0 + cast(floor(n_nationkey / 5) as int) * 30.0) AS minlat,
+         (-70.0 + cast(floor(n_nationkey / 5) as int) * 30.0 + 20.0)
+           AS maxlat
+  FROM nation
+), grid AS (
+  SELECT gx.range AS x, gy.range AS y FROM range(0, 8) gx, range(0, 8) gy
+), pix AS (
+  SELECT k, x, y,
+    greatest(0, ceil(((minlon + 180.0)/360.0*8.0 - x)*64.0 - 0.5)) AS a,
+    least(63, floor(((maxlon + 180.0)/360.0*8.0 - x)*64.0 - 0.5)) AS b,
+    greatest(0, ceil(((180.0 - {latp.format(lat='maxlat')})/360.0*8.0
+                      - y)*64.0 - 0.5)) AS r0,
+    least(63, ceil(((180.0 - {latp.format(lat='minlat')})/360.0*8.0
+                    - y)*64.0 - 0.5) - 1) AS r1
+  FROM boxes, grid
+), npx AS (
+  SELECT k, x, y,
+    (CASE WHEN b >= a AND r1 >= r0
+          THEN (b - a + 1) * (r1 - r0 + 1) ELSE 0 END) AS npix
+  FROM pix
+)
+SELECT 3 AS z, x, y,
+       cast(count(*) as int) AS n_polys,
+       cast(count(*) as int) AS n_rings,
+       cast(sum(npix) as bigint) AS area_px
+FROM npx WHERE npix > 0
+GROUP BY x, y
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1309,8 +1445,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_members": sql_rel_members(),
         "pip_line": sql_pip_line(),
         "covered_by": sql_covered_by(),
-        # minhash_pairs / simhash_dups: intentionally no oracle (xxhash64 /
-        # FNV word hashes have no DuckDB twin) -> rows-only check
+        "minhash_pairs": sql_minhash_pairs(),
+        "simhash_dups": sql_simhash_dups(),
+        "raster_roundtrip": sql_raster_roundtrip(),
         "ann_topk": sql_ann_topk(),
         "line_clip": sql_line_clip(),
         "getdata_lookup": sql_getdata_lookup(),

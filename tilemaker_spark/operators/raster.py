@@ -157,9 +157,15 @@ def raster_to_features(tiles: DataFrame,
                 if not polys:
                     continue
                 flat, rs, pc = [], [], []
+                signed_px = 0.0
                 for poly in polys:
                     pc.append(len(poly))
                     for ring in poly:
+                        # traced-ring shoelace in PIXEL coords: equals
+                        # the filled pixel count (rings are rectilinear
+                        # on cell edges; outers negative in y-down
+                        # coords, holes positive)
+                        signed_px += G.signed_ring_area_planar(ring)
                         lon = P.tilex2lon(x + ring[:, 0] / pw, z)
                         lat = P.latp2lat(P.tiley2latp(y + ring[:, 1] / ph,
                                                       z))
@@ -174,7 +180,10 @@ def raster_to_features(tiles: DataFrame,
                 out["kind"].append(3)
                 out["minzoom"].append(0)
                 out["zorder"].append(0)
-                out["attrs"].append({})
+                # traced area is exposed for oracle checks: for
+                # axis-aligned inputs it has a closed-form SQL twin
+                out["attrs"].append(
+                    {"area_px": str(int(round(-signed_px)))})
                 out["coords"].append(flat)
                 out["ring_sizes"].append(rs)
                 out["poly_ring_counts"].append(pc)
