@@ -100,7 +100,80 @@ def test_shapefile_polygon(spark, tmp_path):
     assert G.points_in_polygon(np.array([2.0]), np.array([2.0]), mp[0])[0]
 
 
-def test_pmtiles_roundtrip(spark, tmp_path):
+def test_shapefile_attribute_function(spark, tmp_path):
+    """attribute_function remap (reference src/shp_processor.cpp:47-84):
+    columns are rewritten per feature and the special _minzoom key sets
+    the feature's minzoom instead of becoming an attribute."""
+    shp = str(tmp_path / "t.shp")
+    _write_test_shapefile(shp)
+
+    def remap(attrs, layer):
+        assert layer == "ocean"
+        return {"class": attrs["NAME"].upper(), "_minzoom": 7}
+
+    df = shapefile.read_shapefile(spark, shp, layer="ocean",
+                                  attribute_function=remap)
+    r = df.collect()[0]
+    assert r["attrs"] == {"class": "OCEAN"}
+    assert "NAME" not in r["attrs"] and "_minzoom" not in r["attrs"]
+    assert r["minzoom"] == 7
+
+
+def test_geojson_attribute_function_minzoom_in_tiling(spark, tmp_path):
+    """The remapped _minzoom is honored by the tile builder: a z7-gated
+    feature appears at z7 but not z6 (distributed JSONL path, so the
+    callable also proves picklable)."""
+    import pyspark.sql.functions as F
+
+    from tilemaker_spark.config import Config, LayerDef
+    from tilemaker_spark.operators.tiling import generate_tiles
+
+    feats = [
+        {"type": "Feature", "id": 1, "properties": {"z": "7"},
+         "geometry": {"type": "Point", "coordinates": [7.42, 43.73]}},
+        # nearby but distinct geometry (same z6/z7 tile) — identical
+        # geometry+attrs would be collapsed by the in-tile dedup
+        {"type": "Feature", "id": 2, "properties": {},
+         "geometry": {"type": "Point", "coordinates": [7.43, 43.74]}},
+    ]
+    p = tmp_path / "f.jsonl"
+    p.write_text("\n".join(json.dumps(f) for f in feats))
+
+    def remap(attrs, layer):
+        out = {"kept": "1"}
+        if "z" in attrs:
+            out["_minzoom"] = int(attrs["z"])
+        return out
+
+    df = geojson.read_geojson(spark, str(p), layer="poi",
+                              attribute_function=remap)
+    got = {r["feature_id"]: r for r in df.collect()}
+    assert got[1]["minzoom"] == 7 and got[2]["minzoom"] == 0
+    assert got[1]["attrs"] == {"kept": "1"}
+
+    cfg = Config()
+    cfg.minzoom, cfg.maxzoom, cfg.basezoom = 6, 7, 7
+    # combine_points off so the two points stay separate MVT features
+    # (countable); otherwise they merge into one multipoint
+    cfg.layers = {"poi": LayerDef("poi", minzoom=0, maxzoom=7,
+                                  combine_points=False)}
+    tiles = generate_tiles(df, cfg)
+    per_zoom = {r["z"]: r["n"] for r in
+                tiles.groupBy("z").agg(F.count("*").alias("n")).collect()}
+    # both features land in one z6 tile and one z7 tile; the z7-gated
+    # feature must not contribute at z6 (the tiles exist either way —
+    # so compare decoded feature counts)
+    from tilemaker_spark.kernels import mvt
+    z6 = [bytes(r["tile"]) for r in tiles.filter("z = 6").collect()]
+    z7 = [bytes(r["tile"]) for r in tiles.filter("z = 7").collect()]
+    assert len(z6) == 1 and len(z7) == 1
+
+    def n_feats(blob):
+        layers = mvt.decode_tile(blob)
+        return sum(len(v["features"]) for v in layers.values())
+
+    assert n_feats(z6[0]) == 1      # only the ungated feature
+    assert n_feats(z7[0]) == 2      # both at z7
     import gzip
     rows = [(z, x, y, gzip.compress(f"tile-{z}/{x}/{y}".encode(), 6))
             for z in (3, 4) for x in range(2) for y in range(2)]

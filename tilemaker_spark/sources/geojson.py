@@ -50,11 +50,19 @@ def _pack_geometry(gtype: str, coords) -> tuple:
 
 
 def read_geojson(spark: SparkSession, path: str, layer: str = "geojson",
-                 minzoom: int = 0) -> DataFrame:
+                 minzoom: int = 0, attribute_function=None) -> DataFrame:
     """JSONL (one Feature per line) or FeatureCollection file -> features
     DataFrame in the engine's schema.  JSONL path is fully distributed
     (spark.read.text per-line parse); FeatureCollection falls back to a
-    driver-side parse (it is one JSON document by construction)."""
+    driver-side parse (it is one JSON document by construction).
+
+    ``attribute_function(attrs, layer) -> dict`` remaps each feature's
+    properties (reference src/shp_processor.cpp:47-84 — same hook as the
+    shapefile source); a returned ``_minzoom`` key sets the feature's
+    minzoom.  In the JSONL path the callable ships to the workers, so it
+    must be picklable."""
+    from .remap import apply_attribute_function
+
     head = spark.read.text(path).limit(1).collect()
     first = head[0]["value"].lstrip() if head else ""
     if first.startswith("{") and '"FeatureCollection"' in first:
@@ -65,9 +73,10 @@ def read_geojson(spark: SparkSession, path: str, layer: str = "geojson",
         for i, ft in enumerate(feats):
             kind, flat, sizes, counts = _pack_geometry(
                 ft["geometry"]["type"], ft["geometry"]["coordinates"])
-            props = {str(k): str(v) for k, v in
-                     (ft.get("properties") or {}).items()}
-            rows.append((i, layer, kind, minzoom, 0, props, flat, sizes,
+            props, fmz = apply_attribute_function(
+                ft.get("properties") or {}, layer, minzoom,
+                attribute_function)
+            rows.append((i, layer, kind, fmz, 0, props, flat, sizes,
                          counts))
         from ..operators.tiling import FEATURE_SCHEMA
         return spark.createDataFrame(rows, FEATURE_SCHEMA)
@@ -89,13 +98,14 @@ def read_geojson(spark: SparkSession, path: str, layer: str = "geojson",
                     continue
                 kind, flat, sizes, counts = _pack_geometry(
                     ft["geometry"]["type"], ft["geometry"]["coordinates"])
-                props = {str(k): str(v) for k, v in
-                         (ft.get("properties") or {}).items()}
+                props, fmz = apply_attribute_function(
+                    ft.get("properties") or {}, layer, minzoom,
+                    attribute_function)
                 out["feature_id"].append(
                     int(ft.get("id", len(out["feature_id"]))))
                 out["layer"].append(layer)
                 out["kind"].append(kind)
-                out["minzoom"].append(minzoom)
+                out["minzoom"].append(fmz)
                 out["zorder"].append(0)
                 out["attrs"].append(props)
                 out["coords"].append(flat)

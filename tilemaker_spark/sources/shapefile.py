@@ -89,13 +89,20 @@ def _read_dbf(path: str):
 
 def read_shapefile(spark: SparkSession, shp_path: str,
                    layer: str = "shp", source_columns: list | None = None,
-                   minzoom: int = 0) -> DataFrame:
+                   minzoom: int = 0,
+                   attribute_function=None) -> DataFrame:
     """.shp (+.dbf) -> features DataFrame in the engine's packed schema.
 
     Polygon ring assembly follows the reference semantics: clockwise
     (negative planar signed area in lon/lat axes) = outer ring; counter-
     clockwise rings are holes assigned to the containing outer.
+
+    ``attribute_function(attrs, layer) -> dict`` remaps each feature's
+    attributes (reference src/shp_processor.cpp:47-84); a returned
+    ``_minzoom`` key sets the feature's minzoom (see sources/remap.py).
     """
+    from .remap import apply_attribute_function
+
     shapes = _read_shp(shp_path)
     dbf_path = shp_path[:-4] + ".dbf"
     try:
@@ -107,13 +114,14 @@ def read_shapefile(spark: SparkSession, shp_path: str,
         attrs = attr_rows[i] if i < len(attr_rows) else {}
         if source_columns:
             attrs = {k: v for k, v in attrs.items() if k in source_columns}
-        attrs = {str(k): str(v) for k, v in attrs.items()}
+        attrs, fmz = apply_attribute_function(
+            attrs, layer, minzoom, attribute_function)
         if stype == 1 and parts:
-            rows.append((i, layer, G.POINT, minzoom, 0, attrs,
+            rows.append((i, layer, G.POINT, fmz, 0, attrs,
                          parts[0].reshape(-1).tolist(), [1], []))
         elif stype == 3 and parts:
             flat, sizes = G.pack_lines(parts)
-            rows.append((i, layer, G.LINESTRING, minzoom, 0, attrs,
+            rows.append((i, layer, G.LINESTRING, fmz, 0, attrs,
                          flat.tolist(), sizes.tolist(), []))
         elif stype == 5 and parts:
             outers, holes = [], []
@@ -130,7 +138,7 @@ def read_shapefile(spark: SparkSession, shp_path: str,
             from ..operators.assembly import assign_holes
             polys = assign_holes(outers, holes)
             flat, sizes, counts = G.pack_multipolygon(polys)
-            rows.append((i, layer, G.POLYGON, minzoom, 0, attrs,
+            rows.append((i, layer, G.POLYGON, fmz, 0, attrs,
                          flat.tolist(), sizes.tolist(), counts.tolist()))
     from ..operators.tiling import FEATURE_SCHEMA
     return spark.createDataFrame(rows, FEATURE_SCHEMA)
