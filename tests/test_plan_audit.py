@@ -1,0 +1,77 @@
+"""Physical-plan regression gate (VERDICT r3 ask #7).
+
+Locks the 100 TB design invariants for the most expensive driver
+queries as pytest assertions over the FORMATTED PHYSICAL PLAN —
+shuffle budget, broadcast presence, zero row-at-a-time Python, and
+declared-Arrow-node budget.  A future edit that silently adds a
+shuffle, drops a broadcast, or introduces BatchEvalPython fails here
+instead of only showing up as a bench regression.
+
+Budgets are ceilings locked from the round-4 plans (tools/plan_audit.py
+at sf0.001); loosen deliberately (with a comment) if a plan change is
+intentional.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.plan_audit import audit_plan  # noqa: E402
+
+# name -> (max exchanges, min broadcasts, max python nodes)
+BUDGETS = {
+    "way_assembly": (4, 4, 0),
+    "minhash_pairs": (3, 8, 1),
+    "cover_large": (3, 0, 2),
+    "area_intersect": (3, 6, 3),
+    "pip_line": (3, 6, 3),
+    "covered_by": (3, 6, 3),
+    "rel_members": (4, 4, 0),
+    "knn": (1, 2, 0),
+    "tile_assign": (1, 0, 0),
+    "ngram_jaccard": (2, 2, 0),
+    "pip_broadcast": (0, 2, 1),
+    "pip_cell": (0, 2, 1),
+    "dedup_exact": (1, 0, 0),
+    "zorder_topk": (1, 0, 0),
+    "line_clip": (0, 0, 1),
+    "poly_union": (2, 0, 1),
+}
+
+
+@pytest.fixture(scope="module")
+def audits(spark, sf_dir):
+    import __spark_entry__ as E
+    qs = E.queries()
+    return {name: audit_plan(qs[name](spark, sf_dir))
+            for name in BUDGETS}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_budget(audits, name):
+    max_exch, min_bcast, max_python = BUDGETS[name]
+    a = audits[name]
+    assert a["exchanges"] <= max_exch, \
+        f"{name}: {a['exchanges']} shuffles (budget {max_exch})"
+    assert a["broadcasts"] >= min_bcast, \
+        f"{name}: lost broadcast ({a['broadcasts']} < {min_bcast})"
+    assert a["python"] <= max_python, \
+        f"{name}: {a['python']} Python nodes (budget {max_python})"
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_no_row_at_a_time_python(audits, name):
+    assert audits[name]["row_at_a_time_python"] == 0, \
+        f"{name}: BatchEvalPython in plan (row-at-a-time Python UDF)"
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_scans_are_pruned(audits, name):
+    """Every parquet scan reads <= 6 columns (column pruning reaches
+    the scan; the input tables are 8-16 columns wide)."""
+    for ncols in audits[name]["scan_cols"]:
+        assert ncols <= 6, \
+            f"{name}: scan reads {ncols} columns (pruning lost)"
