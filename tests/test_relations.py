@@ -109,3 +109,28 @@ def test_find_in_parents_and_set_tag(spark):
     ).collect()[0]
     assert got2["t1"] == {"a": "1", "b": "2"}
     assert got2["t2"] == {"a": "1"}  # null value = no-op
+
+
+def test_restart_relations_equivalence(spark):
+    """RestartRelations (reference src/osm_lua_processing.cpp:1055-1057)
+    resets the membership-list cursor so a rule can iterate again.  The
+    array-column representation has no cursor: two sequential passes
+    over the SAME parents column each see the full list from the start,
+    in order — exactly what restart-then-rescan produces."""
+    df = spark.createDataFrame(
+        [(1, [("10", "outer", {"ref": "A", "net": "x"}),
+              ("11", "inner", {"ref": "B"}),
+              ("12", "outer", {"net": "z"})])],
+        "id long, rels array<struct<rel_id:string,role:string,"
+        "rel_tags:map<string,string>>>")
+    # pass 1: iterate collecting refs; "restart"; pass 2: iterate again
+    # collecting nets — pass 2 must see all three parents from index 0
+    rels2 = R.restart_relations("rels")
+    got = df.select(
+        F.transform("rels", lambda p: p["rel_tags"]["ref"]).alias("p1"),
+        F.transform(rels2, lambda p: p["rel_tags"]["net"]).alias("p2"),
+        F.transform(rels2, lambda p: p["rel_id"]).alias("ids"),
+    ).collect()[0]
+    assert got["p1"] == ["A", "B", None]
+    assert got["p2"] == ["x", None, "z"]      # full list, original order
+    assert got["ids"] == ["10", "11", "12"]   # restart = identity scan

@@ -135,6 +135,23 @@ def relation_ancestors(relations: DataFrame, max_depth: int = 8,
     )
 
 
+def restart_relations(parents_col: str | Column) -> Column:
+    """RestartRelations equivalence (reference
+    src/osm_lua_processing.cpp:1055-1057 resets the NextRelation cursor
+    to -1 so a Lua rule can iterate the membership list again).
+
+    In this engine the membership list is a MATERIALIZED ARRAY COLUMN
+    (``rels``), not a cursor: every expression over it —
+    ``find_in_parents``, ``bounce_tag``, any ``F.filter``/
+    ``F.transform`` — independently scans the full array from the
+    start.  Restarting is therefore the identity; this named helper
+    exists so profile code porting a Lua rule has a 1:1 call to reach
+    for, and so the equivalence is documented + tested
+    (tests/test_relations.py::test_restart_relations_equivalence)."""
+    return F.col(parents_col) if isinstance(parents_col, str) \
+        else parents_col
+
+
 def find_in_parents(parents_col: str | Column, key: str) -> Column:
     """FindInRelation(key) over the parents array: the first parent that
     carries ``key`` supplies the value (null when none)."""
