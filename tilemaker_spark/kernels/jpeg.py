@@ -408,29 +408,36 @@ def _extend(v: int, size: int) -> int:
 
 def _unstuff(data: bytes):
     """Remove 0x00 after 0xFF and split at RST markers.
-    Returns list of entropy segments (restart intervals)."""
-    segs = []
-    cur = bytearray()
-    i = 0
+    Returns list of entropy segments (restart intervals).
+
+    Vectorized: only the 0xFF positions (rare in entropy data) are
+    visited in Python; the clean spans between them are sliced whole.
+    """
+    ffpos = np.flatnonzero(np.frombuffer(data, np.uint8) == 0xFF)
     n = len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
+    segs = []
+    parts = []
+    start = 0
+    i = n
+    for p in map(int, ffpos):
+        if p < start:                   # inside an already-consumed pair
             continue
-        nxt = data[i + 1] if i + 1 < n else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            i += 2
-        elif 0xD0 <= nxt <= 0xD7:       # RSTn
-            segs.append(bytes(cur))
-            cur = bytearray()
-            i += 2
+        nxt = data[p + 1] if p + 1 < n else 0xD9
+        if nxt == 0x00:                 # stuffed 0xFF: keep it, drop 0x00
+            parts.append(data[start:p + 1])
+            start = p + 2
+        elif 0xD0 <= nxt <= 0xD7:       # RSTn: close the segment
+            parts.append(data[start:p])
+            segs.append(b"".join(parts))
+            parts = []
+            start = p + 2
         else:                           # next real marker: done
+            parts.append(data[start:p])
+            i = p
             break
-        continue
-    segs.append(bytes(cur))
+    else:
+        parts.append(data[start:])
+    segs.append(b"".join(parts))
     return segs, i
 
 
@@ -547,8 +554,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     sc_v = [[] for _ in comps]      # value
     mcu_idx = 0
     for seg_bytes in segs:
-        data_b = seg_bytes
-        nbytes8 = len(data_b) * 8
+        nbytes8 = len(seg_bytes) * 8
+        # sliding 32-bit window per byte offset, built once in numpy and
+        # indexed as a Python list: win[i] = big-endian bytes [i, i+4) of
+        # the segment (zero-padded past the end, as T.81 pads with 1-bits
+        # only for the encoder's flush — reading zeros is safe because
+        # the guard below bounds overrun).  Replaces an int.from_bytes on
+        # a fresh bytes slice per Huffman symbol, ~2x the whole decode.
+        bseg = np.frombuffer(seg_bytes + b"\x00" * 16,
+                             dtype=np.uint8).astype(np.uint32)
+        win = ((bseg[:-3] << 24) | (bseg[1:-2] << 16)
+               | (bseg[2:-1] << 8) | bseg[3:]).tolist()
         pos = 0
         pred = [0] * len(comps)
         end = mcu_idx + restart_interval if restart_interval else nmcu
@@ -557,16 +573,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for ci, bx, by, bw, cv, ch in plan_flat:
                 (dc_sym, dc_len), (ac_sym, ac_len) = lut_lists[ci]
                 bi = (my * cv + by) * bw + mx * ch + bx
-                byte = pos >> 3
-                p16 = (int.from_bytes(data_b[byte:byte + 4].ljust(
-                    4, b"\x00"), "big") >> (16 - (pos & 7))) & 0xFFFF
+                p16 = (win[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
                 size = dc_sym[p16]
                 pos += dc_len[p16]
                 if size:
-                    byte = pos >> 3
-                    v = (int.from_bytes(data_b[byte:byte + 4].ljust(
-                        4, b"\x00"), "big") >> (32 - size - (pos & 7))
-                    ) & ((1 << size) - 1)
+                    v = (win[pos >> 3] >> (32 - size - (pos & 7))
+                         ) & ((1 << size) - 1)
                     pos += size
                     if v < (1 << (size - 1)):
                         v -= (1 << size) - 1
@@ -576,9 +588,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 sc_v[ci].append(pred[ci])
                 k = 1
                 while k < 64:
-                    byte = pos >> 3
-                    p16 = (int.from_bytes(data_b[byte:byte + 4].ljust(
-                        4, b"\x00"), "big") >> (16 - (pos & 7))) & 0xFFFF
+                    p16 = (win[pos >> 3] >> (16 - (pos & 7))) & 0xFFFF
                     rs = ac_sym[p16]
                     pos += ac_len[p16]
                     if rs == 0:         # EOB
@@ -588,10 +598,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         continue
                     k += rs >> 4
                     size = rs & 15
-                    byte = pos >> 3
-                    v = (int.from_bytes(data_b[byte:byte + 4].ljust(
-                        4, b"\x00"), "big") >> (32 - size - (pos & 7))
-                    ) & ((1 << size) - 1)
+                    v = (win[pos >> 3] >> (32 - size - (pos & 7))
+                         ) & ((1 << size) - 1)
                     pos += size
                     if k < 64:
                         if v < (1 << (size - 1)):
@@ -614,7 +622,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         bh, bw = mcuy * c["v"], mcux * c["h"]
         z = coeffs[ci] * qt[c["tq"]].reshape(-1)[ZIGZAG]
         blocks = z[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
-        spat = np.einsum("xu,buv,yv->bxy", _C.T, blocks, _C.T) + 128.0
+        # batched 2-D IDCT: C^T B C over all blocks (matmul broadcasts the
+        # batch dim and beats c_einsum ~2x on these tiny operands)
+        spat = _C.T @ blocks @ _C + 128.0
         plane = _join_blocks(spat, bh, bw)
         # upsample to full resolution
         if c["h"] < hmax:
