@@ -186,3 +186,65 @@ def test_jpeg_is_real_jfif(img_df):
         assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
         img = png.decode_image(b, "jpeg")
         assert img.shape == (r["h"], r["w"], 3)
+
+
+# ---------------- IVF-Flat ----------------
+
+
+def test_ivf_centroids_deterministic(spark):
+    rng = np.random.Generator(np.random.PCG64(33))
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = similarity.train_ivf_centroids(df, nlist=8, seed=5)
+    c2 = similarity.train_ivf_centroids(df, nlist=8, seed=5)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 16)
+    # unit-normalized (spherical k-means)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
+
+
+def test_ivf_topk_recall_on_clustered(spark):
+    """The LSH-adversarial distribution — a few dense clusters — is the
+    IVF home turf: k-means lists adapt to the clusters, so probing the
+    nearest lists recovers planted neighbors at high recall."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    centers = rng.standard_normal((10, 16)) * 3.0
+    cand_rows = []
+    for i in range(400):
+        v = centers[i % 10] + rng.standard_normal(16) * 0.3
+        cand_rows.append((i, v.tolist()))
+    q_rows = [(1000 + i,
+               (np.array(cand_rows[i][1]) + rng.standard_normal(16) * 0.01
+                ).tolist()) for i in range(60)]
+    cands = spark.createDataFrame(
+        cand_rows, "cand_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        q_rows, "query_id long, embedding array<double>")
+
+    cent = similarity.train_ivf_centroids(
+        cands.select(F.col("embedding")), nlist=16, seed=3)
+    out = similarity.ann_ivf_topk(qs, cands, k=1, centroids=cent,
+                                  n_probes=3)
+    hit = {r["query_id"] for r in out.collect()
+           if r["cand_id"] == r["query_id"] - 1000}
+    assert len(hit) / 60 >= 0.9
+
+
+def test_ivf_degenerate_list_cap(spark):
+    """All-identical vectors put every candidate in one list; the
+    optional max_list_size guard bounds the join the same way the LSH
+    bucket cap does."""
+    v = [1.0] * 16
+    rows = [(i, v) for i in range(500)]
+    cands = spark.createDataFrame(rows,
+                                  "cand_id long, embedding array<double>")
+    qs = spark.createDataFrame([(9000, v)],
+                               "query_id long, embedding array<double>")
+    cent = similarity.train_ivf_centroids(
+        cands.select("embedding"), nlist=4, seed=1)
+    capped = similarity.ann_ivf_topk(qs, cands, k=5, centroids=cent,
+                                     n_probes=2, max_list_size=64)
+    assert capped.count() == 0  # the mega-list was dropped, not joined
+    uncapped = similarity.ann_ivf_topk(qs, cands, k=5, centroids=cent,
+                                       n_probes=2)
+    assert uncapped.count() == 5

@@ -10,6 +10,12 @@ Graft additions for training-data pipelines (not in the reference):
   candidates from multi-probe bucket equi-joins, exact re-rank.  The
   scale path: shuffles on compact bucket keys only.
 * embedding-cosine near-duplicate pairs — same machinery, threshold form.
+* IVF-Flat ANN — a deterministic k-means coarse quantizer (trained on a
+  bounded driver-side sample, centroids shipped in the UDF closure),
+  candidates partitioned by nearest-centroid list id, queries probing
+  their n_probes nearest lists, exact re-rank.  The second scale path:
+  unlike LSH its lists adapt to the data distribution, so clustered
+  real-world embeddings get balanced lists instead of mega-buckets.
 """
 
 from __future__ import annotations
@@ -172,6 +178,105 @@ def ann_lsh_topk(
                        F.col(q_vec).alias("_qv"),
                        F.explode(probe(F.col(q_vec))).alias("_bucket"))
     joined = q.join(c, on="_bucket", how="inner").filter(
+        F.col("query_id") != F.col("cand_id"))
+    sim = cosine_expr(F.col("_qv").cast("array<double>"),
+                      F.col("_cv").cast("array<double>")).alias("sim")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("cand_id").asc())
+    return (
+        joined.select("query_id", "cand_id", sim)
+        .dropDuplicates(["query_id", "cand_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "sim")
+    )
+
+
+def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
+                        nlist: int = 64, sample_size: int = 20000,
+                        iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic k-means coarse quantizer for IVF (Lloyd iterations,
+    numpy, unit-normalized so assignment is max-dot = max-cosine).
+
+    Trains on a bounded driver-side sample (``limit(sample_size)`` — at
+    64-dim floats 20k rows is ~5 MB; IVF quantizers are always trained
+    on a sample, the index build itself stays distributed).  Same seed +
+    same input order -> identical centroids, so a re-run reuses the same
+    partitioning (resume-friendly).
+    """
+    rows = df.select(vec_col).limit(sample_size).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    nlist = min(nlist, len(x))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = x[rng.choice(len(x), nlist, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)          # spherical k-means
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                           1e-12)
+    return cent.astype(np.float32)
+
+
+def ivf_assign_udf(centroids: np.ndarray, n_probes: int = 1):
+    """array<long> of the ``n_probes`` nearest-centroid list ids per
+    vector (cosine = dot on the unit-normalized centroids), nearest
+    first.  Candidates use n_probes=1; queries probe several lists."""
+    cent = np.asarray(centroids, dtype=np.float32)
+    n_probes = max(1, min(n_probes, len(cent)))
+
+    @F.pandas_udf("array<long>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float32)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                          1e-12)
+        dots = mat @ cent.T                              # (B, nlist)
+        if n_probes == 1:
+            top = np.argmax(dots, axis=1)[:, None]
+        else:
+            part = np.argpartition(-dots, n_probes - 1,
+                                   axis=1)[:, :n_probes]
+            order = np.argsort(
+                -np.take_along_axis(dots, part, axis=1), axis=1)
+            top = np.take_along_axis(part, order, axis=1)
+        return pd.Series(list(top.astype(np.int64)))
+
+    return assign
+
+
+def ann_ivf_topk(
+    queries: DataFrame, candidates: DataFrame, k: int,
+    centroids: np.ndarray, n_probes: int = 4,
+    query_id: str = "query_id", cand_id: str = "cand_id",
+    q_vec: str = "embedding", c_vec: str = "embedding",
+    max_list_size: int | None = None,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: nearest-centroid list equi-join +
+    exact cosine re-rank.  Train ``centroids`` once with
+    :func:`train_ivf_centroids` and reuse across calls.
+
+    Scale shape: one shuffle on the compact list id; each candidate
+    lands in exactly one list (total join input = |C| * n_probes-ish,
+    vs LSH's |C| * buckets-per-sig).  k-means lists track the real
+    distribution, so the clustered embeddings that break hyperplane LSH
+    (one dense cluster -> one bucket) spread over many lists here.
+    ``max_list_size`` optionally applies the same drop-guard as the LSH
+    path for adversarially degenerate inputs (all-identical vectors).
+    """
+    c_assign = ivf_assign_udf(centroids, 1)
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"), F.col(c_vec).alias("_cv"),
+        F.element_at(c_assign(F.col(c_vec)), 1).alias("_list"))
+    if max_list_size is not None:
+        c = _cap_buckets(c, "_list", max_list_size)
+    q_assign = ivf_assign_udf(centroids, n_probes)
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(q_vec).alias("_qv"),
+                       F.explode(q_assign(F.col(q_vec))).alias("_list"))
+    joined = q.join(c, on="_list", how="inner").filter(
         F.col("query_id") != F.col("cand_id"))
     sim = cosine_expr(F.col("_qv").cast("array<double>"),
                       F.col("_cv").cast("array<double>")).alias("sim")
