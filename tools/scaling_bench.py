@@ -331,10 +331,34 @@ def main():
               file=sys.stderr)
         run(PREP, n_images, path)
 
+    def wait_quiet(
+        max_wait: float = float(os.environ.get(
+            "SPARK_GRAFT_SCALE_MAXWAIT", "300")),
+        threshold: float = float(os.environ.get(
+            "SPARK_GRAFT_SCALE_QUIET", "1.5")),
+    ):
+        """Shared-host mitigation: delay the next timed run until the
+        1-min loadavg (external tenants; we run nothing between reps)
+        drops below threshold, so neither level's sample is polluted.
+        Applied before CALIBRATIONS too — a ceiling sampled while the
+        prep job's wake is still draining reads as an impossible >1
+        ratio and poisons the normalization.  Bounded wait — on a
+        persistently busy host we still measure."""
+        import time as _t
+        t0 = _t.time()
+        while _t.time() - t0 < max_wait:
+            with open("/proc/loadavg") as f:
+                la = float(f.read().split()[0])
+            if la < threshold:
+                return la
+            _t.sleep(10)
+        return la
+
     print("# calibrating raw per-core-set capacity (confined mp spin)...",
           file=sys.stderr)
     calib: dict[str, float] = {}
     for workers in (2, 4, 8, 16, 32):
+        wait_quiet()
         calib.update(json.loads(
             run(CALIBRATE_ONE, workers, ncores=workers).splitlines()[-1]))
     hw = {f"{n}->{n4}": round(calib[str(n4)] / calib[str(n)] / 4.0, 3)
@@ -351,26 +375,6 @@ def main():
     by_round: list[dict[int, dict]] = []
     kcal_rounds: list[dict[str, float]] = []
 
-    def wait_quiet(
-        max_wait: float = float(os.environ.get(
-            "SPARK_GRAFT_SCALE_MAXWAIT", "300")),
-        threshold: float = float(os.environ.get(
-            "SPARK_GRAFT_SCALE_QUIET", "1.5")),
-    ):
-        """Shared-host mitigation: delay the next timed run until the
-        1-min loadavg (external tenants; we run nothing between reps)
-        drops below threshold, so neither level's sample is polluted.
-        Bounded wait — on a persistently busy host we still measure."""
-        import time as _t
-        t0 = _t.time()
-        while _t.time() - t0 < max_wait:
-            with open("/proc/loadavg") as f:
-                la = float(f.read().split()[0])
-            if la < threshold:
-                return la
-            _t.sleep(10)
-        return la
-
     for rnd in range(rounds):
         # same-window kernel ceiling: calibrate the bare decode kernel at
         # every level INSIDE this round, so each round's pair efficiencies
@@ -379,6 +383,7 @@ def main():
         # windows; a ceiling measured an hour earlier is meaningless)
         kcal: dict[str, float] = {}
         for workers in sorted(set(levels)):
+            wait_quiet()
             kcal.update(json.loads(
                 run(KERNEL_ONE, workers, ncores=workers).splitlines()[-1]))
         kcal_rounds.append(kcal)
