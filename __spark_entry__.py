@@ -705,6 +705,30 @@ SELECT query_id, rank, cand_id FROM r WHERE rank <= 5
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN end-to-end (train -> list assign -> probe -> exact
+    re-rank, operators/similarity.py).  Probes every list (n_probes =
+    nlist), which makes IVF provably exact — every candidate lands in
+    some list and every list is probed — so the brute-force top-k SQL
+    twin is the oracle regardless of where k-means put the centroids.
+    The approximate regime (n_probes < nlist) is covered by the recall
+    tests in tests/test_similarity_images.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    cand = e.select(F.col("vec_id").alias("cand_id"), "embedding")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cent = sim_ops.train_ivf_centroids(cand, nlist=8, sample_size=4000)
+    out = sim_ops.ann_ivf_topk(q, cand, k=5, centroids=cent,
+                               n_probes=len(cent))
+    return out.select("query_id", "rank", "cand_id")
+
+
+def sql_ann_ivf():
+    # exact twin of sql_ann_topk: with every list probed IVF degenerates
+    # to brute force by construction
+    return sql_ann_topk()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1409,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_dups": q_simhash_dups,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "line_clip": q_line_clip,
         "getdata_lookup": q_getdata_lookup,
         "label_centroid": q_label_centroid,
@@ -1449,6 +1474,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": sql_simhash_dups(),
         "raster_roundtrip": sql_raster_roundtrip(),
         "ann_topk": sql_ann_topk(),
+        "ann_ivf": sql_ann_ivf(),
         "line_clip": sql_line_clip(),
         "getdata_lookup": sql_getdata_lookup(),
         "label_centroid": sql_label_centroid(),

@@ -39,6 +39,9 @@ BUDGETS = {
     "zorder_topk": (1, 0, 0),
     "line_clip": (0, 0, 1),
     "poly_union": (2, 0, 1),
+    # 2 Arrow nodes exactly: a regression to 3+ means the join's null
+    # guard is re-evaluating an assign/sig UDF over the candidate set
+    "ann_ivf": (2, 1, 2),
 }
 
 

@@ -169,9 +169,13 @@ def ann_lsh_topk(
     probes (raise ``n_probes`` / ``n_planes`` if recall matters there).
     """
     sig = lsh_signature_udf(dim, n_planes)
-    c = candidates.select(F.col(cand_id).alias("cand_id"),
-                          F.col(c_vec).alias("_cv"),
-                          sig(F.col(c_vec)).alias("_bucket"))
+    # coalesce -> provably non-null bucket key, so the join's inferred
+    # isnotnull(_bucket) folds away instead of being pushed below the
+    # projection and re-evaluating the sig UDF over all candidates
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"), F.col(c_vec).alias("_cv"),
+        F.coalesce(sig(F.col(c_vec)),
+                   F.lit(-1).cast("long")).alias("_bucket"))
     c = _cap_buckets(c, "_bucket", max_bucket_size)
     probe = lsh_probe_udf(dim, n_planes, n_probes)
     q = queries.select(F.col(query_id).alias("query_id"),
@@ -267,9 +271,14 @@ def ann_ivf_topk(
     path for adversarially degenerate inputs (all-identical vectors).
     """
     c_assign = ivf_assign_udf(centroids, 1)
+    # coalesce makes _list provably non-null so the join's inferred
+    # isnotnull(_list) folds away — otherwise Catalyst pushes that
+    # filter below the projection and evaluates the assign UDF TWICE
+    # over the full candidate set (the dominant index-build cost)
     c = candidates.select(
         F.col(cand_id).alias("cand_id"), F.col(c_vec).alias("_cv"),
-        F.element_at(c_assign(F.col(c_vec)), 1).alias("_list"))
+        F.coalesce(F.element_at(c_assign(F.col(c_vec)), 1),
+                   F.lit(-1).cast("long")).alias("_list"))
     if max_list_size is not None:
         c = _cap_buckets(c, "_list", max_list_size)
     q_assign = ivf_assign_udf(centroids, n_probes)
@@ -303,8 +312,13 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     observability pattern as dedup.minhash_lsh_pairs; see
     :func:`ann_bucket_stats` for the dropped counts)."""
     sig = lsh_signature_udf(dim, n_planes)
-    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("_v"),
-                     sig(F.col(vec_col)).alias("_bucket"))
+    # non-null bucket key (see ann_lsh_topk): stops Catalyst pushing the
+    # join's isnotnull guard below the projection, which would run the
+    # sig UDF twice per side of the self-join
+    base = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("_v"),
+        F.coalesce(sig(F.col(vec_col)),
+                   F.lit(-1).cast("long")).alias("_bucket"))
     base = _cap_buckets(base, "_bucket", max_bucket_size)
     a, b = base.alias("a"), base.alias("b")
     sim = cosine_expr(F.col("a._v").cast("array<double>"),
