@@ -729,6 +729,91 @@ def sql_ann_ivf():
     return sql_ann_topk()
 
 
+def q_video_frames(spark, sf_dir):
+    """Video frame-sampling over real RIFF/AVI + baseline-JFIF bytes
+    (operators/media.sample_frames, kernels/riff.py): sample every video
+    down to ~5 fps, decode the sampled frames with the from-scratch JPEG
+    codec, and PSNR-verify each against the deterministic reference
+    pixels.  The oracle regenerates the closed-form frame selection
+    (step = fps // 5, t_ms = idx*1000 // fps) — pix_ok carries the
+    Spark-side decode invariant into the compared values (any decode or
+    container-parse fault flips it and breaks the hash)."""
+    from tilemaker_spark.operators import media as media_ops
+    v = synth.videos_df(spark, 80, partitions=16)
+    out = media_ops.sample_frames(v, target_fps=5)
+    return out.select("video_id", "frame_idx", "t_ms", "w", "h", "pix_ok")
+
+
+def sql_video_frames():
+    # metadata formulas mirror sources/synth.videos_df exactly
+    return """
+WITH v AS (SELECT unnest(generate_series(0, 79)) AS i),
+meta AS (
+  SELECT 'vid_' || i AS video_id,
+         8 + (i % 5) * 4 AS n_frames,
+         10 + (i % 3) * 5 AS fps,
+         16 + (i % 3) * 8 AS w,
+         16 + ((i + 1) % 2) * 8 AS h
+  FROM v
+), fr AS (
+  SELECT video_id, fps, w, h,
+         unnest(generate_series(0, n_frames - 1, fps // 5)) AS frame_idx
+  FROM meta
+)
+SELECT video_id, frame_idx, (frame_idx * 1000) // fps AS t_ms,
+       w, h, true AS pix_ok
+FROM fr
+"""
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio waveform features over real RIFF/WAVE 16-bit PCM bytes
+    (operators/media.audio_features, kernels/riff.py).  The PCM is pure
+    int64 arithmetic (synth_audio_samples), so the oracle regenerates
+    the exact samples in SQL and recomputes every feature — a decode
+    fault anywhere in the WAV path changes peak/zcr/rms and breaks the
+    hash."""
+    from tilemaker_spark.operators import media as media_ops
+    a = synth.audio_df(spark, 500, partitions=16)
+    return media_ops.audio_features(a)
+
+
+def sql_audio_features():
+    # v(j) mirrors kernels/riff.synth_audio_samples; zero_crossings
+    # counts sign(v)<0 flips between consecutive samples, computed
+    # closed-form from v(j-1) (no window function needed)
+    return """
+WITH a AS (SELECT unnest(generate_series(0, 499)) AS i),
+s AS (
+  SELECT i, 'aud_' || i AS audio_id,
+         8000 AS sample_rate,
+         4000 + (i % 7) * 1000 AS n
+  FROM a
+), samp AS (
+  SELECT audio_id, sample_rate, n, i,
+         unnest(generate_series(0, n - 1)) AS j
+  FROM s
+), vals AS (
+  SELECT audio_id, sample_rate, n, j,
+         ((i * 1103515245 + j * 12345 + 6789) % 2147483648) % 4096 - 2048
+           AS v,
+         ((i * 1103515245 + (j - 1) * 12345 + 6789) % 2147483648) % 4096
+           - 2048 AS vp
+  FROM samp
+)
+SELECT audio_id,
+       min(sample_rate) AS sample_rate,
+       min(n) AS n_samples,
+       (min(n) * 1000) // min(sample_rate) AS duration_ms,
+       max(abs(v)) AS peak,
+       sum(CASE WHEN j > 0 AND ((v < 0) <> (vp < 0)) THEN 1 ELSE 0 END)
+         AS zero_crossings,
+       round(sqrt(sum(v * v) / min(n)), 6) AS rms
+FROM vals
+GROUP BY audio_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1434,6 +1519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "video_frames": q_video_frames,
+        "audio_features": q_audio_features,
         "line_clip": q_line_clip,
         "getdata_lookup": q_getdata_lookup,
         "label_centroid": q_label_centroid,
@@ -1475,6 +1562,8 @@ def oracle_sql() -> dict[str, str]:
         "raster_roundtrip": sql_raster_roundtrip(),
         "ann_topk": sql_ann_topk(),
         "ann_ivf": sql_ann_ivf(),
+        "video_frames": sql_video_frames(),
+        "audio_features": sql_audio_features(),
         "line_clip": sql_line_clip(),
         "getdata_lookup": sql_getdata_lookup(),
         "label_centroid": sql_label_centroid(),

@@ -42,6 +42,10 @@ BUDGETS = {
     # 2 Arrow nodes exactly: a regression to 3+ means the join's null
     # guard is re-evaluating an assign/sig UDF over the candidate set
     "ann_ivf": (2, 1, 2),
+    # media queries are single linear synth -> encode -> mapInPandas
+    # chains: zero shuffles, by construction
+    "video_frames": (0, 0, 2),
+    "audio_features": (0, 0, 2),
 }
 
 

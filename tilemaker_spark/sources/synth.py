@@ -215,3 +215,81 @@ def _encode_image_udf(k: Column, w: Column, h: Column, fmt: Column) -> Column:
         return pd.Series(out)
 
     return enc(k, w, h, fmt)
+
+
+def videos_df(spark: SparkSession, n: int,
+              partitions: int | None = None) -> DataFrame:
+    """Deterministic video table: (video_id string, bytes binary,
+    n_frames int, fps int, w int, h int, codec string).
+
+    ``bytes`` is a real RIFF/AVI container (kernels/riff.py) whose
+    frames are real baseline-JFIF images of the deterministic reference
+    pixels, frame seed = video_seed*1000 + frame_idx (the convention
+    operators/media.sample_frames verifies against).  Metadata is pure
+    Catalyst so a SQL oracle can regenerate it closed-form:
+    n_frames = 8 + (k%5)*4, fps = 10 + (k%3)*5,
+    w = 16 + (k%3)*8, h = 16 + ((k+1)%2)*8."""
+    rng = spark.range(n, numPartitions=partitions)
+    k = F.col("id")
+    df = rng.select(
+        F.format_string("vid_%d", k).alias("video_id"),
+        k.alias("_k"),
+        (F.lit(8) + (k % 5) * F.lit(4)).cast("int").alias("n_frames"),
+        (F.lit(10) + (k % 3) * F.lit(5)).cast("int").alias("fps"),
+        (F.lit(16) + (k % 3) * F.lit(8)).cast("int").alias("w"),
+        (F.lit(16) + ((k + 1) % 2) * F.lit(8)).cast("int").alias("h"),
+        F.lit("MJPG").alias("codec"),
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(ks: pd.Series, nfs: pd.Series, fpss: pd.Series,
+            ws: pd.Series, hs: pd.Series) -> pd.Series:
+        from ..kernels import png as P
+        from ..kernels import riff as R
+        out = []
+        for kk, nf, fps, ww, hh in zip(ks, nfs, fpss, ws, hs):
+            frames = [
+                P.encode_jpeg(P.synth_pixels(int(kk) * 1000 + j,
+                                             int(ww), int(hh)))
+                for j in range(int(nf))]
+            out.append(R.encode_avi_mjpeg(frames, int(fps),
+                                          int(ww), int(hh)))
+        return pd.Series(out)
+
+    return df.withColumn(
+        "bytes", enc(F.col("_k"), F.col("n_frames"), F.col("fps"),
+                     F.col("w"), F.col("h"))
+    ).select("video_id", "bytes", "n_frames", "fps", "w", "h", "codec")
+
+
+def audio_df(spark: SparkSession, n: int, sample_rate: int = 8000,
+             partitions: int | None = None) -> DataFrame:
+    """Deterministic audio table: (audio_id string, bytes binary,
+    sample_rate int, n_samples int).
+
+    ``bytes`` is a real RIFF/WAVE 16-bit mono PCM file whose samples
+    come from kernels/riff.synth_audio_samples — pure int64 arithmetic
+    a DuckDB oracle reproduces exactly.  n_samples = 4000 + (k%7)*1000."""
+    rng = spark.range(n, numPartitions=partitions)
+    k = F.col("id")
+    df = rng.select(
+        F.format_string("aud_%d", k).alias("audio_id"),
+        k.alias("_k"),
+        F.lit(sample_rate).cast("int").alias("sample_rate"),
+        (F.lit(4000) + (k % 7) * F.lit(1000)).cast("int").alias("n_samples"),
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(ks: pd.Series, srs: pd.Series, nss: pd.Series) -> pd.Series:
+        from ..kernels import riff as R
+        return pd.Series([
+            R.encode_wav(R.synth_audio_samples(int(kk), int(ns)), int(sr))
+            for kk, sr, ns in zip(ks, srs, nss)])
+
+    return df.withColumn(
+        "bytes", enc(F.col("_k"), F.col("sample_rate"), F.col("n_samples"))
+    ).select("audio_id", "bytes", "sample_rate", "n_samples")
