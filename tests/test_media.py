@@ -63,6 +63,34 @@ def test_synth_audio_sql_twin_formula():
     assert v.dtype == np.int16 and list(v) == ref
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=2000),
+           st.sampled_from([8000, 16000, 44100]))
+    def test_wav_roundtrip_property(samples, sr):
+        s = np.asarray(samples, dtype=np.int16)
+        got, got_sr = R.decode_wav(R.encode_wav(s, sr))
+        assert got_sr == sr and np.array_equal(got, s)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=400),
+                    min_size=0, max_size=12),
+           st.integers(1, 60), st.integers(1, 256), st.integers(1, 256))
+    def test_avi_container_roundtrip_property(frames, fps, w, h):
+        # container round-trip is payload-agnostic (any bytes mux/demux
+        # losslessly; JPEG validity is only a decode-time concern)
+        avi = R.encode_avi_mjpeg(frames, fps, w, h)
+        meta = R.decode_avi_header(avi)
+        assert (meta["n_frames"], meta["fps"], meta["w"], meta["h"]) == (
+            len(frames), fps, w, h)
+        got = R.avi_frames(avi)
+        assert [got[i] for i in range(len(frames))] == frames
+except ImportError:   # pragma: no cover - hypothesis is baked in here
+    pass
+
+
 def test_video_metadata_and_sampling(spark):
     from tilemaker_spark.operators import media
     from tilemaker_spark.sources import synth
