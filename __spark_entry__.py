@@ -23,6 +23,7 @@ from pyspark.sql import Window
 from tilemaker_spark.sql import tile_exprs as TE
 from tilemaker_spark.sources import synth
 from tilemaker_spark.operators import (
+    components as components_ops,
     dedup as dedup_ops,
     knn as knn_ops,
     similarity as sim_ops,
@@ -567,6 +568,83 @@ FROM base a JOIN base b
   ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.words, b.words)) AS double)
       / len(list_distinct(list_concat(a.words, b.words))) >= 0.4
+"""
+
+
+# shared by the two cluster-dedup oracles: the ngram_jaccard pair set
+# (proven above) fed through min-label closure via a recursive CTE —
+# DuckDB's UNION-dedup recursion terminates, and min(lbl) per node equals
+# the component minimum, exactly what the alternating-star algorithm in
+# operators/components.py converges to.
+_SQL_CC_LAB = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, list_distinct(string_split(trim(regexp_replace(
+      lower(text), '\s+', ' ', 'g')), ' ')) AS words
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM base a JOIN base b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.words, b.words)) AS double)
+        / len(list_distinct(list_concat(a.words, b.words))) >= 0.4
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+), lab AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+)
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pair list -> transitive clusters: alternating large-star/
+    small-star connected components (Kiveris et al. SoCC'14; O(log d)
+    rounds, two shuffles per round, no driver-side graph) over the exact
+    ngram-Jaccard pairs, every document labeled with its component's
+    minimum doc_id plus the cluster size.  The pair->cluster resolution
+    step every dedup pipeline needs between candidate generation and
+    canonical selection."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        d, "text", "doc_id", block_col="source", threshold=0.4)
+    out = components_ops.dedup_clusters(d, pairs, "doc_id")
+    return out.select("doc_id", "cluster_id",
+                      F.col("cluster_size").cast("long").alias("cluster_size"))
+
+
+def sql_dedup_clusters():
+    return _SQL_CC_LAB + r"""
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """One survivor per near-dup cluster: highest-quality copy kept
+    (n_chars desc, doc_id asc tiebreak), everything else dropped — the
+    'keep the best copy' stage a training corpus runs after clustering."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(
+        d, "text", "doc_id", block_col="source", threshold=0.4)
+    kept = components_ops.keep_canonical(d, pairs, "doc_id",
+                                         quality_col="n_chars")
+    return kept.select("doc_id", "cluster_id", "n_chars")
+
+
+def sql_dedup_canonical():
+    return _SQL_CC_LAB + r"""
+SELECT doc_id, cluster_id, n_chars
+FROM (
+  SELECT d.doc_id, l.cluster_id, d.n_chars,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+  FROM documents d JOIN lab l ON d.doc_id = l.doc_id
+) WHERE rk = 1
 """
 
 
@@ -1509,6 +1587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_canonical": q_dedup_canonical,
         "cover_large": q_cover_large,
         "poly_union": q_poly_union,
         "area_intersect": q_area_intersect,
@@ -1551,6 +1631,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text_ops.lang_scores_oracle_sql(),
         "fingerprint": sql_fingerprint(),
         "ngram_jaccard": sql_ngram_jaccard(),
+        "dedup_clusters": sql_dedup_clusters(),
+        "dedup_canonical": sql_dedup_canonical(),
         "cover_large": sql_cover_large(),
         "poly_union": sql_poly_union(),
         "area_intersect": sql_area_intersect(),

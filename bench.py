@@ -38,7 +38,8 @@ def main():
         "tile_assign", "cell_index", "pip_broadcast", "pip_cell", "knn",
         "way_assembly", "zorder_topk", "tiles_rollup", "pricing_summary",
         "shipping_priority", "dedup_exact", "text_stats", "ngram_jaccard",
-        "minhash_pairs", "ann_topk", "ann_ivf", "cover_large", "poly_union",
+        "minhash_pairs", "dedup_clusters", "ann_topk", "ann_ivf",
+        "cover_large", "poly_union",
         "area_intersect",
         "rel_members", "pip_line", "covered_by", "line_clip",
     ]
