@@ -123,6 +123,27 @@ FROM orders GROUP BY 1
 """
 
 
+def q_hex_index(spark, sf_dir):
+    """Hexagonal cell index (the H3 analogue the BASELINE north star keys
+    tables by): pointy-top axial hex binning on the Mercator-degree plane
+    with cube rounding, packed into one int64 — pure Catalyst expressions
+    (zero UDF), SQL twin mirrored literal-for-literal."""
+    o = _t(spark, sf_dir, "orders")
+    lon, lat = synth.geo_point_expr(F.col("o_orderkey"))
+    return (
+        o.select(TE.hex_cell_id(lon, lat, 6).alias("cell"))
+        .groupBy("cell").agg(F.count("*").alias("n"))
+    )
+
+
+def sql_hex_index():
+    ctes = TE.hex_cell_sql_ctes(ORD_LON, ORD_LAT, "orders", 6)
+    return f"""
+WITH {ctes}
+SELECT cell, count(*) AS n FROM hexfin GROUP BY 1
+"""
+
+
 def q_pip_broadcast(spark, sf_dir):
     """Point-in-polygon join, broadcast filter-refine path (reference
     Intersects/FindIntersecting, src/osm_lua_processing.cpp:409-465)."""
@@ -1569,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
         "cell_index": q_cell_index,
+        "hex_index": q_hex_index,
         "pip_broadcast": q_pip_broadcast,
         "pip_cell": q_pip_cell,
         "knn": q_knn,
@@ -1613,6 +1635,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_assign": sql_tile_assign(),
         "cell_index": sql_cell_index(),
+        "hex_index": sql_hex_index(),
         "pip_broadcast": sql_pip(),
         "pip_cell": sql_pip(),
         "knn": sql_knn(),

@@ -35,7 +35,8 @@ def main():
 
     qs = E.queries()
     headline = [
-        "tile_assign", "cell_index", "pip_broadcast", "pip_cell", "knn",
+        "tile_assign", "cell_index", "hex_index", "pip_broadcast",
+        "pip_cell", "knn",
         "way_assembly", "zorder_topk", "tiles_rollup", "pricing_summary",
         "shipping_priority", "dedup_exact", "text_stats", "ngram_jaccard",
         "minhash_pairs", "dedup_clusters", "ann_topk", "ann_ivf",

@@ -153,3 +153,80 @@ def box_area_sq_m_sql(minlon: str, minlat: str, maxlon: str, maxlat: str) -> str
         f"(abs(radians({maxlon} - {minlon}) * (sin(radians({maxlat}))"
         f" - sin(radians({minlat})))) * {RADIUS_METER * RADIUS_METER})"
     )
+
+
+# --- hexagonal cell index (the H3-style analogue) --------------------------
+# The BASELINE north star keys tables by "H3/S2 cells"; real H3 is a geodesic
+# icosahedral grid, so the honest from-scratch analogue here is a pointy-top
+# axial hex grid on the (lon, latp) Mercator-degree plane: near-uniform cell
+# area away from the poles, 6-neighbor adjacency, one compact int64 key.
+# Axial coords + cube rounding per the canonical formulation (Red Blob Games,
+# "Hexagonal Grids").  Pure Catalyst expressions — zero UDF, codegen-able —
+# with an exactly-mirrored SQL twin (same literals, same op order, floor-based
+# rounding) so DuckDB reproduces the ids bit-for-bit.
+
+SQRT3_3 = 0.5773502691896258  # sqrt(3)/3
+_HEX_OFF = 1 << 20            # axial offset so the packed id is non-negative
+
+
+def hex_size_deg(res: int) -> float:
+    """Hex circumradius in projected degrees at resolution ``res``
+    (halves every level, like H3's ~sqrt(7) aperture in spirit)."""
+    return 360.0 / float(1 << res)
+
+
+def hex_cell_id(lon: Column, lat: Column, res: int = 6) -> Column:
+    """Pack the cube-rounded axial hex coordinates of a point into one
+    int64: (q + 2^20) * 2^21 + (r + 2^20)."""
+    size = hex_size_deg(res)
+    x = lon.cast("double")
+    y = lat2latp(lat)
+    q = (F.lit(SQRT3_3) * x - y / F.lit(3.0)) / F.lit(size)
+    r = y * F.lit(2.0) / F.lit(3.0) / F.lit(size)
+    cy = -q - r
+    rx = F.floor(q + F.lit(0.5))
+    ry = F.floor(cy + F.lit(0.5))
+    rz = F.floor(r + F.lit(0.5))
+    dx, dy, dz = F.abs(rx - q), F.abs(ry - cy), F.abs(rz - r)
+    first = (dx > dy) & (dx > dz)
+    fq = F.when(first, -ry - rz).otherwise(rx)
+    fr = F.when(first | (dy > dz), rz).otherwise(-rx - ry)
+    return ((fq + F.lit(_HEX_OFF)) * F.lit(2 * _HEX_OFF)
+            + (fr + F.lit(_HEX_OFF))).cast("long")
+
+
+def hex_cell_unpack(cell: Column) -> tuple[Column, Column]:
+    """(q, r) axial coordinates back out of a packed hex cell id."""
+    q = F.floor(cell / F.lit(2 * _HEX_OFF)) - F.lit(_HEX_OFF)
+    r = cell % F.lit(2 * _HEX_OFF) - F.lit(_HEX_OFF)
+    return q.cast("long"), r.cast("long")
+
+
+def hex_cell_sql_ctes(lon: str, lat: str, source: str, res: int = 6) -> str:
+    """DuckDB twin of :func:`hex_cell_id` as a CTE chain ``... , hexfin AS
+    (SELECT *, cell ...)`` over ``source`` (a table or CTE exposing the
+    given lon/lat expressions); compose with ``WITH {ctes} SELECT ...
+    FROM hexfin``.  Mirrors the Spark literals and op order exactly."""
+    size = repr(hex_size_deg(res))
+    y = lat2latp_sql(lat)
+    return f"""hexax AS (
+  SELECT *,
+         (({SQRT3_3!r} * ({lon}) - ({y}) / 3.0) / {size}) AS hq,
+         (({y}) * 2.0 / 3.0 / {size}) AS hr
+  FROM {source}
+), hexrnd AS (
+  SELECT *, (-hq - hr) AS hy,
+         floor(hq + 0.5) AS rx, floor(-hq - hr + 0.5) AS ry,
+         floor(hr + 0.5) AS rz
+  FROM hexax
+), hexdif AS (
+  SELECT *, abs(rx - hq) AS dx, abs(ry - hy) AS dy, abs(rz - hr) AS dz
+  FROM hexrnd
+), hexfin AS (
+  SELECT *,
+         CAST(((CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END)
+               + {_HEX_OFF}) * {2 * _HEX_OFF}
+              + ((CASE WHEN (dx > dy AND dx > dz) OR dy > dz THEN rz
+                       ELSE -rx - ry END) + {_HEX_OFF}) AS BIGINT) AS cell
+  FROM hexdif
+)"""
