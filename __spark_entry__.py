@@ -574,7 +574,7 @@ def q_ngram_jaccard(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def sql_ngram_jaccard():
+def sql_ngram_jaccard(threshold: float = 0.4):
     words = (r"list_distinct(string_split(trim(regexp_replace(lower(text),"
              r" '\s+', ' ', 'g')), ' '))")
     return f"""
@@ -588,8 +588,22 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM base a JOIN base b
   ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.words, b.words)) AS double)
-      / len(list_distinct(list_concat(a.words, b.words))) >= 0.4
+      / len(list_distinct(list_concat(a.words, b.words))) >= {threshold}
 """
+
+
+def q_jaccard_prefix(spark, sf_dir):
+    """Exact set-similarity join via PREFIX FILTERING (Chaudhuri et al.
+    ICDE'06 SSJoin / Bayardo et al. WWW'07 all-pairs) — the scale path
+    for exact Jaccard: candidates come from an equi-join on each
+    document's rarest ``|x| - ceil(t|x|) + 1`` tokens (lossless under a
+    global rarity order) + a size-ratio prune, then exact verify.  Same
+    output as the O(block^2) baseline (property-tested at several
+    thresholds); shares its quadratic DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup_ops.jaccard_join_prefix(
+        d, "text", "doc_id", block_col="source", threshold=0.7)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 # shared by the two cluster-dedup oracles: the ngram_jaccard pair set
@@ -862,6 +876,78 @@ meta AS (
 SELECT video_id, frame_idx, (frame_idx * 1000) // fps AS t_ms,
        w, h, true AS pix_ok
 FROM fr
+"""
+
+
+def q_phash_clusters(spark, sf_dir):
+    """Image near-dup CLUSTERS end-to-end: perceptual-hash pair
+    generation (operators/images.phash_near_dups — 16-bit chunk
+    pigeonhole blocking, JVM-only bit ops) -> alternating-star connected
+    components -> (image_id, cluster_id, cluster_size).
+
+    Fixture: 2400 images in 600 planted groups of 4 — member 0 carries
+    the group's base phash (LCG on the group id), members 1-3 flip one
+    distinct bit each (pairwise hamming <= 2, so chunk blocking is
+    exact by pigeonhole; cross-group hamming ~30).  The oracle
+    regenerates the same phashes in SQL and resolves the SAME
+    blocked-pair predicate through a recursive min-label closure, so
+    any fault in the chunk explode, the hamming filter, or the
+    component algorithm breaks the hash."""
+    from tilemaker_spark.operators import components as components_ops
+    from tilemaker_spark.operators import images as image_ops
+    df = spark.range(2400).select(
+        F.col("id").alias("image_id"),
+        F.expr(
+            "CAST((((id div 4) * 1103515245 + 12345) % 2147483648)"
+            " * 1000003 AS BIGINT) ^ "
+            "CASE WHEN id % 4 = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), "
+            "CAST(((id div 4) * 7 + (id % 4) * 13) % 61 AS INT)) END"
+        ).alias("phash"))
+    pairs = image_ops.phash_near_dups(df, max_hamming=4)
+    out = components_ops.dedup_clusters(df, pairs, id_col="image_id",
+                                        src="id_a", dst="id_b")
+    return out.select(
+        "image_id", "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"))
+
+
+def sql_phash_clusters():
+    # phash formula mirrors q_phash_clusters literal-for-literal
+    # (DuckDB: // int div, xor(), <<, bit_count); pair predicate is the
+    # SAME chunk-share + hamming<=4 the Spark side applies, closure via
+    # recursive min-label propagation (terminates: UNION dedups)
+    return """
+WITH RECURSIVE r AS (SELECT unnest(generate_series(0, 2399)) AS k),
+ph AS (
+  SELECT k,
+         xor(CAST((((k // 4) * 1103515245 + 12345) % 2147483648)
+                  * 1000003 AS BIGINT),
+             CASE WHEN k % 4 = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (CAST(1 AS BIGINT)
+                        << CAST(((k // 4) * 7 + (k % 4) * 13) % 61
+                                AS INT)) END) AS phash
+  FROM r
+), pairs AS (
+  SELECT a.k AS u, b.k AS v
+  FROM ph a JOIN ph b ON a.k < b.k
+  WHERE bit_count(xor(a.phash, b.phash)) <= 4
+    AND ( (a.phash & 65535) = (b.phash & 65535)
+       OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
+       OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
+       OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535) )
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(node, lbl) AS (
+  SELECT k, k FROM ph
+  UNION
+  SELECT e.u, rr.lbl FROM edges e JOIN reach rr ON rr.node = e.v
+), lab AS (
+  SELECT node AS image_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT image_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
 """
 
 
@@ -1609,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "jaccard_prefix": q_jaccard_prefix,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
         "cover_large": q_cover_large,
@@ -1623,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
+        "phash_clusters": q_phash_clusters,
         "line_clip": q_line_clip,
         "getdata_lookup": q_getdata_lookup,
         "label_centroid": q_label_centroid,
@@ -1654,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text_ops.lang_scores_oracle_sql(),
         "fingerprint": sql_fingerprint(),
         "ngram_jaccard": sql_ngram_jaccard(),
+        "jaccard_prefix": sql_ngram_jaccard(threshold=0.7),
         "dedup_clusters": sql_dedup_clusters(),
         "dedup_canonical": sql_dedup_canonical(),
         "cover_large": sql_cover_large(),
@@ -1669,6 +1758,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": sql_ann_ivf(),
         "video_frames": sql_video_frames(),
         "audio_features": sql_audio_features(),
+        "phash_clusters": sql_phash_clusters(),
         "line_clip": sql_line_clip(),
         "getdata_lookup": sql_getdata_lookup(),
         "label_centroid": sql_label_centroid(),

@@ -206,3 +206,40 @@ def test_lsh_bucket_cap_and_stats(spark):
         max_bucket_size=1000)
     got2 = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
     assert (100, 101) in got2
+
+
+def test_prefix_join_equals_baseline(docs):
+    """Prefix-filtering exact Jaccard join must produce EXACTLY the
+    O(block^2) baseline's pairs — same ids, same jaccard values."""
+    for t in (0.3, 0.5, 0.8):
+        want = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", block_col="source",
+            threshold=t).collect()))
+        got = sorted(map(tuple, dedup.jaccard_join_prefix(
+            docs, "text", "doc_id", block_col="source",
+            threshold=t).collect()))
+        assert got == want, f"threshold {t}"
+
+
+def test_prefix_join_random_corpus(spark):
+    """Property test on a random synthetic corpus (shared vocabulary so
+    true near-dups exist): prefix join == quadratic baseline at several
+    thresholds, with and without blocking."""
+    import random
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(80):
+        n = rng.randint(3, 20)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n)),
+                     f"s{i % 2}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for block in (None, "source"):
+        for t in (0.4, 0.7):
+            want = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+                df, "text", "doc_id", block_col=block,
+                threshold=t).collect()))
+            got = sorted(map(tuple, dedup.jaccard_join_prefix(
+                df, "text", "doc_id", block_col=block,
+                threshold=t).collect()))
+            assert got == want, (block, t, len(want), len(got))

@@ -372,6 +372,83 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def jaccard_join_prefix(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        block_col: str | None = None,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact word-set Jaccard join via prefix filtering — IDENTICAL
+    output to :func:`ngram_jaccard_pairs`, scalable candidate
+    generation.
+
+    The O(block^2) baseline compares every pair; at web scale that is
+    the wrong algorithm.  Prefix filtering (Chaudhuri et al. ICDE'06
+    SSJoin / Bayardo et al. WWW'07 all-pairs / PPJoin) makes the join
+    exact AND sub-quadratic: order every document's tokens by global
+    rarity (ascending document frequency), keep only each document's
+    first ``|x| - ceil(t*|x|) + 1`` tokens (the *prefix*), and equi-join
+    on prefix tokens — two sets with Jaccard >= t MUST share a prefix
+    token under any fixed global order, so no true pair is lost.
+    Candidates then pass a lossless size-ratio filter
+    (``t*max(|x|,|y|) <= min(|x|,|y|)``) before the exact
+    intersection/union verify.
+
+    Scale shape: candidate generation shuffles on the prefix *token*
+    key — and prefix tokens are by construction the RAREST tokens, so
+    the equi-join buckets are naturally small where a naive token join
+    would collapse on stopwords.  Equality with the baseline is
+    property-tested (tests/test_dedup_text.py) and both share the same
+    DuckDB oracle."""
+    words = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    # base/pref each feed BOTH sides of a self-join below; without lineage
+    # truncation Spark recomputes the tokenize->freq->window subtree per
+    # alias (ReusedExchange does not fire across self-join aliases).  Lazy
+    # localCheckpoint = compute once at first use, executor-local storage
+    # (both stages are linear in the input; on a cluster with preemptible
+    # executors swap for checkpoint() — same note as operators/components).
+    base = df.select(
+        F.col(id_col).alias("doc_id"), words.alias("words"),
+        (F.col(block_col) if block_col else F.lit(1)).alias("block"),
+    ).localCheckpoint(eager=False)
+    tok = base.select(
+        "doc_id", "block", F.size("words").alias("n"),
+        F.explode("words").alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = tok.join(freq, "w").withColumn(
+        "pos", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("cnt", "w")))
+    # prefix length |x| - ceil(t*|x|) + 1 (textbook Jaccard prefix)
+    pref = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold))
+        + F.lit(1)).select("doc_id", "block", "n", "w") \
+        .localCheckpoint(eager=False)
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.w") == F.col("b.w"))
+               & (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               # lossless size-ratio prune: J >= t forces
+               # min(|x|,|y|) >= t * max(|x|,|y|)
+               & (F.least("a.n", "b.n").cast("double")
+                  >= F.lit(threshold) * F.greatest("a.n", "b.n")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wa = base.select(F.col("doc_id").alias("doc_a"),
+                     F.col("words").alias("_wa"))
+    wb = base.select(F.col("doc_id").alias("doc_b"),
+                     F.col("words").alias("_wb"))
+    return (
+        cand.join(wa, "doc_a").join(wb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("_wa", "_wb")).cast("double")
+            / F.size(F.array_union("_wa", "_wb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc: sign-sum of word-hash bits, vectorized in an
