@@ -555,6 +555,13 @@ def q_lang_id(spark, sf_dir):
     return text_ops.lang_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """GPT-2-style pre-tokenizer count (operators/text.bpe_token_count):
+    JVM regexp_count, zero shuffles — the per-document token-cost
+    estimator.  Same RE2-compatible pattern on both engines."""
+    return text_ops.bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
 def q_fingerprint(spark, sf_dir):
     return text_ops.fingerprint(_t(spark, sf_dir, "documents")).select(
         "doc_id", "fp")
@@ -877,6 +884,59 @@ SELECT video_id, frame_idx, (frame_idx * 1000) // fps AS t_ms,
        w, h, true AS pix_ok
 FROM fr
 """
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (operators/sampling.py):
+    membership is a pure function of (doc_id, salt) — stable across
+    runs, partitionings, and engines (df.sample() is not).  Zero
+    shuffles; the oracle applies the identical LCG + thresholds."""
+    from tilemaker_spark.operators import sampling as sampling_ops
+    d = _t(spark, sf_dir, "documents")
+    return sampling_ops.hash_split(d, "doc_id").select("doc_id", "split")
+
+
+def sql_hash_split():
+    from tilemaker_spark.operators import sampling as sampling_ops
+    return sampling_ops.hash_split_oracle_sql()
+
+
+_MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_mixture(spark, sf_dir):
+    """Deterministic data MIXING (operators/sampling.weighted_mixture):
+    downsample sources to a target composition with maximum retention —
+    per-source counts aggregated small, broadcast back, one hash-bucket
+    filter pass over the big table.  The oracle recomputes the identical
+    IEEE-double thresholds from the same counts."""
+    from tilemaker_spark.operators import sampling as sampling_ops
+    d = _t(spark, sf_dir, "documents")
+    out = sampling_ops.weighted_mixture(d, "source", "doc_id",
+                                        _MIXTURE_WEIGHTS)
+    return out.select("doc_id", "source")
+
+
+def sql_mixture():
+    from tilemaker_spark.operators import sampling as sampling_ops
+    return sampling_ops.weighted_mixture_oracle_sql(_MIXTURE_WEIGHTS)
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): lag-mark +
+    running-sum session numbering over one shuffle on the user key,
+    then a per-session rollup — pure Catalyst, no UDF.  The streaming
+    twin (streaming/jobs.streaming_sessions) uses the native
+    session_window state store; this batch form is the oracle-checkable
+    one."""
+    from tilemaker_spark.operators import sessions as sessions_ops
+    ev = _t(spark, sf_dir, "events")
+    return sessions_ops.session_stats(ev, gap_minutes=30.0)
+
+
+def sql_sessionize():
+    from tilemaker_spark.operators import sessions as sessions_ops
+    return sessions_ops.sessionize_oracle_sql(gap_minutes=30.0)
 
 
 def q_phash_clusters(spark, sf_dir):
@@ -1693,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "bpe_tokens": q_bpe_tokens,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "jaccard_prefix": q_jaccard_prefix,
@@ -1711,6 +1772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "phash_clusters": q_phash_clusters,
+        "sessionize": q_sessionize,
+        "hash_split": q_hash_split,
+        "mixture": q_mixture,
         "line_clip": q_line_clip,
         "getdata_lookup": q_getdata_lookup,
         "label_centroid": q_label_centroid,
@@ -1740,6 +1804,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": sql_dedup_exact(),
         "text_stats": text_ops.text_stats_oracle_sql(),
         "lang_id": text_ops.lang_scores_oracle_sql(),
+        "bpe_tokens": text_ops.bpe_token_count_oracle_sql(),
         "fingerprint": sql_fingerprint(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "jaccard_prefix": sql_ngram_jaccard(threshold=0.7),
@@ -1759,6 +1824,9 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": sql_video_frames(),
         "audio_features": sql_audio_features(),
         "phash_clusters": sql_phash_clusters(),
+        "sessionize": sql_sessionize(),
+        "hash_split": sql_hash_split(),
+        "mixture": sql_mixture(),
         "line_clip": sql_line_clip(),
         "getdata_lookup": sql_getdata_lookup(),
         "label_centroid": sql_label_centroid(),

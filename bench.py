@@ -39,7 +39,9 @@ def main():
         "pip_cell", "knn",
         "way_assembly", "zorder_topk", "tiles_rollup", "pricing_summary",
         "shipping_priority", "dedup_exact", "text_stats", "ngram_jaccard",
-        "minhash_pairs", "dedup_clusters", "ann_topk", "ann_ivf",
+        "jaccard_prefix", "minhash_pairs", "dedup_clusters",
+        "phash_clusters", "sessionize", "hash_split", "bpe_tokens",
+        "ann_topk", "ann_ivf",
         "cover_large", "poly_union",
         "area_intersect",
         "rel_members", "pip_line", "covered_by", "line_clip",

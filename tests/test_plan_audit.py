@@ -46,6 +46,18 @@ BUDGETS = {
     # chains: zero shuffles, by construction
     "video_frames": (0, 0, 2),
     "audio_features": (0, 0, 2),
+    # round-4 additions: prefix join = freq agg + window + token join +
+    # pair distinct + verify (checkpointed subtrees hide their upstream
+    # exchanges from the final plan but the candidate path still shows
+    # the distinct + join shuffles); sessionize = ONE shuffle on the
+    # user key shared by both window passes + the rollup; the sampling
+    # queries are pure projection/filter (zero shuffles) with the tiny
+    # count-aggregation broadcast for mixture
+    "jaccard_prefix": (4, 0, 0),
+    "sessionize": (2, 0, 0),
+    "hash_split": (0, 0, 0),
+    "bpe_tokens": (0, 0, 0),
+    "mixture": (3, 2, 0),
 }
 
 

@@ -1,0 +1,180 @@
+"""Deterministic sampling/splitting and the SSIM kernel."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.kernels import metrics, png
+from tilemaker_spark.operators import sampling
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    df1 = spark.range(5000)
+    df2 = spark.range(5000).repartition(13)
+    a = dict(sampling.hash_split(df1, "id").select("id", "split").collect())
+    b = dict(sampling.hash_split(df2, "id").select("id", "split").collect())
+    assert a == b
+    # weights roughly honored
+    from collections import Counter
+    c = Counter(a.values())
+    assert 0.95 < c["train"] / 5000 < 1.0
+    assert c["val"] > 0 and c["test"] > 0
+    assert c["train"] + c["val"] + c["test"] == 5000
+
+
+def test_hash_split_matches_oracle(spark, sf_dir):
+    import duckdb
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sampling.hash_split(d, "doc_id").select("doc_id", "split") \
+        .toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(sampling.hash_split_oracle_sql()).fetchdf()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True) \
+        .astype(g.dtypes.to_dict())
+    assert len(g) > 0 and g.equals(w)
+
+
+def test_hash_split_string_ids(spark):
+    df = spark.createDataFrame(
+        [(f"doc_{i}",) for i in range(2000)], "sid string")
+    out = sampling.hash_split(df, "sid",
+                              weights={"a": 0.5, "b": 0.5})
+    from collections import Counter
+    c = Counter(r["split"] for r in out.collect())
+    assert set(c) == {"a", "b"}
+    assert 0.4 < c["a"] / 2000 < 0.6
+
+
+def test_hash_split_bad_weights(spark):
+    with pytest.raises(ValueError):
+        sampling.hash_split(spark.range(5), "id", weights={"x": 0.5})
+
+
+def test_stratified_sample(spark):
+    df = spark.range(10000).withColumn(
+        "stratum", F.when(F.col("id") % 2 == 0, "even").otherwise("odd"))
+    out = sampling.stratified_sample(
+        df, "stratum", "id", {"even": 0.10, "odd": 0.50}).collect()
+    ne = sum(1 for r in out if r["stratum"] == "even")
+    no = sum(1 for r in out if r["stratum"] == "odd")
+    assert 350 < ne < 650          # ~500 of 5000
+    assert 2200 < no < 2800        # ~2500 of 5000
+    # default fraction drops unlisted strata
+    out2 = sampling.stratified_sample(
+        df, "stratum", "id", {"even": 0.10}).collect()
+    assert all(r["stratum"] == "even" for r in out2)
+
+
+# ------------------------------------------------------------------- SSIM
+
+def test_ssim_identity():
+    px = png.synth_pixels(7, 32, 24)
+    assert metrics.ssim(px, px) == pytest.approx(1.0)
+
+
+def test_ssim_detects_distortion_and_orders_by_severity():
+    px = png.synth_pixels(3, 32, 32).astype(np.int32)
+    mild = np.clip(px + 4, 0, 255).astype(np.uint8)
+    harsh = np.clip(px + 60, 0, 255).astype(np.uint8)
+    s_mild = metrics.ssim(px.astype(np.uint8), mild)
+    s_harsh = metrics.ssim(px.astype(np.uint8), harsh)
+    assert s_harsh < s_mild < 1.0
+    assert s_mild > 0.9
+
+
+def test_ssim_structure_sensitivity():
+    """Shuffling pixel rows keeps the global histogram (so global
+    mean/var metrics can't see it) but destroys local structure."""
+    rng = np.random.RandomState(5)
+    px = png.synth_pixels(11, 32, 32)
+    perm = px[rng.permutation(px.shape[0])]
+    assert metrics.ssim(px, perm) < 0.7
+
+
+def test_ssim_tiny_images_defined():
+    a = np.full((2, 3, 3), 100, np.uint8)
+    assert metrics.ssim(a, a) == pytest.approx(1.0)
+
+
+def test_ssim_shape_mismatch():
+    with pytest.raises(ValueError):
+        metrics.ssim(np.zeros((4, 4, 3), np.uint8),
+                     np.zeros((5, 4, 3), np.uint8))
+
+
+def test_image_quality_operator(spark):
+    from tilemaker_spark.operators import images as image_ops
+    from tilemaker_spark.sources.synth import images_df
+    img = images_df(spark, 40)
+    out = image_ops.image_quality(img).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r["ok"], (r["image_id"], r["psnr_db"], r["ssim"])
+        if r["fmt"] == "png":
+            assert r["ssim"] == pytest.approx(1.0)
+        else:
+            assert r["ssim"] >= 0.95
+
+
+def test_weighted_mixture_composition(spark):
+    # 3 sources with very different sizes; target 50/30/20
+    rows = ([(i, "web") for i in range(6000)]
+            + [(10000 + i, "books") for i in range(1000)]
+            + [(20000 + i, "code") for i in range(3000)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.weighted_mixture(
+        df, "source", "doc_id",
+        {"web": 0.5, "books": 0.3, "code": 0.2}).collect()
+    from collections import Counter
+    c = Counter(r["source"] for r in out)
+    # books is binding: T = 1000/0.3 = 3333 -> ~1667 web, 1000 books,
+    # ~667 code (hash thinning is probabilistic around the threshold)
+    assert c["books"] == 1000
+    assert 1450 < c["web"] < 1900
+    assert 550 < c["code"] < 800
+    # composition close to target
+    total = sum(c.values())
+    assert abs(c["web"] / total - 0.5) < 0.05
+    assert abs(c["code"] / total - 0.2) < 0.05
+
+
+def test_weighted_mixture_deterministic(spark):
+    df1 = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(3000)], "doc_id long, source string")
+    df2 = df1.repartition(7)
+    w = {"s0": 0.4, "s1": 0.4, "s2": 0.2}
+    a = sorted(r["doc_id"] for r in
+               sampling.weighted_mixture(df1, "source", "doc_id", w).collect())
+    b = sorted(r["doc_id"] for r in
+               sampling.weighted_mixture(df2, "source", "doc_id", w).collect())
+    assert a == b and len(a) > 0
+
+
+def test_weighted_mixture_drops_unlisted_and_validates(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string")
+    out = sampling.weighted_mixture(df, "source", "doc_id", {"a": 1.0})
+    assert [r["source"] for r in out.collect()] == ["a"]
+    with pytest.raises(ValueError):
+        sampling.weighted_mixture(df, "source", "doc_id", {"a": -1.0})
+
+
+def test_weighted_mixture_matches_oracle(spark, sf_dir):
+    import duckdb
+    w = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sampling.weighted_mixture(d, "source", "doc_id", w) \
+        .select("doc_id", "source").toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(sampling.weighted_mixture_oracle_sql(w)).fetchdf()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    ww = want.sort_values("doc_id").reset_index(drop=True) \
+        .astype(g.dtypes.to_dict())
+    assert len(g) > 0 and g.equals(ww)

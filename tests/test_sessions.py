@@ -1,0 +1,134 @@
+"""Sessionization: batch lag/cumsum vs hand-computed sessions, the
+streaming session_window twin, and the BPE pre-tokenizer counter."""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.operators import sessions, text
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, minute // 60, minute % 60, second)
+
+
+@pytest.fixture()
+def events(spark):
+    # user 1: events at 0, 10, 20 min (one session), 60 min (gap 40 ->
+    # new session), 70 min.  user 2: 0 min, 45 min (two sessions).
+    rows = [
+        (1, _ts(0), 1, 1.0), (2, _ts(10), 1, 2.0), (3, _ts(20), 1, 3.0),
+        (4, _ts(60), 1, 4.0), (5, _ts(70), 1, 5.0),
+        (6, _ts(0), 2, 10.0), (7, _ts(45), 2, 20.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+
+
+def test_sessionize_boundaries(events):
+    out = sessions.sessionize(events, gap_minutes=30.0)
+    got = {r["event_id"]: r["session_idx"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1, 7: 2}
+
+
+def test_sessionize_gap_is_exclusive(spark):
+    # gap EXACTLY equal to the threshold does NOT start a new session
+    # (strictly-greater comparison, matching the SQL twin)
+    rows = [(1, _ts(0), 1, 1.0), (2, _ts(30), 1, 1.0),
+            (3, _ts(60, 1), 1, 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r["event_id"]: r["session_idx"]
+           for r in sessions.sessionize(df, gap_minutes=30.0).collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_session_stats(events):
+    out = sessions.session_stats(events, gap_minutes=30.0)
+    rows = {(r["user_id"], r["session_idx"]): r for r in out.collect()}
+    s11 = rows[(1, 1)]
+    assert s11["n_events"] == 3 and s11["value_sum"] == 6.0
+    assert s11["duration_s"] == 1200.0
+    assert s11["session_id"] == 1000001
+    assert rows[(2, 2)]["n_events"] == 1
+    assert rows[(2, 2)]["duration_s"] == 0.0
+
+
+def test_sessionize_matches_oracle(spark, sf_dir):
+    """Full-table equality with the DuckDB twin at sf0.001."""
+    import duckdb
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = sessions.session_stats(ev, gap_minutes=30.0).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = con.execute(sessions.sessionize_oracle_sql()).fetchdf()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True) \
+        .astype(g.dtypes.to_dict())
+    assert len(g) == len(w) and len(g) > 0
+    assert g.equals(w)
+
+
+def test_streaming_sessions_matches_batch(spark, tmp_path):
+    """The session_window streaming path groups the same events into the
+    same sessions as the batch lag/cumsum path."""
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1,
+         "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:10:00", "user_id": 1,
+         "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01 01:00:00", "user_id": 1,
+         "value": 4.0},
+        {"event_id": 4, "ts": "2024-01-01 00:00:00", "user_id": 2,
+         "value": 10.0},
+    ]
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    with open(src / "batch0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    from tilemaker_spark.streaming import jobs
+    out = jobs.streaming_sessions(spark, str(src), gap="30 minutes")
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        got = {(r["user_id"], str(r["session_start"])): r["n_events"]
+               for r in spark.sql("SELECT * FROM sess").collect()}
+    finally:
+        q.stop()
+    assert got == {(1, "2024-01-01 00:00:00"): 2,
+                   (1, "2024-01-01 01:00:00"): 1,
+                   (2, "2024-01-01 00:00:00"): 1}
+
+
+def test_bpe_token_count_known_values(spark):
+    rows = [(1, "Hello world"), (2, "it's 42 degrees!"), (3, ""),
+            (4, "a  b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_pretokens"]
+           for r in text.bpe_token_count(df).collect()}
+    # "Hello"," world" = 2; "it","'s"," 42"," degrees","!" = 5;
+    # "" = 0; "a","b" = 2 (the double space is a separator run)
+    assert got == {1: 2, 2: 5, 3: 0, 4: 2}
+
+
+def test_bpe_token_count_matches_oracle(spark, sf_dir):
+    import duckdb
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = text.bpe_token_count(d).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute(text.bpe_token_count_oracle_sql()).fetchdf()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True) \
+        .astype(g.dtypes.to_dict())
+    assert len(g) == len(w) and len(g) > 0
+    assert g.equals(w)

@@ -66,6 +66,42 @@ def decode_verify(images: DataFrame, psnr_min: float = 40.0,
                          *extra).mapInPandas(run, schema=schema)
 
 
+def image_quality(images: DataFrame, psnr_min: float = 40.0,
+                  ssim_min: float = 0.95) -> DataFrame:
+    """Decode and score every image against the deterministic reference
+    with BOTH standard full-reference metrics: exact-integer PSNR
+    (kernels/png.psnr_db) and mean SSIM over uniform 8x8 windows
+    (kernels/metrics.ssim — Wang et al. 2004).  Lossless formats must
+    hit SSIM 1.0; lossy formats must clear ``ssim_min`` alongside the
+    PSNR floor.  Output: image_id, fmt, psnr_db, ssim, ok."""
+    from ..kernels import metrics as M
+    schema = ("image_id string, fmt string, psnr_db double, ssim double,"
+              " ok boolean")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("image_id", "fmt", "psnr_db", "ssim", "ok")}
+            for img_id, blob, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                seed = int(img_id.rsplit("_", 1)[-1])
+                ref = P.synth_pixels(seed, int(w), int(h))
+                got = P.decode_image(bytes(blob), fmt)
+                p = P.psnr_db(ref, got)
+                s = M.ssim(ref, got)
+                out["image_id"].append(img_id)
+                out["fmt"].append(fmt)
+                out["psnr_db"].append(
+                    min(p, 99.0) if np.isfinite(p) else 99.0)
+                out["ssim"].append(s)
+                out["ok"].append(bool(p >= psnr_min and s >= ssim_min))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, schema=schema)
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """Decode + feature-extract: channel means/stds and an 8x8 average-hash
     perceptual hash (public aHash algorithm).  Output: image_id,

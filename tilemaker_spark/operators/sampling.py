@@ -1,0 +1,176 @@
+"""Deterministic sampling & dataset splitting.
+
+A training pipeline needs REPRODUCIBLE sampling — `df.sample()` depends
+on partitioning and Spark's per-task RNG, so the same row can land in
+train today and test tomorrow after a repartition.  These operators key
+every decision off a hash of the ROW ID, so membership is a pure
+function of the data: stable across runs, partitionings, engines, and
+cluster sizes (and exactly mirrorable in the DuckDB oracle).
+
+* :func:`hash_bucket` — id -> uniform bucket in [0, n_buckets).
+  Numeric ids use a multiply-mod LCG (pure int64 Catalyst arithmetic);
+  string ids use the first 8 hex digits of md5 (both engines compute
+  identical md5).
+* :func:`hash_split` — named splits (train/val/test) from cumulative
+  weight thresholds over the bucket.
+* :func:`stratified_sample` — per-stratum keep-fractions (the
+  deterministic analogue of ``df.sampleBy``).
+
+All zero-shuffle: each is a projection/filter, fully pushed down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+# LCG constants (same small-multiplier discipline as sources/synth.py:
+# id * A + C never overflows int64 at the 10^12-row design point)
+_A, _C, _M = 48271, 11, 2147483647  # Park-Miller modulus
+_NB = 1000000
+
+
+def hash_bucket(df: DataFrame, id_col: str, salt: int = 0,
+                n_buckets: int = _NB) -> Column:
+    """Uniform deterministic bucket in [0, n_buckets) from the id."""
+    field = df.schema[id_col].dataType
+    if isinstance(field, NumericType):
+        mixed = ((F.col(id_col).cast("long") + F.lit(salt)) * F.lit(_A)
+                 + F.lit(_C)) % F.lit(_M)
+    else:
+        mixed = F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                       F.lit(str(salt)))), 1, 8),
+            16, 10).cast("long")
+    return (mixed % F.lit(n_buckets)).alias("bucket")
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: dict[str, float] | None = None,
+               salt: int = 0) -> DataFrame:
+    """Add a ``split`` column assigning every row to a named split with
+    the given weights (must sum to ~1).  Default 98/1/1
+    train/val/test."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights sum to {total}, expected 1")
+    b = hash_bucket(df, id_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < F.lit(int(round(acc * _NB)))
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    expr = (F.lit(names[0]) if expr is None
+            else expr.otherwise(F.lit(names[-1])))
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      fractions: dict, default: float = 0.0,
+                      salt: int = 0) -> DataFrame:
+    """Keep a deterministic ``fractions[stratum]`` share of each
+    stratum — the reproducible ``sampleBy``: membership depends only on
+    (id, salt), never on partitioning."""
+    b = hash_bucket(df, id_col, salt)
+    thr = None
+    for k, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(k)
+        lim = F.lit(int(round(frac * _NB)))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    thr = thr.otherwise(F.lit(int(round(default * _NB)))) if thr is not None \
+        else F.lit(int(round(default * _NB)))
+    return df.filter(b < thr)
+
+
+def hash_split_oracle_sql(table: str = "documents",
+                          id_col: str = "doc_id",
+                          weights: dict[str, float] | None = None,
+                          salt: int = 0) -> str:
+    """DuckDB twin of :func:`hash_split` for a NUMERIC id column —
+    identical LCG arithmetic, identical thresholds."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names = list(weights)
+    acc = 0.0
+    cases = []
+    for name in names[:-1]:
+        acc += weights[name]
+        cases.append(f"WHEN bucket < {int(round(acc * _NB))} "
+                     f"THEN '{name}'")
+    case = ("CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+            if cases else f"'{names[0]}'")
+    return f"""
+WITH b AS (
+  SELECT {id_col},
+         ((({id_col} + {salt}) * {_A} + {_C}) % {_M}) % {_NB} AS bucket
+  FROM {table}
+)
+SELECT {id_col}, {case} AS split FROM b
+"""
+
+
+def weighted_mixture(df: DataFrame, source_col: str, id_col: str,
+                     weights: dict[str, float],
+                     salt: int = 0) -> DataFrame:
+    """Deterministic DATA MIXING: downsample each source so the output
+    composition matches ``weights`` while keeping the maximum possible
+    rows — the "mix 30% web / 50% books / 20% code" stage of a training
+    corpus.  The binding source (largest n_s-to-weight deficit) is kept
+    whole; every other source is hash-thinned to match.
+
+    Fully distributed: per-source counts are a tiny aggregation
+    broadcast back onto the big table, whose only pass is one
+    hash-bucket filter (membership a pure function of (id, salt), same
+    guarantee as :func:`hash_split`).  Sources absent from ``weights``
+    are dropped.  Exactly mirrorable in SQL — see
+    :func:`weighted_mixture_oracle_sql`."""
+    if not weights or any(v <= 0 for v in weights.values()):
+        raise ValueError("weights must be positive")
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()],
+        f"{source_col} string, _w double")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    ratios = counts.join(F.broadcast(w_df), source_col).withColumn(
+        "_ratio", F.col("_n").cast("double") / F.col("_w"))
+    tmin = ratios.agg(F.min("_ratio").alias("_t"))
+    thr = ratios.crossJoin(F.broadcast(tmin)).select(
+        source_col,
+        F.floor(F.lit(float(_NB)) * F.col("_w") * F.col("_t")
+                / F.col("_n").cast("double")).cast("long").alias("_thr"))
+    b = hash_bucket(df, id_col, salt)
+    return (df.join(F.broadcast(thr), source_col)
+            .filter(b < F.col("_thr")).drop("_thr"))
+
+
+def weighted_mixture_oracle_sql(weights: dict[str, float],
+                                table: str = "documents",
+                                source_col: str = "source",
+                                id_col: str = "doc_id",
+                                salt: int = 0) -> str:
+    """DuckDB twin of :func:`weighted_mixture` (numeric id) — identical
+    IEEE-double threshold arithmetic in the same operation order."""
+    vals = ", ".join(f"('{k}', {float(v)})" for k, v in weights.items())
+    return f"""
+WITH w({source_col}, wt) AS (VALUES {vals}),
+c AS (
+  SELECT {source_col}, count(*) AS n FROM {table} GROUP BY {source_col}
+), r AS (
+  SELECT c.{source_col}, w.wt, c.n,
+         CAST(c.n AS double) / w.wt AS ratio
+  FROM c JOIN w USING ({source_col})
+), t AS (SELECT min(ratio) AS tmin FROM r),
+thr AS (
+  SELECT {source_col},
+         CAST(floor({float(_NB)} * wt * tmin / CAST(n AS double))
+              AS BIGINT) AS thr
+  FROM r, t
+)
+SELECT d.{id_col}, d.{source_col}
+FROM {table} d JOIN thr USING ({source_col})
+WHERE ((({id_col} + {salt}) * {_A} + {_C}) % {_M}) % {_NB} < thr
+"""

