@@ -115,6 +115,34 @@ def q_cell_index(spark, sf_dir):
     )
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Morton/Z-order layout key (operators/layout.py): interleave the
+    z12 tile x/y bits into the clustering key that
+    ``cluster_by_zorder`` range-partitions on — the data-skipping
+    layout a 100 TB spatial table is written in (Delta/Iceberg
+    OPTIMIZE ZORDER analogue).  Pure Catalyst bit arithmetic; the
+    oracle runs the identical magic-number spread in SQL."""
+    from tilemaker_spark.operators import layout as layout_ops
+    c = _t(spark, sf_dir, "customer")
+    lon, lat = synth.geo_point_expr(F.col("c_custkey"))
+    clon = F.greatest(F.lit(-179.5), F.least(F.lit(179.5), lon))
+    clat = F.greatest(F.lit(-84.0), F.least(F.lit(84.0), lat))
+    return c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        layout_ops.zorder_key(clon, clat, zoom=12).alias("zkey"))
+
+
+def sql_zorder_layout():
+    from tilemaker_spark.operators import layout as layout_ops
+    clon = f"greatest(-179.5, least(179.5, {CUST_LON}))"
+    clat = f"greatest(-84.0, least(84.0, {CUST_LAT}))"
+    return f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST({layout_ops.zorder_key_sql(clon, clat, 12)} AS BIGINT) AS zkey
+FROM customer
+"""
+
+
 def sql_cell_index():
     from tilemaker_spark.sql.tile_exprs import cell_id_sql
     return f"""
@@ -1775,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "hash_split": q_hash_split,
         "mixture": q_mixture,
+        "zorder_layout": q_zorder_layout,
         "line_clip": q_line_clip,
         "getdata_lookup": q_getdata_lookup,
         "label_centroid": q_label_centroid,
@@ -1827,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": sql_sessionize(),
         "hash_split": sql_hash_split(),
         "mixture": sql_mixture(),
+        "zorder_layout": sql_zorder_layout(),
         "line_clip": sql_line_clip(),
         "getdata_lookup": sql_getdata_lookup(),
         "label_centroid": sql_label_centroid(),

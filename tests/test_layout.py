@@ -1,0 +1,77 @@
+"""Z-order layout clustering: Morton key correctness + locality gain."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.operators import layout
+
+
+def _morton_py(x: int, y: int) -> int:
+    """Independent reference: interleave bits one at a time."""
+    out = 0
+    for i in range(16):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton_key_matches_reference(spark):
+    rows = [(x, y) for x in (0, 1, 2, 3, 255, 4095, 65535)
+            for y in (0, 1, 2, 3, 255, 4095, 65535)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {(r["x"], r["y"]): r["m"] for r in df.select(
+        "x", "y", layout.morton_key(F.col("x"), F.col("y")).alias("m")
+    ).collect()}
+    for (x, y), m in got.items():
+        assert m == _morton_py(x, y), (x, y)
+
+
+def test_morton_locality_property():
+    """Points close in (x, y) are close in Morton order: a 2x2 block
+    occupies 4 consecutive codes."""
+    base = _morton_py(10, 20)
+    block = sorted(_morton_py(10 + dx, 20 + dy)
+                   for dx in (0, 1) for dy in (0, 1))
+    assert block == [base, base + 1, base + 2, base + 3]
+
+
+def test_cluster_by_zorder_improves_locality(spark):
+    """Range-partitioning on the Morton key must shrink the summed
+    per-partition bbox area vs. arrival order — the quantity that
+    drives file skipping for a bbox probe."""
+    n = 20000
+    df = spark.range(n).select(
+        (F.hash(F.col("id")) % 1000 / F.lit(1000.0) * 340 - 170)
+        .alias("lon"),
+        ((F.hash(F.col("id") + 7) % 1000) / F.lit(1000.0) * 160 - 80)
+        .alias("lat"),
+        F.col("id"),
+    ).repartition(16)
+
+    def total_area(extents):
+        return sum((e["max_lon"] - e["min_lon"])
+                   * (e["max_lat"] - e["min_lat"]) for e in extents)
+
+    before = total_area(layout.partition_extents(df))
+    clustered = layout.cluster_by_zorder(df, zoom=10, num_partitions=16)
+    after = total_area(layout.partition_extents(clustered))
+    # arrival order: every partition spans the world (~16 * 54k deg^2);
+    # z-ordered: partitions cover tight extents
+    assert after < before / 4, (before, after)
+    # no rows lost
+    assert clustered.count() == n
+
+
+def test_zorder_key_sql_twin(spark):
+    """Spark Column and SQL-string forms compute identical keys."""
+    df = spark.range(500).select(
+        ((F.col("id") % 360) - 180.0 + 0.5).alias("lon"),
+        ((F.col("id") % 160) - 80.0 + 0.25).alias("lat"))
+    a = [r["k"] for r in df.select(
+        layout.zorder_key(F.col("lon"), F.col("lat"), 12).alias("k"))
+        .collect()]
+    df.createOrReplaceTempView("zl_pts")
+    b = [r["k"] for r in spark.sql(
+        f"SELECT {layout.zorder_key_sql('lon', 'lat', 12)} AS k "
+        f"FROM zl_pts").collect()]
+    assert a == b
