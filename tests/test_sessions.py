@@ -132,3 +132,45 @@ def test_bpe_token_count_matches_oracle(spark, sf_dir):
         .astype(g.dtypes.to_dict())
     assert len(g) == len(w) and len(g) > 0
     assert g.equals(w)
+
+
+def test_streaming_first_seen_dedups_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps the per-user seen-set across
+    micro-batches: a fingerprint emitted in batch 0 is suppressed in
+    batch 1, while a new user's copy of the same fp still emits."""
+    src = tmp_path / "fs_in"
+    src.mkdir()
+    b0 = [
+        {"doc_id": 1, "user_id": 1, "fp": "aaa", "ts": "2024-01-01 00:00:00"},
+        {"doc_id": 2, "user_id": 1, "fp": "aaa", "ts": "2024-01-01 00:00:01"},
+        {"doc_id": 3, "user_id": 1, "fp": "bbb", "ts": "2024-01-01 00:00:02"},
+    ]
+    with open(src / "b0.json", "w") as f:
+        for r in b0:
+            f.write(json.dumps(r) + "\n")
+    from tilemaker_spark.streaming import jobs
+    out = jobs.streaming_first_seen(spark, str(src))
+    q = (out.writeStream.format("memory").queryName("first_seen")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got0 = {(r["user_id"], r["fp"]) for r in
+                spark.sql("SELECT * FROM first_seen").collect()}
+        assert got0 == {(1, "aaa"), (1, "bbb")}
+        b1 = [
+            {"doc_id": 4, "user_id": 1, "fp": "aaa",
+             "ts": "2024-01-01 00:10:00"},           # dup across batches
+            {"doc_id": 5, "user_id": 2, "fp": "aaa",
+             "ts": "2024-01-01 00:10:01"},           # new user, emits
+            {"doc_id": 6, "user_id": 1, "fp": "ccc",
+             "ts": "2024-01-01 00:10:02"},           # new fp, emits
+        ]
+        with open(src / "b1.json", "w") as f:
+            for r in b1:
+                f.write(json.dumps(r) + "\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM first_seen").collect()
+        ids = sorted(r["doc_id"] for r in rows)
+        assert ids == [1, 3, 5, 6]
+    finally:
+        q.stop()

@@ -74,3 +74,50 @@ def streaming_sessions(spark: SparkSession, input_dir: str,
                 F.col("w.end").alias("session_end"), "n_events",
                 "value_sum")
     )
+
+
+def streaming_first_seen(spark: SparkSession, input_dir: str,
+                         schema: str = "doc_id long, user_id long, "
+                                       "fp string, ts timestamp") -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState):
+    per-key first-seen dedup — emit each (user_id, fp) fingerprint only
+    the FIRST time it appears across the whole stream, the streaming
+    form of exact dedup (operators/dedup.exact_dedup's batch twin).
+    ``dropDuplicates`` on a stream needs an event-time watermark bound;
+    this keeps an explicit per-user seen-set in the state store instead,
+    demonstrating the arbitrary-stateful API surface: state schema, an
+    Arrow-batched update function, and append-mode emission.
+
+    Scale: state is partitioned by user_id (one shuffle), each user's
+    set bounded by their distinct-fingerprint count; on an unbounded
+    keyspace add a GroupStateTimeout TTL.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    src = spark.readStream.schema(schema).json(input_dir)
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        (seen,) = state.get if state.exists else ([],)
+        seen_set = set(seen)
+        out = []
+        for pdf in pdfs:
+            # order within the batch: first occurrence wins
+            for doc_id, fp in zip(pdf["doc_id"], pdf["fp"]):
+                if fp not in seen_set:
+                    seen_set.add(fp)
+                    out.append((int(doc_id), key[0], fp))
+        state.update((list(seen_set),))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_id", "user_id", "fp"])
+
+    return (
+        src.groupBy("user_id")
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType="doc_id long, user_id long, fp string",
+            stateStructType="seen array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
