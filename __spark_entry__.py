@@ -28,6 +28,7 @@ from tilemaker_spark.operators import (
     knn as knn_ops,
     similarity as sim_ops,
     spatial_join,
+    substrings as substrings_ops,
     text as text_ops,
 )
 
@@ -593,6 +594,32 @@ def q_bpe_tokens(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     return text_ops.fingerprint(_t(spark, sf_dir, "documents")).select(
         "doc_id", "fp")
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition filters
+    (operators/text.repetition_metrics): duplicate token / 2-gram /
+    3-gram fractions + the repetitive flag.  Pure Catalyst map-only
+    projection — zero shuffles at any corpus size."""
+    return text_ops.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """One distributed BPE training iteration
+    (operators/text.bpe_merge_counts): corpus -> compact (word, freq)
+    vocab (the only corpus-wide shuffle) -> adjacent-symbol-pair counts
+    over the vocab -> deterministic top-20."""
+    return text_ops.bpe_merge_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_substring_dups(spark, sf_dir):
+    """Cross-document exact substring duplication
+    (operators/substrings.substring_dup_pairs): winnowed length-20
+    char-gram fingerprint sample (md5 hex-digit sample, identical on
+    both engines), capped gram groups, in-group pair expansion — one
+    shuffle end-to-end (Lee et al. ACL 2022 / SIGMOD 2003 winnowing)."""
+    return substrings_ops.substring_dup_pairs(
+        _t(spark, sf_dir, "documents"), length=20)
 
 
 def sql_fingerprint():
@@ -1783,6 +1810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "bpe_tokens": q_bpe_tokens,
         "fingerprint": q_fingerprint,
+        "repetition": q_repetition,
+        "bpe_pairs": q_bpe_pairs,
+        "substring_dups": q_substring_dups,
         "ngram_jaccard": q_ngram_jaccard,
         "jaccard_prefix": q_jaccard_prefix,
         "dedup_clusters": q_dedup_clusters,
@@ -1834,6 +1864,10 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": text_ops.text_stats_oracle_sql(),
         "lang_id": text_ops.lang_scores_oracle_sql(),
         "bpe_tokens": text_ops.bpe_token_count_oracle_sql(),
+        "repetition": text_ops.repetition_metrics_oracle_sql(),
+        "bpe_pairs": text_ops.bpe_merge_counts_oracle_sql(),
+        "substring_dups":
+            substrings_ops.substring_dup_pairs_oracle_sql(length=20),
         "fingerprint": sql_fingerprint(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "jaccard_prefix": sql_ngram_jaccard(threshold=0.7),

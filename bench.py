@@ -41,6 +41,7 @@ def main():
         "shipping_priority", "dedup_exact", "text_stats", "ngram_jaccard",
         "jaccard_prefix", "minhash_pairs", "dedup_clusters",
         "phash_clusters", "sessionize", "hash_split", "bpe_tokens",
+        "repetition", "bpe_pairs", "substring_dups",
         "ann_topk", "ann_ivf",
         "cover_large", "poly_union",
         "area_intersect",

@@ -58,6 +58,13 @@ BUDGETS = {
     "hash_split": (0, 0, 0),
     "bpe_tokens": (0, 0, 0),
     "mixture": (3, 2, 0),
+    # round-4 text additions: repetition is a pure map-only projection;
+    # bpe_pairs = corpus->vocab agg + pair agg (2 shuffles, both with
+    # map-side partial agg); substring_dups = gram groupBy + pair re-agg
+    # (2 shuffles, in-group pair expansion — no self-join)
+    "repetition": (0, 0, 0),
+    "bpe_pairs": (2, 0, 0),
+    "substring_dups": (2, 0, 0),
 }
 
 

@@ -1,0 +1,127 @@
+"""Substring-duplication, repetition-filter, and BPE-trainer tests.
+
+Each operator is checked two ways: against its DuckDB twin on the real
+testdata (the same compare the driver's correctness gate runs) and
+against planted fixtures with closed-form expected results.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tilemaker_spark.operators import substrings as S
+from tilemaker_spark.operators import text as T
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{DOCS}')")
+    return con
+
+
+def test_substring_dup_pairs_matches_oracle(spark, duck):
+    df = spark.read.parquet(DOCS)
+    got = sorted(
+        tuple(r) for r in S.substring_dup_pairs(df, length=20).collect())
+    want = sorted(
+        tuple(r) for r in
+        duck.execute(S.substring_dup_pairs_oracle_sql(length=20)).fetchall())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_substring_dup_planted_span(spark):
+    """Two docs sharing one long verbatim span dominate the pair list;
+    unrelated docs share nothing."""
+    span = "x" * 0  # distinct filler below, shared span here
+    shared = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, "aaaa bbbb cccc dddd " * 10 + shared),
+        (2, shared + "eeee ffff gggg hhhh " * 10),
+        (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # sample every position (all 16 hex digits) so the planted span is
+    # counted exactly: shared 180-char span -> 180 - 20 + 1 sampled grams
+    hexes = tuple("0123456789abcdef")
+    got = {(r.doc_a, r.doc_b): r.n_shared_grams
+           for r in S.substring_dup_pairs(
+               df, length=20, sample_hex=hexes,
+               max_gram_freq=10_000).collect()}
+    assert (1, 2) in got
+    n12 = got[(1, 2)]
+    # every length-20 window fully inside the shared span matches, and
+    # the span repeats internally, so matches >= windows in one copy
+    assert n12 >= len(shared) - 20 + 1
+    assert all(k == (1, 2) for k in got), got
+
+
+def test_substring_mega_gram_cap(spark):
+    """Boilerplate shared by every doc is dropped by the cap; the stats
+    operator reports what was dropped (no silent caps)."""
+    boiler = "all rights reserved standard footer text here"
+    # per-doc prefix built from a doc-unique 2-char unit, so no 20-char
+    # substring is shared between two prefixes (only the boiler repeats)
+    rows = [(i, (chr(97 + i % 26) + chr(65 + i // 26)) * 15 + " " + boiler)
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hexes = tuple("0123456789abcdef")
+    capped = S.substring_dup_pairs(df, length=20, sample_hex=hexes,
+                                   max_gram_freq=8)
+    assert capped.count() == 0  # every shared gram is in >8 docs
+    st = S.substring_gram_stats(df, length=20, sample_hex=hexes,
+                                max_gram_freq=8).collect()[0]
+    assert st.n_dropped_keys > 0
+    assert st.occs_dropped >= 50
+    assert st.max_freq == 50
+
+
+def test_repetition_matches_oracle(spark, duck):
+    df = spark.read.parquet(DOCS)
+    got = sorted(tuple(r) for r in T.repetition_metrics(df).collect())
+    want = sorted(tuple(r) for r in
+                  duck.execute(T.repetition_metrics_oracle_sql()).fetchall())
+    assert got == want
+
+
+def test_repetition_flags_looping_text(spark):
+    rows = [
+        (1, "spam ham " * 50),                      # one bigram repeated
+        (2, " ".join(f"w{i}" for i in range(100))),  # all-distinct tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.repetition_metrics(df).collect()}
+    assert out[1].repetitive == 1
+    assert out[1].dup_2gram_frac > 0.9
+    assert out[2].repetitive == 0
+    assert out[2].dup_token_frac == 0.0
+
+
+def test_bpe_merge_counts_matches_oracle(spark, duck):
+    df = spark.read.parquet(DOCS)
+    got = [tuple(r) for r in T.bpe_merge_counts(df).collect()]
+    want = [tuple(r) for r in
+            duck.execute(T.bpe_merge_counts_oracle_sql()).fetchall()]
+    assert got == want
+    assert len(got) == 20
+
+
+def test_bpe_train_greedy_merges(spark):
+    """Closed-form corpus: 'abab' x3 + 'ab' x2 -> first merge must be
+    (a, b) (count 8); after merging, 'ab ab' pairs dominate next."""
+    rows = [(1, "abab abab abab ab ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = T.bpe_train(df, n_merges=2)
+    assert merges[0] == ("a", "b")
+    assert merges[1] == ("ab", "ab")
+
+
+def test_bpe_train_deterministic_across_partitionings(spark):
+    df = spark.read.parquet(DOCS).limit(80)
+    m1 = T.bpe_train(df.repartition(1), n_merges=3)
+    m8 = T.bpe_train(df.repartition(8), n_merges=3)
+    assert m1 == m8

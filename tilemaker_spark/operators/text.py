@@ -8,6 +8,7 @@ scoring, and document fingerprinting (md5 of normalized text).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -222,3 +223,189 @@ SELECT doc_id,
              / greatest(n_tok, 1), 6) AS chars_per_token
 FROM c
 """
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       dup_2gram_max: float = 0.20,
+                       dup_3gram_max: float = 0.18) -> DataFrame:
+    """Within-document repetition filters (the Gopher quality rules,
+    Rae et al. 2021 §A1.1, adapted from char-fraction to count-fraction):
+    the fraction of token n-grams that are duplicates of an earlier
+    occurrence.  Heavily templated / looping documents (a common failure
+    mode of web scrapes AND of model-generated text) score high and are
+    flagged.  Pure Catalyst — the n-gram arrays are built with
+    ``transform(sequence(...))``, no Python, no shuffle (per-row
+    projection; a 100 TB corpus runs this as a map-only stage).
+
+    Output: (doc_id, n_tokens, dup_token_frac, dup_2gram_frac,
+    dup_3gram_frac, repetitive).
+    """
+    def dup_frac(ngrams):
+        n = F.size(ngrams)
+        return F.when(
+            n > 0,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(ngrams))
+                    .cast("double") / n.cast("double"), 6),
+        ).otherwise(F.lit(0.0))
+
+    def ngrams(n):
+        return F.when(
+            F.size(F.col("_toks")) >= n,
+            F.expr(f"transform(sequence(1, size(_toks) - {n - 1}), "
+                   f"i -> concat_ws(' ', slice(_toks, i, {n})))"),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens(F.col(text_col)).alias("_toks"))
+    d1 = dup_frac(F.col("_toks"))
+    d2 = dup_frac(ngrams(2))
+    d3 = dup_frac(ngrams(3))
+    return base.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        d1.alias("dup_token_frac"),
+        d2.alias("dup_2gram_frac"),
+        d3.alias("dup_3gram_frac"),
+        ((d2 > dup_2gram_max) | (d3 > dup_3gram_max))
+        .cast("int").alias("repetitive"),
+    )
+
+
+def repetition_metrics_oracle_sql(table: str = "documents",
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  dup_2gram_max: float = 0.20,
+                                  dup_3gram_max: float = 0.18) -> str:
+    """DuckDB twin of :func:`repetition_metrics` (same normalize/tokenize,
+    same n-gram construction, same rounding)."""
+    norm = f"regexp_replace(lower({text_col}), '\\s+', ' ', 'g')"
+    toks = f"string_split(trim({norm}), ' ')"
+
+    def ng(n):
+        return (f"list_transform(generate_series(1, "
+                f"greatest(len(toks) - {n - 1}, 0)), "
+                f"i -> array_to_string(toks[i:i+{n - 1}], ' '))")
+
+    def dup(col):
+        return (f"CASE WHEN len({col}) > 0 THEN round(1.0 - "
+                f"CAST(len(list_distinct({col})) AS double)"
+                f" / len({col}), 6) ELSE 0.0 END")
+
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {toks} AS toks FROM {table}
+),
+grams AS (
+  SELECT doc_id, toks, {ng(2)} AS g2, {ng(3)} AS g3 FROM base
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       {dup('toks')} AS dup_token_frac,
+       {dup('g2')} AS dup_2gram_frac,
+       {dup('g3')} AS dup_3gram_frac,
+       CAST(({dup('g2')} > {dup_2gram_max}
+             OR {dup('g3')} > {dup_3gram_max}) AS int) AS repetitive
+FROM grams
+"""
+
+
+def bpe_merge_counts(df: DataFrame, text_col: str = "text",
+                     top_k: int = 20) -> DataFrame:
+    """One BPE training iteration, distributed: adjacent-symbol-pair
+    counts over the corpus, weighted by word frequency (Sennrich et al.
+    2016).  The classic scale shape: the corpus collapses to a compact
+    (word, freq) vocabulary first (ONE shuffle over the corpus — at
+    100 TB the vocab is millions of rows, not trillions), and the
+    quadratic-ish pair expansion runs over the vocab only.  Pure
+    Catalyst end-to-end.  Output: top ``top_k`` (pair, n) by count,
+    ties broken lexicographically."""
+    words = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .filter(F.length("w") >= 2))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = vocab.select(
+        "freq",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1), "
+            "i -> concat(substring(w, i, 1), ' ', substring(w, i+1, 1)))"
+        )).alias("pair"))
+    return (pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(top_k))
+
+
+def bpe_merge_counts_oracle_sql(table: str = "documents",
+                                text_col: str = "text",
+                                top_k: int = 20) -> str:
+    norm = f"regexp_replace(lower({text_col}), '\\s+', ' ', 'g')"
+    toks = f"string_split(trim({norm}), ' ')"
+    return f"""
+WITH words AS (
+  SELECT unnest({toks}) AS w FROM {table}
+),
+vocab AS (
+  SELECT w, count(*) AS freq FROM words WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                i -> substr(w, i, 1) || ' ' || substr(w, i+1, 1))) AS pair,
+         freq
+  FROM vocab
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT {int(top_k)}
+"""
+
+
+def bpe_train(df: DataFrame, n_merges: int = 8,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """Full distributed BPE training loop (Sennrich et al. 2016): greedy
+    highest-count adjacent-pair merges.  Each iteration aggregates pair
+    counts over the (word, freq) VOCAB table (compact — the corpus is
+    touched exactly once) and collects only the single best pair
+    (driver-side argmax of a 1-row result, the one collect a BPE trainer
+    cannot avoid); the merge itself is applied to the vocab with one
+    Arrow-batched pandas UDF.  Returns the ordered merge list.
+
+    Deterministic: ties break lexicographically, so the same corpus
+    always yields the same merges regardless of partitioning.
+    """
+    words = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .filter(F.length("w") >= 1))
+    vocab = (words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .select(F.expr("transform(sequence(1, length(w)), "
+                            "i -> substring(w, i, 1))").alias("syms"),
+                     "freq"))
+    vocab = vocab.localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts = (
+            vocab.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(syms[i-1] AS a, syms[i] AS b))")).alias("p"))
+            .groupBy("p.a", "p.b").agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1)
+            .collect())
+        if not pair_counts:
+            break
+        a, b = pair_counts[0]["a"], pair_counts[0]["b"]
+        merges.append((a, b))
+
+        @F.pandas_udf("array<string>")
+        def merge(col: pd.Series) -> pd.Series:
+            def one(syms):
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if (i + 1 < n and syms[i] == a and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                return out
+            return col.map(one)
+
+        vocab = (vocab.select(merge(F.col("syms")).alias("syms"), "freq")
+                 .localCheckpoint())
+    return merges
