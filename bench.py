@@ -53,6 +53,18 @@ def main():
     rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
     timings: dict[str, float] = {}
 
+    def release_storage():
+        """Between-queries hygiene: each headline query is an independent
+        job (a real pipeline runs one per driver), but the bench reuses
+        one session — so caches and eager localCheckpoint blocks from
+        iterative operators (connected components, the prefix join)
+        would otherwise accumulate in executor storage and degrade every
+        LATER query's execution memory.  Release both."""
+        spark.catalog.clearCache()
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jrdds.keySet().toArray()):
+            jrdds.get(rid).unpersist(False)
+
     def flagship() -> tuple[float, int]:
         t0 = time.time()
         img = images_df(spark, n_images, with_bytes=False,
@@ -80,6 +92,7 @@ def main():
             if name not in timings or sec < timings[name]:
                 timings[name] = sec
             print(f"# r{rnd} {name}: {n} rows in {sec}s", file=sys.stderr)
+            release_storage()
         pipe_sec, n_tiles = flagship()
         if ("image_pipeline" not in timings
                 or pipe_sec < timings["image_pipeline"]):

@@ -57,6 +57,15 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    def release_storage():
+        # caches + eager localCheckpoint blocks from iterative operators
+        # (connected components, the prefix join) would otherwise pile up
+        # across the 50-query sweep in this one shared session
+        spark.catalog.clearCache()
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jrdds.keySet().toArray()):
+            jrdds.get(rid).unpersist(False)
+
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
@@ -67,6 +76,7 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            release_storage()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             failures.append(name)
