@@ -994,6 +994,48 @@ def sql_sessionize():
     return sessions_ops.sessionize_oracle_sql(gap_minutes=30.0)
 
 
+def q_caption_check(spark, sf_dir):
+    """Caption byte-identity verification — the second half of the
+    BASELINE per-row invariant (operators/images.verify_captions; pixels
+    are decode_verify).  5,000-row deterministic image+caption table
+    (sources/synth.images_df spec, metadata only — no pixel bytes
+    needed), captions for every 97th ordinal deliberately corrupted so
+    the DETECTION path is exercised, reference captions regenerated
+    JVM-side from the id — pure Catalyst, zero shuffles.  The oracle
+    rebuilds the identical table, corruption, and md5s in SQL, so the
+    5,000 caption_md5 values are a byte-for-byte cross-engine check."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.images_df(spark, 5000, with_bytes=False)
+    k = F.substring_index(F.col("image_id"), "_", -1).cast("long")
+    corrupted = img.withColumn(
+        "caption",
+        F.when(k % 97 == 0, F.upper(F.col("caption")))
+        .otherwise(F.col("caption")))
+    return image_ops.verify_captions(corrupted)
+
+
+def sql_caption_check():
+    # literal-for-literal twin of q_caption_check: same LCG caption
+    # formula (sources/synth A1=9301, M32=2^32), same %97 corruption
+    return """
+WITH base AS (
+  SELECT k, printf('img_%012d', k) AS image_id,
+         'caption for image ' || k || ' // '
+         || printf('%08x', (k * 9301) % 4294967296) AS ref
+  FROM generate_series(0, 4999) t(k)
+),
+rows_ AS (
+  SELECT image_id, ref,
+         CASE WHEN k % 97 = 0 THEN upper(ref) ELSE ref END AS caption
+  FROM base
+)
+SELECT image_id,
+       CAST(caption = ref AS int) AS caption_ok,
+       md5(caption) AS caption_md5
+FROM rows_
+"""
+
+
 def q_phash_clusters(spark, sf_dir):
     """Image near-dup CLUSTERS end-to-end: perceptual-hash pair
     generation (operators/images.phash_near_dups — 16-bit chunk
@@ -1830,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "phash_clusters": q_phash_clusters,
+        "caption_check": q_caption_check,
         "sessionize": q_sessionize,
         "hash_split": q_hash_split,
         "mixture": q_mixture,
@@ -1887,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": sql_video_frames(),
         "audio_features": sql_audio_features(),
         "phash_clusters": sql_phash_clusters(),
+        "caption_check": sql_caption_check(),
         "sessionize": sql_sessionize(),
         "hash_split": sql_hash_split(),
         "mixture": sql_mixture(),

@@ -65,6 +65,9 @@ BUDGETS = {
     "repetition": (0, 0, 0),
     "bpe_pairs": (2, 0, 0),
     "substring_dups": (2, 0, 0),
+    # caption verify is a pure map-only projection over the synthesized
+    # metadata table (no bytes, no join) — zero everything
+    "caption_check": (0, 0, 0),
 }
 
 

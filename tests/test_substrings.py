@@ -125,3 +125,24 @@ def test_bpe_train_deterministic_across_partitionings(spark):
     m1 = T.bpe_train(df.repartition(1), n_merges=3)
     m8 = T.bpe_train(df.repartition(8), n_merges=3)
     assert m1 == m8
+
+
+def test_caption_verify_and_audit(spark):
+    """BASELINE per-row invariant, caption half: pristine table verifies
+    100%; a corrupted row is flagged; audit counts match."""
+    from tilemaker_spark.operators import images as I
+    from tilemaker_spark.sources import synth
+    from pyspark.sql import functions as F
+
+    img = synth.images_df(spark, 300, with_bytes=False)
+    v = I.verify_captions(img)
+    assert v.agg(F.sum("caption_ok")).collect()[0][0] == 300
+
+    bad = img.withColumn(
+        "caption",
+        F.when(F.col("image_id") == "img_000000000007",
+               F.lit("tampered")).otherwise(F.col("caption")))
+    a = I.caption_audit(bad).collect()[0]
+    assert (a.n, a.n_ok, a.n_bad) == (300, 299, 1)
+    flagged = I.verify_captions(bad).filter("caption_ok = 0").collect()
+    assert [r.image_id for r in flagged] == ["img_000000000007"]

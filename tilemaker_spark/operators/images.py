@@ -193,3 +193,47 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 4) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def reference_caption_expr(k):
+    """The deterministic reference caption for image ordinal ``k`` — the
+    closed-form twin of sources/synth.images_df's caption column.  Kept
+    here so the verifier regenerates it independently of the source
+    (BASELINE input_hint: 'captions byte-identical per row')."""
+    from ..sources.synth import A1, M32
+    return F.concat(
+        F.lit("caption for image "), k.cast("string"), F.lit(" // "),
+        F.format_string("%08x", (k * F.lit(A1)) % F.lit(M32)),
+    )
+
+
+def verify_captions(images: DataFrame, id_col: str = "image_id",
+                    caption_col: str = "caption") -> DataFrame:
+    """Per-row caption byte-identity check — the second half of the
+    BASELINE per-row invariant (pixels via :func:`decode_verify`,
+    captions here).  The image ordinal is parsed from the id and the
+    reference caption regenerated JVM-side, so the check is pure
+    Catalyst: zero Python, zero shuffles, map-only at any scale.
+    Output: (image_id, caption_ok, caption_md5)."""
+    k = F.substring_index(F.col(id_col), "_", -1).cast("long")
+    ref = reference_caption_expr(k)
+    return images.select(
+        F.col(id_col).alias("image_id"),
+        (F.col(caption_col).cast("binary") == ref.cast("binary"))
+        .cast("int").alias("caption_ok"),
+        F.md5(F.col(caption_col).cast("binary")).alias("caption_md5"),
+    )
+
+
+def caption_audit(images: DataFrame, id_col: str = "image_id",
+                  caption_col: str = "caption") -> DataFrame:
+    """Corpus rollup of :func:`verify_captions`: total rows, rows whose
+    caption is byte-identical to the reference, and corrupted rows.
+    A training pipeline runs this as the cheap gate before the expensive
+    pixel verify.  Output: one row (n, n_ok, n_bad)."""
+    v = verify_captions(images, id_col, caption_col)
+    return v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("caption_ok").alias("n_ok"),
+        (F.count(F.lit(1)) - F.sum("caption_ok")).alias("n_bad"),
+    )
