@@ -84,21 +84,41 @@ def main():
         return time.time() - t0, n_tiles
 
     n_tiles = 0
-    for rnd in range(rounds):
+    round_totals: list[float] = []
+
+    def run_round(rnd: int) -> float:
+        nonlocal n_tiles
+        total = 0.0
         for name in headline:
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
             sec = round(time.time() - t0, 3)
+            total += sec
             if name not in timings or sec < timings[name]:
                 timings[name] = sec
             print(f"# r{rnd} {name}: {n} rows in {sec}s", file=sys.stderr)
             release_storage()
         pipe_sec, n_tiles = flagship()
+        total += pipe_sec
         if ("image_pipeline" not in timings
                 or pipe_sec < timings["image_pipeline"]):
             timings["image_pipeline"] = round(pipe_sec, 3)
         print(f"# r{rnd} image_pipeline: {n_images} images -> {n_tiles} "
               f"tiles in {pipe_sec:.1f}s", file=sys.stderr)
+        return total
+
+    for rnd in range(rounds):
+        round_totals.append(run_round(rnd))
+    # the sandbox host's delivered capacity drifts several-x between
+    # windows minutes apart; when the interleaved rounds disagree badly,
+    # one of them hit a bad window — buy one extra round of best-of
+    # (bounded: at most +1) instead of publishing the polluted minimum
+    if (len(round_totals) >= 2
+            and max(round_totals) > 1.5 * min(round_totals)):
+        print(f"# round totals {['%.1f' % t for t in round_totals]} "
+              f"disagree >1.5x (noisy host window) - running one extra "
+              f"round", file=sys.stderr)
+        round_totals.append(run_round(rounds))
 
     pipe_sec = timings["image_pipeline"]
     images_per_sec = round(n_images / pipe_sec, 1)
