@@ -88,3 +88,26 @@ def test_streaming_event_windows(spark, tmp_path):
     assert len(got) == 2
     counts = sorted(v[0] for v in got.values())
     assert counts == [1, 2]
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Iceberg-style AS OF reads: snapshot N's view stays stable as later
+    snapshots commit more partitions; snapshot_log records the history."""
+    root = str(tmp_path / "ckpt3")
+    sink = CheckpointedSink(root)
+    df = spark.range(100).withColumn("part", (F.col("id") % 4).cast("long"))
+
+    r1 = sink.write_partitioned(df.filter(F.col("part") < 2), "part",
+                                run_id="first")
+    r2 = sink.write_partitioned(df, "part", run_id="second")
+    assert r1["snapshot_id"] == 1 and r2["snapshot_id"] == 2
+
+    assert sink.read(spark, as_of=1).count() == 50   # parts 0,1 only
+    assert sink.read(spark, as_of=2).count() == 100  # all four
+    assert sink.read(spark).count() == 100           # latest = default
+    assert sink.read(spark, as_of=0).count() == 0    # before any commit
+
+    log = sink.snapshot_log()
+    assert [s["snapshot_id"] for s in log] == [1, 2]
+    assert [s["run_id"] for s in log] == ["first", "second"]
+    assert [s["n_keys"] for s in log] == [2, 2]

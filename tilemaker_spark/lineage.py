@@ -102,11 +102,36 @@ class CheckpointedSink:
         return {"written_keys": todo, "skipped_keys": sorted(done),
                 "snapshot_id": snap}
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Committed rows only (uncommitted partition dirs are filtered)."""
-        done = self.committed_keys()
+    def read(self, spark: SparkSession,
+             as_of: int | None = None) -> DataFrame:
+        """Committed rows only (uncommitted partition dirs are filtered).
+
+        ``as_of`` reads the table AS OF snapshot id N (Iceberg-style time
+        travel): only partitions committed by snapshots <= N are visible.
+        Snapshots are append-only manifests, so the as-of view is exactly
+        the table a reader saw right after snapshot N committed."""
+        done: set[int] = set()
+        for f in self._snapshots():
+            sid = int(f.split(".")[0])
+            if as_of is not None and sid > as_of:
+                continue
+            with open(os.path.join(self.root, "_manifest", f)) as fh:
+                done.update(json.load(fh)["keys"])
         df = spark.read.parquet(os.path.join(self.root, "data"))
         return df.filter(F.col("pk").isin([int(k) for k in done]))
+
+    def snapshot_log(self) -> list[dict]:
+        """The snapshot history (id, run_id, committed key count, commit
+        time) — the Iceberg metadata-table analogue for audits."""
+        out = []
+        for f in self._snapshots():
+            with open(os.path.join(self.root, "_manifest", f)) as fh:
+                m = json.load(fh)
+            out.append({"snapshot_id": m["snapshot_id"],
+                        "run_id": m.get("run_id"),
+                        "n_keys": len(m["keys"]),
+                        "committed_at": m.get("committed_at")})
+        return out
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "lineage"))
