@@ -616,8 +616,9 @@ def q_substring_dups(spark, sf_dir):
     """Cross-document exact substring duplication
     (operators/substrings.substring_dup_pairs): winnowed length-20
     char-gram fingerprint sample (md5 hex-digit sample, identical on
-    both engines), capped gram groups, in-group pair expansion — one
-    shuffle end-to-end (Lee et al. ACL 2022 / SIGMOD 2003 winnowing)."""
+    both engines), capped gram groups, in-group pair expansion — two
+    shuffles (gram groupBy + pair re-agg), no self-join (Lee et al.
+    ACL 2022 / SIGMOD 2003 winnowing)."""
     return substrings_ops.substring_dup_pairs(
         _t(spark, sf_dir, "documents"), length=20)
 
@@ -1113,8 +1114,10 @@ def q_audio_features(spark, sf_dir):
     (operators/media.audio_features, kernels/riff.py).  The PCM is pure
     int64 arithmetic (synth_audio_samples), so the oracle regenerates
     the exact samples in SQL and recomputes every feature — a decode
-    fault anywhere in the WAV path changes peak/zcr/rms and breaks the
-    hash."""
+    fault anywhere in the WAV path changes peak/zcr/sum_sq and breaks
+    the hash.  All columns are exact integers (sum_sq replaces the old
+    rounded-double rms) so the compare never depends on cross-engine
+    float canonicalization."""
     from tilemaker_spark.operators import media as media_ops
     a = synth.audio_df(spark, 500, partitions=16)
     return media_ops.audio_features(a)
@@ -1150,7 +1153,7 @@ SELECT audio_id,
        max(abs(v)) AS peak,
        sum(CASE WHEN j > 0 AND ((v < 0) <> (vp < 0)) THEN 1 ELSE 0 END)
          AS zero_crossings,
-       round(sqrt(sum(v * v) / min(n)), 6) AS rms
+       sum(v * v) AS sum_sq
 FROM vals
 GROUP BY audio_id
 """

@@ -82,7 +82,12 @@ def main():
         one session — so caches and eager localCheckpoint blocks from
         iterative operators (connected components, the prefix join)
         would otherwise accumulate in executor storage and degrade every
-        LATER query's execution memory.  Release both."""
+        LATER query's execution memory.  Release both.
+
+        Invariant: callers must have FULLY consumed the query's result
+        first — localCheckpoint blocks have truncated lineage, so a
+        DataFrame reused after this release fails with missing blocks
+        rather than recomputing."""
         spark.catalog.clearCache()
         jrdds = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jrdds.keySet().toArray()):

@@ -111,3 +111,8 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert [s["snapshot_id"] for s in log] == [1, 2]
     assert [s["run_id"] for s in log] == ["first", "second"]
     assert [s["n_keys"] for s in log] == [2, 2]
+
+    # unknown snapshot id errors (Iceberg semantics) instead of silently
+    # returning the latest view — a typo'd as_of must not mask itself
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        sink.read(spark, as_of=3)

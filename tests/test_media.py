@@ -150,4 +150,4 @@ def test_audio_features_match_numpy(spark):
         assert r["peak"] == int(np.abs(s).max())
         neg = s < 0
         assert r["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
-        assert r["rms"] == round(float(np.sqrt((s * s).sum() / n)), 6)
+        assert r["sum_sq"] == int((s.astype(np.int64) ** 2).sum())

@@ -109,7 +109,17 @@ class CheckpointedSink:
         ``as_of`` reads the table AS OF snapshot id N (Iceberg-style time
         travel): only partitions committed by snapshots <= N are visible.
         Snapshots are append-only manifests, so the as-of view is exactly
-        the table a reader saw right after snapshot N committed."""
+        the table a reader saw right after snapshot N committed.
+        An unknown ``as_of`` beyond the latest committed snapshot raises
+        (matching Iceberg's unknown-snapshot error) rather than silently
+        returning the latest table; ``as_of=0`` is the explicit empty
+        view before any snapshot."""
+        snaps = [int(f.split(".")[0]) for f in self._snapshots()]
+        if as_of is not None and as_of != 0 and (
+                not snaps or as_of > max(snaps)):
+            raise ValueError(
+                f"unknown snapshot as_of={as_of}; latest committed is "
+                f"{max(snaps) if snaps else 'none'}")
         done: set[int] = set()
         for f in self._snapshots():
             sid = int(f.split(".")[0])

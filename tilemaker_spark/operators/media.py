@@ -100,18 +100,20 @@ def audio_features(audio: DataFrame) -> DataFrame:
 
     Output: audio_id, sample_rate, n_samples, duration_ms,
     peak (max |s|), zero_crossings (sign changes, zeros count as
-    positive), rms (round(sqrt(mean(s^2)), 6)).  All features are pure
-    integer/IEEE arithmetic so a SQL oracle regenerating the PCM can
-    reproduce them exactly."""
+    positive), sum_sq (sum of s^2, exact int64).  Every feature is pure
+    integer arithmetic so a SQL oracle regenerating the PCM reproduces
+    them bit-exactly with no cross-engine float canonicalization
+    (RMS, if needed, is sqrt(sum_sq / n_samples) downstream).  16-bit
+    PCM keeps sum_sq <= n * 2^30, far inside int64 for any real clip."""
     schema = ("audio_id string, sample_rate long, n_samples long,"
               " duration_ms long, peak long, zero_crossings long,"
-              " rms double")
+              " sum_sq long")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in
                     ("audio_id", "sample_rate", "n_samples", "duration_ms",
-                     "peak", "zero_crossings", "rms")}
+                     "peak", "zero_crossings", "sum_sq")}
             for aid, blob in zip(pdf["audio_id"], pdf["bytes"]):
                 s, sr = R.decode_wav(bytes(blob))
                 v = s.astype(np.int64)
@@ -124,12 +126,10 @@ def audio_features(audio: DataFrame) -> DataFrame:
                 rows["peak"].append(int(np.abs(v).max()) if n else 0)
                 rows["zero_crossings"].append(
                     int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0)
-                rows["rms"].append(
-                    round(float(np.sqrt((v * v).sum() / n)), 6) if n
-                    else 0.0)
+                rows["sum_sq"].append(int((v * v).sum()))
             yield pd.DataFrame(rows).astype(
                 {"sample_rate": "int64", "n_samples": "int64",
                  "duration_ms": "int64", "peak": "int64",
-                 "zero_crossings": "int64"})
+                 "zero_crossings": "int64", "sum_sq": "int64"})
 
     return audio.select("audio_id", "bytes").mapInPandas(run, schema=schema)

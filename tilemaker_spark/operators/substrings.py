@@ -20,8 +20,8 @@ Document Fingerprinting", SIGMOD 2003):
    than ``max_gram_freq`` positions) are dropped with observability —
    the same cap-and-count guard as the LSH buckets in dedup.py,
 4. duplicate pairs are expanded INSIDE the group (combination explode on
-   the collected occurrence list — no self-join, no skewed join key, one
-   shuffle end-to-end).
+   the collected occurrence list — no self-join, no skewed join key; two
+   shuffles end-to-end: the gram groupBy plus the per-pair re-aggregate).
 
 A length-L sampled-gram match is exact evidence of an L-char verbatim
 duplicate span; the per-pair match count scales with the duplicated
@@ -49,9 +49,10 @@ def substring_dup_pairs(
     shared sampled gram occurrences.  Output: (doc_a, doc_b,
     n_shared_grams) with doc_a < doc_b.
 
-    Plan shape (one shuffle): explode positions -> hash-sample -> groupBy
-    gram key with map-side-combinable occurrence collection -> in-group
-    combination explode -> re-aggregate per pair.  Grams occurring more
+    Plan shape (two shuffles, no self-join): explode positions ->
+    hash-sample -> groupBy gram key with map-side-combinable occurrence
+    collection -> in-group combination explode -> groupBy (doc_a, doc_b)
+    re-aggregate.  Grams occurring more
     than ``max_gram_freq`` times are dropped (boilerplate mega-gram guard
     — pair expansion is O(freq^2); see :func:`substring_gram_stats` for
     the dropped counts).

@@ -406,6 +406,11 @@ def bpe_train(df: DataFrame, n_merges: int = 8,
                 return out
             return col.map(one)
 
+        prev = vocab
         vocab = (vocab.select(merge(F.col("syms")).alias("syms"), "freq")
                  .localCheckpoint())
+        # release the prior iteration's checkpoint blocks once the new one
+        # is materialized — real BPE runs do thousands of merges, and
+        # without this the executor storage grows without bound
+        prev.rdd.unpersist(False)
     return merges

@@ -68,10 +68,15 @@ def main():
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    # sweep manifest: any query that silently vanishes from the output is
+    # loud — r04's driver sweep dropped `simplify` with no err row
+    print(f"SWEEP manifest: {len(qs)} queries: {sorted(qs)}")
+    evaluated = []
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        evaluated.append(name)
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -116,6 +121,12 @@ def main():
         else:
             print(f"OK   {name}: {len(srows)} rows")
     spark.stop()
+    if not only and len(evaluated) != len(qs):
+        missing = sorted(set(qs) - set(evaluated))
+        print(f"FAIL sweep-incomplete: evaluated {len(evaluated)}/{len(qs)};"
+              f" missing {missing}")
+        failures.append("sweep-incomplete")
+    print(f"SWEEP evaluated {len(evaluated)}/{len(qs)} queries")
     print("\nFAILURES:", failures if failures else "none")
     sys.exit(1 if failures else 0)
 
