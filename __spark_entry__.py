@@ -746,6 +746,87 @@ FROM (
 """
 
 
+def q_corpus_dedup(spark, sf_dir):
+    """Flagship end-to-end corpus dedup (operators/pipeline.corpus_dedup)
+    — the full chain a training-data run uses, as ONE composed DAG:
+    exact dedup (md5 groupBy) -> MinHash-LSH near-dup pairs over the
+    survivors (bucketed + capped, threshold 0.6) -> alternating-star
+    connected components -> keep the highest-n_chars copy per cluster ->
+    deterministic 98/1/1 hash split.  Every stage is individually
+    oracle-proven (dedup_exact / minhash_pairs / dedup_clusters /
+    dedup_canonical / hash_split); this query proves the COMPOSITION:
+    the DuckDB twin chains the same five stages through a recursive-CTE
+    closure."""
+    from tilemaker_spark.operators import pipeline as pipeline_ops
+    d = _t(spark, sf_dir, "documents")
+    return pipeline_ops.corpus_dedup(d, "text", "doc_id",
+                                     quality_col="n_chars",
+                                     jaccard_threshold=0.6)
+
+
+def sql_corpus_dedup():
+    # stage twins: exact (md5 group, min-id survivor + count), shingle
+    # Jaccard >= 0.6 pairs over survivors (the proven minhash oracle,
+    # restricted to survivors), recursive-CTE min-label closure,
+    # best-copy row_number, LCG hash split (98/1/1 over bucket < 980k /
+    # 990k of 1e6)
+    return r"""
+WITH RECURSIVE exact AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_exact_dups
+  FROM documents
+  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+), surv AS (
+  SELECT d.doc_id, d.text, d.n_chars, e.n_exact_dups
+  FROM documents d JOIN exact e USING (doc_id)
+), base AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+  FROM surv
+), padded AS (
+  SELECT doc_id,
+         if(length(t) >= 5, t, t || repeat(' ', 5 - length(t))) AS t
+  FROM base
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, length(t) - 4), i -> hash(substr(t, i, 5))))
+      AS shingles
+  FROM padded
+), sized AS (
+  SELECT doc_id, shingles, len(shingles) AS n FROM sh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b
+    ON a.doc_id < b.doc_id
+   AND a.n * 5 >= b.n * 3 AND b.n * 5 >= a.n * 3
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS double)
+        / (a.n + b.n - len(list_intersect(a.shingles, b.shingles)))
+        >= 0.6
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM surv
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+), lab AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+), kept AS (
+  SELECT doc_id, cluster_id, n_exact_dups FROM (
+    SELECT s.doc_id, l.cluster_id, s.n_exact_dups,
+           row_number() OVER (PARTITION BY l.cluster_id
+                              ORDER BY s.n_chars DESC, s.doc_id ASC) AS rk
+    FROM surv s JOIN lab l USING (doc_id)
+  ) WHERE rk = 1
+)
+SELECT doc_id, cluster_id, n_exact_dups,
+       CASE WHEN ((doc_id * 48271 + 11) % 2147483647) % 1000000 < 980000
+              THEN 'train'
+            WHEN ((doc_id * 48271 + 11) % 2147483647) % 1000000 < 990000
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM kept
+"""
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates, exact-verified.
 
@@ -1862,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "dedup_clusters": q_dedup_clusters,
         "dedup_canonical": q_dedup_canonical,
+        "corpus_dedup": q_corpus_dedup,
         "cover_large": q_cover_large,
         "poly_union": q_poly_union,
         "area_intersect": q_area_intersect,
@@ -1919,6 +2001,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_prefix": sql_ngram_jaccard(threshold=0.7),
         "dedup_clusters": sql_dedup_clusters(),
         "dedup_canonical": sql_dedup_canonical(),
+        "corpus_dedup": sql_corpus_dedup(),
         "cover_large": sql_cover_large(),
         "poly_union": sql_poly_union(),
         "area_intersect": sql_area_intersect(),

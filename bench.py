@@ -40,6 +40,7 @@ def main():
         "way_assembly", "zorder_topk", "tiles_rollup", "pricing_summary",
         "shipping_priority", "dedup_exact", "text_stats", "ngram_jaccard",
         "jaccard_prefix", "minhash_pairs", "dedup_clusters",
+        "corpus_dedup",
         "phash_clusters", "sessionize", "hash_split", "bpe_tokens",
         "repetition", "bpe_pairs", "substring_dups",
         "ann_topk", "ann_ivf",
@@ -168,6 +169,11 @@ def main():
         "extras": {
             "cpus": cpus,
             "bench_rounds": rounds,
+            # sweep manifest: the registered-query count, so a driver
+            # CORRECTNESS sweep that silently drops a row (r04 lost
+            # `simplify` with no err entry) is detectable post hoc
+            "n_registered_queries": len(qs),
+            "n_benched_queries": len(headline) + 1,
             "bench_images": n_images,
             "images_assigned_per_sec": images_per_sec,
             "tiles_per_sec": tiles_per_sec,

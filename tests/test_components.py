@@ -97,3 +97,31 @@ def test_cc_string_ids(spark):
     got = {r["node"]: r["cluster_id"]
            for r in C.connected_components(pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_corpus_dedup_composition(spark):
+    """The flagship composed pipeline (operators/pipeline.corpus_dedup):
+    planted exact dups collapse to one row carrying the copy count,
+    planted near-dups (one char changed) collapse to the
+    highest-n_chars survivor, independents pass through as singleton
+    train/val/test rows."""
+    from tilemaker_spark.operators import pipeline as P
+
+    long_a = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (0, long_a, len(long_a)),              # near-dup cluster, shorter
+        (1, long_a + "extra tail words here", len(long_a) + 22),  # best copy
+        (2, long_a, len(long_a)),              # exact dup of 0 -> dropped
+        (3, "completely different text about spark and ducks " * 6, 288),
+        (4, "another independent document with its own words " * 6, 288),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {r["doc_id"]: r for r in
+           P.corpus_dedup(df, jaccard_threshold=0.6).collect()}
+
+    # exact stage: 0 survives the {0,2} md5 group with n_exact_dups=2;
+    # near-dup stage: {0,1} cluster -> 1 (longer) is canonical
+    assert sorted(out) == [1, 3, 4]
+    assert out[1]["cluster_id"] == 0 and out[1]["n_exact_dups"] == 1
+    assert out[3]["n_exact_dups"] == 1 and out[3]["cluster_id"] == 3
+    assert all(r["split"] in ("train", "val", "test") for r in out.values())

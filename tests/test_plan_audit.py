@@ -68,6 +68,12 @@ BUDGETS = {
     # caption verify is a pure map-only projection over the synthesized
     # metadata table (no bytes, no join) — zero everything
     "caption_check": (0, 0, 0),
+    # round-5 flagship composition: exact-dedup agg + survivor
+    # repartition + components distincts + canonical window = 6
+    # exchanges; the exact-survivor dim is broadcast; the LSH Arrow
+    # stages live behind the components checkpoint (ExistingRDD), so
+    # the final DAG itself carries zero Python nodes
+    "corpus_dedup": (6, 1, 0),
 }
 
 
