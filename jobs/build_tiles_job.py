@@ -8,9 +8,14 @@ The BASELINE north rule requires the pipeline to "run via spark-submit
     spark-submit --master <cluster> \
         --py-files dist/tilemaker_spark.zip \
         jobs/build_tiles_job.py \
-        --input monaco.osm.pbf --output monaco.mbtiles \
+        --input monaco.osm.pbf [--input neighbor.osm.pbf ...] \
+        --output monaco.mbtiles \
         --maxzoom 14 [--bbox minlon,minlat,maxlon,maxlat] \
         [--raster-zoom 8] [--checkpoint /path/ckpt]
+
+--input is repeatable: multiple extracts are unioned at the entity
+level (id-deduplicated) before assembly, mirroring the reference's
+repeated --input (src/tilemaker.cpp:296-326).
 
 Unlike the test harness (tilemaker_spark.session.get_spark, which pins
 master=local[N]), this entry takes the master from spark-submit and only
@@ -57,33 +62,52 @@ def make_session(app_name: str = "tilemaker_spark_build") -> SparkSession:
     )
 
 
-def read_features(spark: SparkSession, path: str):
+def read_features(spark: SparkSession, paths: list[str] | str):
     """Dispatch on extension: .pbf -> decode + assemble + the
     openmaptiles-lite profile (returning ITS Config, which carries the
     layer definitions); .geojson/.json -> GeoJSON features; anything
     else -> pre-built FEATURE_SCHEMA parquet.  Returns (features, cfg);
-    cfg is None when the source carries no layer config."""
-    if path.endswith(".pbf"):
+    cfg is None when the source carries no layer config.
+
+    Multiple .pbf inputs are unioned at the ENTITY level before assembly
+    (reference: src/tilemaker.cpp:296-326 loads every --input into the
+    same stores), so a relation in one extract can stitch ways from
+    another; other formats union at the feature level."""
+    if isinstance(paths, str):
+        paths = [paths]
+    pbfs = [p for p in paths if p.endswith(".pbf")]
+    others = [p for p in paths if not p.endswith(".pbf")]
+    frames, cfg = [], None
+    if pbfs:
         from tilemaker_spark.operators.assembly import (
             assemble_relation_multipolygons, assemble_way_geometries)
         from tilemaker_spark.plans.profile import openmaptiles_lite
         from tilemaker_spark.sources import pbf as pbf_src
-        nodes, ways, rels = pbf_src.read_pbf(spark, path)
+        nodes, ways, rels = pbf_src.read_pbf_multi(spark, pbfs)
         wg = assemble_way_geometries(ways, nodes, skip_integrity=True)
         rg = assemble_relation_multipolygons(
             rels.filter("tags['type'] = 'multipolygon'"), wg)
         prof, cfg = openmaptiles_lite()
-        return prof.apply(nodes=nodes, way_geoms=wg, rel_geoms=rg), cfg
-    if path.endswith((".geojson", ".json")):
-        from tilemaker_spark.sources.geojson import read_geojson
-        return read_geojson(spark, path), None
-    return spark.read.parquet(path), None
+        frames.append(prof.apply(nodes=nodes, way_geoms=wg, rel_geoms=rg))
+    for path in others:
+        if path.endswith((".geojson", ".json")):
+            from tilemaker_spark.sources.geojson import read_geojson
+            frames.append(read_geojson(spark, path))
+        else:
+            frames.append(spark.read.parquet(path))
+    features = frames[0]
+    for f in frames[1:]:
+        features = features.unionByName(f, allowMissingColumns=True)
+    return features, cfg
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True,
-                    help=".osm.pbf | .geojson | feature parquet dir")
+    ap.add_argument("--input", required=True, action="append",
+                    help=".osm.pbf | .geojson | feature parquet dir "
+                         "(repeatable: multiple extracts are unioned "
+                         "before assembly, like the reference's repeated "
+                         "--input)")
     ap.add_argument("--output", required=True,
                     help=".mbtiles | .pmtiles | z/x/y directory")
     ap.add_argument("--minzoom", type=int, default=0)

@@ -1,6 +1,7 @@
 """GeoJSON/shapefile sources + PMTiles sink round-trips."""
 
 import json
+import os
 import struct
 
 import numpy as np
@@ -204,8 +205,10 @@ def test_pmtiles_leaf_directories(spark, tmp_path, monkeypatch):
     run_length=0 (PMTiles v3 leaf-pointer marker) and lookups still work."""
     import gzip
     import struct
-    # shrink the root budget so the leaf path triggers at modest entry count
-    monkeypatch.setattr(pmtiles, "ROOT_DIR_SPACE", 512)
+    # shrink the root budget so the leaf path triggers at modest entry
+    # count (data now written in tile-id order -> contiguous offsets
+    # encode as zeros, so even 5184-entry directories compress to ~200 B)
+    monkeypatch.setattr(pmtiles, "ROOT_DIR_SPACE", 64)
     rows = [(7, x, y, gzip.compress(f"t{x}-{y}".encode(), 1))
             for x in range(72) for y in range(72)]  # 5184 > 4096 entries
     tiles = spark.createDataFrame(rows, "z int, x int, y int, tile binary")
@@ -286,3 +289,78 @@ def test_vector_layers_metadata(spark, tmp_path):
     assert inferred[0]["id"] == "roads"
     assert inferred[0]["fields"] == {"class": "String", "lanes": "Number"}
     assert inferred[0]["minzoom"] == 6 and inferred[0]["maxzoom"] == 6
+
+
+def test_pmtiles_dense_sparse_equivalence(spark, tmp_path):
+    """Dense (vectorized whole-index RLE) and sparse (per-entry append)
+    index assembly emit byte-identical archives — dense is the scale
+    path, not a format change (reference keeps one serialization for
+    both, src/pmtiles.cpp:28-46)."""
+    import gzip
+    rng_rows = []
+    sea = gzip.compress(b"", 6, mtime=0)  # one shared empty-sea blob
+    for x in range(40):
+        for y in range(40):
+            blob = (sea if (x + y) % 3 else
+                    gzip.compress(f"land-{x}-{y}".encode(), 6, mtime=0))
+            rng_rows.append((8, x, y, blob))
+    tiles = spark.createDataFrame(rng_rows, "z int, x int, y int, tile binary")
+    p_sparse = str(tmp_path / "s.pmtiles")
+    p_dense = str(tmp_path / "d.pmtiles")
+    n1 = pmtiles.write_pmtiles(tiles, p_sparse, dense=False)
+    n2 = pmtiles.write_pmtiles(tiles, p_dense, dense=True)
+    assert n1 == n2 == 1600
+    with open(p_sparse, "rb") as f:
+        b1 = f.read()
+    with open(p_dense, "rb") as f:
+        b2 = f.read()
+    assert b1 == b2
+    # round-trip reads on the dense-mode archive
+    assert gzip.decompress(
+        pmtiles.read_pmtiles_tile(p_dense, 8, 3, 6)) == b"land-3-6"
+    assert pmtiles.read_pmtiles_tile(p_dense, 8, 1, 0) == sea
+
+
+def test_pmtiles_rle_and_tiny_dedup(spark, tmp_path):
+    """Identical tiny blobs (sea tiles) are written once (tinyCache,
+    src/pmtiles.cpp:135-141) and contiguous same-offset runs collapse to
+    RLE entries (appendWithRLE, :102-111): contents < entries <
+    addressed, every logical tile still resolves, and the archive is
+    dramatically smaller than one-blob-per-tile."""
+    import gzip
+    sea = gzip.compress(b"sea", 6, mtime=0)
+    rows = [(8, x, y, sea) for x in range(32) for y in range(32)]
+    rows.append((8, 200, 200, gzip.compress(b"port", 6, mtime=0)))
+    tiles = spark.createDataFrame(rows, "z int, x int, y int, tile binary")
+    path = str(tmp_path / "rle.pmtiles")
+    n = pmtiles.write_pmtiles(tiles, path)
+    assert n == 1025
+    st = pmtiles.pmtiles_stats(path)
+    assert st["n_tiles"] == 1025
+    assert st["n_contents"] == 2          # sea blob written once + port
+    # the 32x32 block is one contiguous Hilbert range at z8 -> few runs
+    assert st["n_entries"] < 64
+    assert not st["clustered"]            # reused offsets point backwards
+    assert os.path.getsize(path) < 1025 * len(sea)
+    for x, y in [(0, 0), (31, 31), (17, 4)]:
+        assert pmtiles.read_pmtiles_tile(path, 8, x, y) == sea
+    assert gzip.decompress(
+        pmtiles.read_pmtiles_tile(path, 8, 200, 200)) == b"port"
+    assert pmtiles.read_pmtiles_tile(path, 8, 100, 100) is None
+
+
+def test_pmtiles_auto_dense_rule(spark, tmp_path):
+    """dense=None applies the reference auto rule (> 100 covered z6
+    tiles -> dense, src/tilemaker.cpp:381-385); both autos match the
+    forced modes byte-for-byte."""
+    import gzip
+    # 121 z6 tiles covered -> auto dense
+    rows = [(6, x, y, gzip.compress(f"{x}/{y}".encode(), 6, mtime=0))
+            for x in range(11) for y in range(11)]
+    tiles = spark.createDataFrame(rows, "z int, x int, y int, tile binary")
+    p_auto = str(tmp_path / "auto.pmtiles")
+    p_forced = str(tmp_path / "forced.pmtiles")
+    pmtiles.write_pmtiles(tiles, p_auto)            # auto -> dense
+    pmtiles.write_pmtiles(tiles, p_forced, dense=True)
+    with open(p_auto, "rb") as f1, open(p_forced, "rb") as f2:
+        assert f1.read() == f2.read()

@@ -150,3 +150,62 @@ def test_job_raster_sink_clips_and_resumes(spark, tmp_path):
             bbox, "--raster-zoom", "4", "--checkpoint", ckpt])
     for f, m in mtimes.items():
         assert os.path.getmtime(f) == m, f"raster rewritten: {f}"
+
+
+def test_job_multi_input_union(spark, tmp_path):
+    """Repeatable --input (reference: src/tilemaker.cpp:296-326 loads
+    every input into the same stores): two synthetic country halves —
+    ways split by id parity, each half carrying every node its ways
+    reference (border nodes land in BOTH files, exercising the id
+    dedup) — build byte-identical tiles to the single merged file."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import build_tiles_job as J
+    from tilemaker_spark.kernels.pbf_write import write_pbf
+    from tilemaker_spark.sources.synth_osm import synth_country
+
+    nodes, ways, rels, bbox = synth_country(seed=7, scale=0.01)
+
+    ways_a = [w for w in ways if w[0] % 2 == 0]
+    ways_b = [w for w in ways if w[0] % 2 == 1]
+    need_a = {r for w in ways_a for r in w[1]}
+    need_b = {r for w in ways_b for r in w[1]}
+    referenced = need_a | need_b
+    ids_a = need_a | {n[0] for n in nodes
+                      if n[0] not in referenced and n[0] % 2 == 0}
+    ids_b = need_b | {n[0] for n in nodes
+                      if n[0] not in referenced and n[0] % 2 == 1}
+    # force a border overlap: the first 50 of A's nodes also ship in B
+    # (adjacent extracts duplicate border objects; the union must dedup)
+    ids_b |= set(sorted(ids_a)[:50])
+    nodes_a = [n for n in nodes if n[0] in ids_a]
+    nodes_b = [n for n in nodes if n[0] in ids_b]
+    rels_a = [r for r in rels if r[0] % 2 == 0]
+    rels_b = [r for r in rels if r[0] % 2 == 1]
+    assert len(nodes_a) + len(nodes_b) >= len(nodes) + 50  # real overlap
+
+    full = str(tmp_path / "full.pbf")
+    half_a = str(tmp_path / "a.pbf")
+    half_b = str(tmp_path / "b.pbf")
+    write_pbf(full, nodes, ways, rels, bbox)
+    write_pbf(half_a, nodes_a, ways_a, rels_a, bbox)
+    write_pbf(half_b, nodes_b, ways_b, rels_b, bbox)
+
+    out_full = str(tmp_path / "full.mbtiles")
+    out_merged = str(tmp_path / "merged.mbtiles")
+    J.main(["--input", full, "--output", out_full, "--maxzoom", "8"])
+    J.main(["--input", half_a, "--input", half_b,
+            "--output", out_merged, "--maxzoom", "8"])
+
+    def tiles(p):
+        conn = sqlite3.connect(p)
+        rows = conn.execute("SELECT zoom_level, tile_column, tile_row, "
+                            "tile_data FROM tiles").fetchall()
+        conn.close()
+        return {(z, x, y): bytes(t) for z, x, y, t in rows}
+
+    t_full, t_merged = tiles(out_full), tiles(out_merged)
+    assert len(t_full) > 0
+    assert sorted(t_full) == sorted(t_merged)
+    for k in t_full:
+        assert t_full[k] == t_merged[k], f"tile differs at {k}"

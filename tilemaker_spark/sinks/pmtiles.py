@@ -124,13 +124,70 @@ def _decode_directory(buf: bytes):
     return list(zip(tids, offs, lens, runs))
 
 
+# reference writer constants (/root/reference/include/pmtiles.h:17-27)
+TINY_LENGTH = 100       # blobs under this are dedup candidates
+TINY_MAX_SIZE = 10000   # dedup cache bound
+DENSE_Z6_THRESHOLD = 100  # auto dense index above this z6 coverage
+                          # (/root/reference/src/tilemaker.cpp:381-385)
+
+
+def _entries_sparse(tids, offs, lens):
+    """Per-entry RLE append (the reference's appendWithRLE,
+    src/pmtiles.cpp:102-111): an entry whose tile id continues the
+    previous run AND shares its data offset extends that run."""
+    entries: list[list[int]] = []
+    for tid, off, ln in zip(tids, offs, lens):
+        if (entries and entries[-1][1] == off
+                and entries[-1][0] + entries[-1][3] == tid):
+            entries[-1][3] += 1
+        else:
+            entries.append([tid, off, ln, 1])
+    return [tuple(e) for e in entries]
+
+
+def _entries_dense(tids, offs, lens):
+    """Vectorized RLE over the whole (tid-sorted) index — the dense-index
+    analogue of the reference's denseIndex vector walk
+    (src/pmtiles.cpp:52-55): one numpy pass instead of a per-tile append,
+    the scale path for planet-size contiguous tile sets.  Produces
+    entries IDENTICAL to :func:`_entries_sparse` (property-tested)."""
+    import numpy as np
+    tid = np.asarray(tids, np.int64)
+    off = np.asarray(offs, np.int64)
+    ln = np.asarray(lens, np.int64)
+    if tid.size == 0:
+        return []
+    # a run break = tile id not consecutive OR offset changed
+    brk = np.ones(tid.size, bool)
+    brk[1:] = (tid[1:] != tid[:-1] + 1) | (off[1:] != off[:-1])
+    starts = np.flatnonzero(brk)
+    runs = np.diff(np.append(starts, tid.size))
+    return list(zip(tid[starts].tolist(), off[starts].tolist(),
+                    ln[starts].tolist(), runs.tolist()))
+
+
 def write_pmtiles(tiles: DataFrame, path: str,
                   metadata: dict | None = None,
-                  vector_layers: list | None = None) -> int:
+                  vector_layers: list | None = None,
+                  dense: bool | None = None) -> int:
     """tiles(z, x, y, tile) -> .pmtiles. Tile blobs must already be gzip
     (the engine's default tile compression). Returns tile count.
     ``vector_layers`` goes into the JSON metadata blob (spec/TileJSON;
-    reference shared_data.cpp:184-209)."""
+    reference shared_data.cpp:184-209).
+
+    Index assembly mirrors the reference writer (src/pmtiles.cpp:16-173):
+    * identical tiny blobs (< TINY_LENGTH bytes — ocean/empty tiles) are
+      written once and shared by offset (saveTile's tinyCache),
+    * adjacent tile ids sharing one offset collapse into run-length
+      entries (appendWithRLE) — together these shrink planet archives
+      where sea tiles dominate,
+    * ``dense`` picks the vectorized whole-index RLE pass (the
+      reference's dense std::vector index, chosen for large contiguous
+      areas at src/tilemaker.cpp:381-385: > 100 covered z6 tiles);
+      ``None`` applies the same auto rule from the tile set itself.
+      Both paths emit byte-identical archives — dense is the
+      memory/speed scale path, not a format change.
+    """
     if vector_layers is not None:
         metadata = dict(metadata or {})
         metadata["vector_layers"] = vector_layers
@@ -139,17 +196,45 @@ def write_pmtiles(tiles: DataFrame, path: str,
         .orderBy("z", "x", "y")
         .toLocalIterator()
     )
-    entries = []
-    blobs = bytearray()
+    items = []
     minz, maxz = 99, 0
+    z6_cover = set()
     for r in rows:
-        tid = tile_id(r["z"], r["x"], r["y"])
-        blob = bytes(r["tile"])
-        entries.append((tid, len(blobs), len(blob), 1))
-        blobs += blob
-        minz = min(minz, r["z"])
-        maxz = max(maxz, r["z"])
-    entries.sort(key=lambda e: e[0])
+        z = r["z"]
+        items.append((tile_id(z, r["x"], r["y"]), bytes(r["tile"])))
+        minz = min(minz, z)
+        maxz = max(maxz, z)
+        if z >= 6:
+            z6_cover.add((r["x"] >> (z - 6), r["y"] >> (z - 6)))
+    items.sort(key=lambda t: t[0])
+    if dense is None:
+        dense = len(z6_cover) > DENSE_Z6_THRESHOLD
+
+    # data section in tile-id order, identical tiny blobs deduplicated
+    blobs = bytearray()
+    tiny: dict[bytes, tuple[int, int]] = {}
+    tids, offs, lens = [], [], []
+    clustered = True
+    n_contents = 0
+    for tid, blob in items:
+        hit = tiny.get(blob) if len(blob) < TINY_LENGTH else None
+        if hit is not None:
+            off, ln = hit
+            clustered = False  # a reused offset points backwards
+        else:
+            off, ln = len(blobs), len(blob)
+            blobs += blob
+            n_contents += 1
+            if len(blob) < TINY_LENGTH:
+                if len(tiny) > TINY_MAX_SIZE:
+                    tiny.clear()
+                tiny[blob] = (off, ln)
+        tids.append(tid)
+        offs.append(off)
+        lens.append(ln)
+    n_addressed = len(items)
+    entries = (_entries_dense if dense else _entries_sparse)(
+        tids, offs, lens)
 
     root = gzip.compress(_encode_directory(entries), 6, mtime=0)
     leaves = b""
@@ -182,8 +267,11 @@ def write_pmtiles(tiles: DataFrame, path: str,
     struct.pack_into("<QQQQQQQQ", header, 8,
                      root_off, len(root), meta_off, len(meta_bytes),
                      leaf_off, len(leaves), data_off, len(blobs))
-    struct.pack_into("<QQ", header, 72, len(entries), len(entries))
-    header[96] = 1  # clustered (data written in tile-id order)
+    # addressed (logical tiles) / entries (after RLE) / contents
+    # (distinct blobs after dedup) — pmtiles v3 header fields
+    struct.pack_into("<QQQ", header, 72,
+                     n_addressed, len(entries), n_contents)
+    header[96] = 1 if clustered else 0  # data in tile-id order?
     header[97] = 2  # internal compression: gzip
     header[98] = 2  # tile compression: gzip
     header[99] = 1  # tile type: MVT
@@ -201,7 +289,7 @@ def write_pmtiles(tiles: DataFrame, path: str,
         f.write(meta_bytes)
         f.write(leaves)
         f.write(blobs)
-    return len(entries)
+    return n_addressed
 
 
 def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
@@ -239,9 +327,12 @@ def read_pmtiles_tile(path: str, z: int, x: int, y: int) -> bytes | None:
 def pmtiles_stats(path: str) -> dict:
     with open(path, "rb") as f:
         header = f.read(HEADER_SIZE)
-        n_entries = struct.unpack_from("<Q", header, 72)[0]
+        n_addressed, n_entries, n_contents = struct.unpack_from(
+            "<QQQ", header, 72)
         meta_off, meta_len = struct.unpack_from("<QQ", header, 24)
         f.seek(meta_off)
         meta = json.loads(gzip.decompress(f.read(meta_len)))
-    return {"n_tiles": n_entries, "minzoom": header[100],
-            "maxzoom": header[101], "metadata": meta}
+    return {"n_tiles": n_addressed, "n_entries": n_entries,
+            "n_contents": n_contents, "clustered": bool(header[96]),
+            "minzoom": header[100], "maxzoom": header[101],
+            "metadata": meta}

@@ -162,6 +162,31 @@ def read_pbf(spark: SparkSession, path: str, partitions: int | None = None):
             phase("relations", RELS_SCHEMA))
 
 
+def read_pbf_multi(spark: SparkSession, paths: list[str],
+                   partitions: int | None = None):
+    """-> (nodes, ways, relations) unioned over several extracts.
+
+    The reference accepts repeated --input and loads every file into the
+    same entity stores before assembly (src/tilemaker.cpp:296-326) —
+    merging adjacent-region extracts is routine.  Spark form: decode each
+    file blob-parallel, ``unionByName``, then dedup by OSM id — border
+    entities appear in more than one extract with identical data, so any
+    one row wins (tags/geometry are equal by OSM id semantics).  One
+    shuffle per entity table, on the compact id key."""
+    parts = [read_pbf(spark, p, partitions) for p in paths]
+    if len(parts) == 1:
+        return parts[0]
+    nodes, ways, rels = (list(t) for t in zip(*parts))
+
+    def union_dedup(dfs):
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.dropDuplicates(["id"])
+
+    return union_dedup(nodes), union_dedup(ways), union_dedup(rels)
+
+
 def read_header(path: str) -> dict:
     for r in K.scan_blobs(path):
         if r.kind == "OSMHeader":
