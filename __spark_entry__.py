@@ -1118,6 +1118,52 @@ FROM rows_
 """
 
 
+def q_image_quality(spark, sf_dir):
+    """SSIM full-reference image quality with an exact-integer oracle
+    (operators/images.ssim_flat_audit, kernels/metrics.ssim).  600
+    constant-image pairs with deterministic gray levels and varying
+    sizes (incl. sub-window images that exercise the window-shrink
+    path); every 5th pair is identical (SSIM exactly 1, num == den).
+    The REAL windowed kernel runs per row and is checked against the
+    closed-form rational — ssim_ok flips and breaks the hash if the
+    kernel's gray weights, summed-area sums, or stabilizers drift; the
+    hashed columns are exact integers so the compare never depends on
+    cross-engine float canonicalization.  Structure/contrast
+    sensitivity (non-flat images) is property-tested in
+    tests/test_sampling_metrics.py."""
+    from tilemaker_spark.operators import images as image_ops
+    base = spark.range(600).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37 + 11) % 256).cast("int").alias("g1"),
+        F.when(F.col("id") % 5 == 0,
+               ((F.col("id") * 37 + 11) % 256).cast("int"))
+        .otherwise(((F.col("id") * 101 + 53) % 256).cast("int"))
+        .alias("g2"),
+        (F.lit(4) + (F.col("id") % 4) * 4).cast("int").alias("w"),
+        (F.lit(4) + ((F.col("id") + 1) % 3) * 8).cast("int").alias("h"),
+    ).repartition(16)
+    return image_ops.ssim_flat_audit(base)
+
+
+def sql_image_quality():
+    # literal-for-literal twin of q_image_quality's gray-level formulas;
+    # the integers are the closed-form flat-image SSIM rational times 1e4
+    return """
+WITH r AS (SELECT unnest(generate_series(0, 599)) AS k),
+g AS (
+  SELECT k, (k * 37 + 11) % 256 AS g1,
+         CASE WHEN k % 5 = 0 THEN (k * 37 + 11) % 256
+              ELSE (k * 101 + 53) % 256 END AS g2
+  FROM r
+)
+SELECT k, CAST(g1 AS int) AS g1, CAST(g2 AS int) AS g2,
+       20000 * g1 * g2 + 65025 AS ssim_num,
+       10000 * (g1 * g1 + g2 * g2) + 65025 AS ssim_den,
+       1 AS ssim_ok
+FROM g
+"""
+
+
 def q_phash_clusters(spark, sf_dir):
     """Image near-dup CLUSTERS end-to-end: perceptual-hash pair
     generation (operators/images.phash_near_dups — 16-bit chunk
@@ -1957,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "phash_clusters": q_phash_clusters,
+        "image_quality": q_image_quality,
         "caption_check": q_caption_check,
         "sessionize": q_sessionize,
         "hash_split": q_hash_split,
@@ -2016,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": sql_video_frames(),
         "audio_features": sql_audio_features(),
         "phash_clusters": sql_phash_clusters(),
+        "image_quality": sql_image_quality(),
         "caption_check": sql_caption_check(),
         "sessionize": sql_sessionize(),
         "hash_split": sql_hash_split(),

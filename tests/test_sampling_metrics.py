@@ -121,6 +121,34 @@ def test_image_quality_operator(spark):
             assert r["ssim"] >= 0.95
 
 
+def test_ssim_flat_audit_exact_integers(spark):
+    # the oracle contract: the REAL windowed kernel on flat images must
+    # match the closed-form rational (ssim_ok=1 everywhere), and
+    # identical pairs must give num == den (SSIM exactly 1)
+    from pyspark.sql import functions as F
+    from tilemaker_spark.operators import images as image_ops
+    base = spark.range(60).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37 + 11) % 256).cast("int").alias("g1"),
+        F.when(F.col("id") % 5 == 0,
+               ((F.col("id") * 37 + 11) % 256).cast("int"))
+        .otherwise(((F.col("id") * 101 + 53) % 256).cast("int"))
+        .alias("g2"),
+        (F.lit(4) + (F.col("id") % 4) * 4).cast("int").alias("w"),
+        (F.lit(4) + ((F.col("id") + 1) % 3) * 8).cast("int").alias("h"))
+    rows = image_ops.ssim_flat_audit(base).collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert r["ssim_ok"] == 1, (r["k"], r["g1"], r["g2"])
+        assert r["ssim_num"] == 20000 * r["g1"] * r["g2"] + 65025
+        assert r["ssim_den"] == (10000 * (r["g1"] ** 2 + r["g2"] ** 2)
+                                 + 65025)
+        if r["k"] % 5 == 0:
+            assert r["ssim_num"] == r["ssim_den"]
+        else:
+            assert r["ssim_num"] <= r["ssim_den"]
+
+
 def test_weighted_mixture_composition(spark):
     # 3 sources with very different sizes; target 50/30/20
     rows = ([(i, "web") for i in range(6000)]

@@ -248,3 +248,61 @@ def test_ivf_degenerate_list_cap(spark):
     uncapped = similarity.ann_ivf_topk(qs, cands, k=5, centroids=cent,
                                        n_probes=2)
     assert uncapped.count() == 5
+
+
+def test_ivf_distributed_trainer_matches_sample_path(spark):
+    """When the whole table fits the init sample, the distributed
+    trainer (full-table Lloyd passes, driver reduces only nlist x dim
+    sufficient statistics) must reproduce the sample path's centroids
+    up to float-summation order."""
+    rng = np.random.Generator(np.random.PCG64(77))
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").coalesce(1)
+    c_sample = similarity.train_ivf_centroids(df, nlist=8, seed=5,
+                                              iters=6)
+    c_dist = similarity.train_ivf_centroids_distributed(
+        df, nlist=8, seed=5, iters=6)
+    assert c_dist.shape == c_sample.shape
+    assert np.allclose(c_sample, c_dist, atol=1e-5)
+    # and unit-normalized
+    assert np.allclose(np.linalg.norm(c_dist, axis=1), 1.0, atol=1e-5)
+
+
+def test_ivf_distributed_trainer_recall_and_plan(spark):
+    """Distributed-trained centroids hold the clustered-recall bar, and
+    the per-iteration DAG is exactly 1 Arrow node + 1 shuffle (the
+    sufficient-statistics reduce) — the shape that stays valid at
+    10^12 rows."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from tools.plan_audit import audit_plan
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    centers = rng.standard_normal((10, 16)) * 3.0
+    cand_rows = []
+    for i in range(400):
+        v = centers[i % 10] + rng.standard_normal(16) * 0.3
+        cand_rows.append((i, v.tolist()))
+    q_rows = [(1000 + i,
+               (np.array(cand_rows[i][1]) + rng.standard_normal(16) * 0.01
+                ).tolist()) for i in range(60)]
+    cands = spark.createDataFrame(
+        cand_rows, "cand_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        q_rows, "query_id long, embedding array<double>")
+
+    cent = similarity.train_ivf_centroids_distributed(
+        cands, nlist=16, seed=3, iters=8)
+    out = similarity.ann_ivf_topk(qs, cands, k=1, centroids=cent,
+                                  n_probes=3)
+    hit = {r["query_id"] for r in out.collect()
+           if r["cand_id"] == r["query_id"] - 1000}
+    assert len(hit) / 60 >= 0.9
+
+    plan = audit_plan(similarity._lloyd_partial_agg(
+        cands.select(F.col("embedding").alias("_v")), cent))
+    assert plan["exchanges"] == 1, plan
+    assert plan["python"] == 1, plan

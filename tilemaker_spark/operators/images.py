@@ -102,6 +102,59 @@ def image_quality(images: DataFrame, psnr_min: float = 40.0,
         run, schema=schema)
 
 
+def ssim_flat_audit(pairs: DataFrame) -> DataFrame:
+    """Oracle-checkable SSIM audit over constant (flat) image pairs.
+
+    For constant images with gray levels g1 and g2 every local window has
+    zero variance and zero covariance, so the Wang-2004 formula collapses
+    to the luminance term, which is an exact rational in the inputs:
+
+        SSIM = (2*g1*g2 + C1) / (g1^2 + g2^2 + C1),   C1 = 65025/10000
+
+    Multiplying numerator and denominator by 10^4 gives exact integers
+
+        ssim_num = 20000*g1*g2 + 65025
+        ssim_den = 10000*(g1^2 + g2^2) + 65025
+
+    This operator materializes the actual HxWx3 uint8 images, runs the
+    REAL windowed kernel (kernels/metrics.ssim — summed-area tables,
+    gray conversion, window shrink for tiny images), and emits the exact
+    integers plus ``ssim_ok`` = |kernel - num/den| < 1e-9 per row.  A
+    fault anywhere in the kernel (gray weights, window sums, stabilizer
+    constants) flips ``ssim_ok`` and breaks the cross-engine hash, while
+    the compared values themselves never depend on float
+    canonicalization (the audio_features round-4 lesson).
+
+    Input columns: k:long, g1:int, g2:int, w:int, h:int.
+    Output: k, g1, g2, ssim_num:bigint, ssim_den:bigint, ssim_ok:int.
+    """
+    from ..kernels import metrics as M
+    schema = ("k long, g1 int, g2 int, ssim_num long, ssim_den long,"
+              " ssim_ok int")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ks, nums, dens, oks = [], [], [], []
+            for k, g1, g2, w, h in zip(pdf["k"], pdf["g1"], pdf["g2"],
+                                       pdf["w"], pdf["h"]):
+                a = np.full((int(h), int(w), 3), int(g1), np.uint8)
+                b = np.full((int(h), int(w), 3), int(g2), np.uint8)
+                s = M.ssim(a, b)
+                num = 20000 * int(g1) * int(g2) + 65025
+                den = 10000 * (int(g1) ** 2 + int(g2) ** 2) + 65025
+                ks.append(int(k))
+                nums.append(num)
+                dens.append(den)
+                oks.append(int(abs(s - num / den) < 1e-9))
+            yield pd.DataFrame({
+                "k": ks, "g1": pdf["g1"].astype("int32"),
+                "g2": pdf["g2"].astype("int32"),
+                "ssim_num": nums, "ssim_den": dens, "ssim_ok": oks})
+
+    return pairs.select("k", "g1", "g2", "w", "h").mapInPandas(
+        run, schema=schema)
+
+
 def image_features(images: DataFrame) -> DataFrame:
     """Decode + feature-extract: channel means/stds and an 8x8 average-hash
     perceptual hash (public aHash algorithm).  Output: image_id,

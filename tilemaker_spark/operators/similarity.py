@@ -225,6 +225,87 @@ def train_ivf_centroids(df: DataFrame, vec_col: str = "embedding",
     return cent.astype(np.float32)
 
 
+def _lloyd_partial_agg(vecs: DataFrame, cent: np.ndarray) -> DataFrame:
+    """One distributed Lloyd iteration's partial-sum DataFrame.
+
+    mapInPandas assigns every vector to its nearest centroid and emits
+    per-batch partial sums already exploded to (list, j, s, c) — at most
+    nlist x dim rows per Arrow batch regardless of batch size — then a
+    single groupBy(list, j) shuffle reduces them (map-side combine makes
+    the shuffle nlist x dim rows per partition).  The caller collects
+    only nlist x dim rows: the driver never sees a vector, just the
+    sufficient statistics, which is what makes the trainer valid at
+    10^12 rows.  Plan shape: 1 Arrow node, 1 shuffle (audited in
+    tests/test_similarity_images.py)."""
+    cent64 = np.ascontiguousarray(cent, dtype=np.float64)
+    nlist, dim = cent64.shape
+
+    def partials(batches):
+        for pdf in batches:
+            m = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-12)
+            a = np.argmax(m @ cent64.T, axis=1)
+            sums = np.zeros((nlist, dim), np.float64)
+            np.add.at(sums, a, m)
+            cnts = np.bincount(a, minlength=nlist)
+            nz = np.nonzero(cnts)[0]
+            if not len(nz):
+                continue
+            ls = np.repeat(nz, dim)
+            js = np.tile(np.arange(dim), len(nz))
+            c = np.zeros(len(ls), np.int64)
+            c[js == 0] = cnts[nz]
+            yield pd.DataFrame({"list": ls.astype("int32"),
+                                "j": js.astype("int32"),
+                                "s": sums[nz].reshape(-1), "c": c})
+
+    return (vecs.mapInPandas(partials, "list int, j int, s double, c long")
+            .groupBy("list", "j")
+            .agg(F.sum("s").alias("s"), F.sum("c").alias("c")))
+
+
+def train_ivf_centroids_distributed(
+        df: DataFrame, vec_col: str = "embedding", nlist: int = 64,
+        iters: int = 10, seed: int = 42,
+        init_sample_size: int = 20000) -> np.ndarray:
+    """Fully distributed spherical k-means for the IVF coarse quantizer:
+    every Lloyd pass runs over the WHOLE table; the driver only reduces
+    nlist x (dim+1) sufficient statistics per iteration (the sums and
+    counts from :func:`_lloyd_partial_agg`), never the vectors.
+
+    Init is the same seeded PCG64 choice over the same bounded sample as
+    :func:`train_ivf_centroids`, so on an input that fits the sample the
+    two trainers produce the same centroids (summation order aside —
+    float64 partials keep them allclose; asserted in tests).  Use this
+    when the training set itself must shape the lists beyond what a 20k
+    sample can see; the sample path stays the cheap default."""
+    vecs = df.select(F.col(vec_col).alias("_v"))
+    rows = vecs.limit(init_sample_size).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    nlist = min(nlist, len(x))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = x[rng.choice(len(x), nlist, replace=False)]
+    dim = cent.shape[1]
+    cached = vecs.persist()
+    try:
+        for _ in range(iters):
+            sums = np.zeros((nlist, dim), np.float64)
+            cnts = np.zeros(nlist, np.int64)
+            for r in _lloyd_partial_agg(cached, cent).collect():
+                sums[r["list"], r["j"]] = r["s"]
+                if r["j"] == 0:
+                    cnts[r["list"]] = r["c"]
+            nzl = cnts > 0
+            cent[nzl] = sums[nzl] / cnts[nzl, None]
+            cent /= np.maximum(
+                np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    finally:
+        cached.unpersist()
+    return cent.astype(np.float32)
+
+
 def ivf_assign_udf(centroids: np.ndarray, n_probes: int = 1):
     """array<long> of the ``n_probes`` nearest-centroid list ids per
     vector (cosine = dot on the unit-normalized centroids), nearest
