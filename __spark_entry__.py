@@ -1164,6 +1164,96 @@ FROM g
 """
 
 
+def q_resize_check(spark, sf_dir):
+    """Decode -> nearest-neighbor resize -> re-encode -> decode ->
+    exact-integer checksum, end to end through the real PNG codec
+    (operators/images.resize_images + pixel_checksum over
+    sources/synth.gradient_images_df).  400 closed-form-pixel images of
+    varying sizes (8..24 x 8..26) resized to 12x10; the oracle
+    recomputes the nearest-neighbor source index (xi = j*w//12,
+    yi = i*h//10) and the position-weighted checksum analytically, so a
+    fault in the encoder, the decoder, the index map, or the weight
+    layout breaks the hash.  Map-only: zero shuffles, three Arrow
+    stages (encode, resize, checksum)."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.gradient_images_df(spark, 400, partitions=16)
+    resized = image_ops.resize_images(img, out_w=12, out_h=10)
+    return image_ops.pixel_checksum(resized, passthrough=("w", "h"))
+
+
+def sql_resize_check():
+    # literal twin of gradient_images_df sizes + resize_images's
+    # nearest map + pixel_checksum's flat-index weights (i*36+j*3+c+1)
+    return """
+WITH imgs AS (SELECT unnest(generate_series(0, 399)) AS k),
+dims AS (SELECT k, 8 + (k % 5) * 4 AS w, 8 + ((k + 2) % 4) * 6 AS h
+         FROM imgs),
+gi AS (SELECT unnest(generate_series(0, 9)) AS i),
+gj AS (SELECT unnest(generate_series(0, 11)) AS j),
+gc AS (SELECT unnest(generate_series(0, 2)) AS c),
+px AS (
+  SELECT d.k, gi.i, gj.j, gc.c,
+         (((gj.j * d.w) // 12) * 7 + ((gi.i * d.h) // 10) * 13
+          + gc.c * 29 + d.k * 31) % 256 AS v
+  FROM dims d, gi, gj, gc
+)
+SELECT printf('grad_%09d', k) AS image_id,
+       12 AS w, 10 AS h,
+       CAST(sum(v * (i * 36 + j * 3 + c + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY k
+"""
+
+
+def q_augment_check(spark, sf_dir):
+    """Geometric augmentation verified end to end: decode -> flip_h /
+    flip_v / rot90(cw) -> re-encode PNG -> decode -> position-weighted
+    exact-integer checksum (operators/images.augment_images +
+    pixel_checksum).  300 closed-form images -> 900 augmented rows; the
+    oracle applies each op as an analytic index remap of the pixel
+    formula (flip_h: x -> w-1-x; flip_v: y -> h-1-y; rot90 cw:
+    out[i,j] = in[h-1-j, i] with swapped dims), so any fault in the
+    transform, the codec round-trip, or the dim bookkeeping breaks the
+    hash.  Map-only: zero shuffles."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.gradient_images_df(spark, 300, partitions=16)
+    aug = image_ops.augment_images(img)
+    return image_ops.pixel_checksum(aug, passthrough=("op", "w", "h"))
+
+
+def sql_augment_check():
+    # per-op analytic remap of gradient_pixels; weight = flat index + 1
+    # over the OUTPUT dims (rot90 swaps them)
+    return """
+WITH imgs AS (SELECT unnest(generate_series(0, 299)) AS k),
+dims AS (SELECT k, 8 + (k % 5) * 4 AS w, 8 + ((k + 2) % 4) * 6 AS h
+         FROM imgs),
+ops AS (SELECT unnest(['flip_h', 'flip_v', 'rot90']) AS op),
+base AS (
+  SELECT d.k, d.w, d.h, o.op,
+         CASE WHEN o.op = 'rot90' THEN d.w ELSE d.h END AS oh,
+         CASE WHEN o.op = 'rot90' THEN d.h ELSE d.w END AS ow
+  FROM dims d, ops o
+),
+gi AS (SELECT unnest(generate_series(0, 25)) AS i),
+gj AS (SELECT unnest(generate_series(0, 25)) AS j),
+gc AS (SELECT unnest(generate_series(0, 2)) AS c),
+px AS (
+  SELECT b.k, b.op, b.ow, b.oh, gi.i, gj.j, gc.c,
+         (CASE b.op
+            WHEN 'flip_h' THEN (b.w - 1 - gj.j) * 7 + gi.i * 13
+            WHEN 'flip_v' THEN gj.j * 7 + (b.h - 1 - gi.i) * 13
+            ELSE gi.i * 7 + (b.h - 1 - gj.j) * 13
+          END + gc.c * 29 + b.k * 31) % 256 AS v
+  FROM base b, gi, gj, gc
+  WHERE gi.i < b.oh AND gj.j < b.ow
+)
+SELECT printf('grad_%09d', k) AS image_id, op,
+       CAST(max(ow) AS int) AS w, CAST(max(oh) AS int) AS h,
+       CAST(sum(v * (i * ow * 3 + j * 3 + c + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY k, op
+"""
+
+
 def q_phash_clusters(spark, sf_dir):
     """Image near-dup CLUSTERS end-to-end: perceptual-hash pair
     generation (operators/images.phash_near_dups — 16-bit chunk
@@ -2004,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "phash_clusters": q_phash_clusters,
         "image_quality": q_image_quality,
+        "resize_check": q_resize_check,
+        "augment_check": q_augment_check,
         "caption_check": q_caption_check,
         "sessionize": q_sessionize,
         "hash_split": q_hash_split,
@@ -2064,6 +2156,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": sql_audio_features(),
         "phash_clusters": sql_phash_clusters(),
         "image_quality": sql_image_quality(),
+        "resize_check": sql_resize_check(),
+        "augment_check": sql_augment_check(),
         "caption_check": sql_caption_check(),
         "sessionize": sql_sessionize(),
         "hash_split": sql_hash_split(),

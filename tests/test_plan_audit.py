@@ -74,6 +74,11 @@ BUDGETS = {
     # stages live behind the components checkpoint (ExistingRDD), so
     # the final DAG itself carries zero Python nodes
     "corpus_dedup": (6, 1, 0),
+    # round-5 image-transform chains: gradient-encode pandas UDF +
+    # resize/augment mapInPandas + checksum mapInPandas = 3 Arrow
+    # stages, map-only (zero shuffles) by construction
+    "resize_check": (0, 0, 3),
+    "augment_check": (0, 0, 3),
 }
 
 

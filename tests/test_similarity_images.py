@@ -306,3 +306,75 @@ def test_ivf_distributed_trainer_recall_and_plan(spark):
         cands.select(F.col("embedding").alias("_v")), cent))
     assert plan["exchanges"] == 1, plan
     assert plan["python"] == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# round-5: gradient images, augmentation, pixel checksums
+# ---------------------------------------------------------------------------
+
+def test_gradient_images_roundtrip_exact(spark):
+    """gradient_images_df bytes decode to EXACTLY gradient_pixels
+    (PNG is lossless), at every size the table produces."""
+    rows = synth.gradient_images_df(spark, 20, partitions=2).collect()
+    assert len(rows) == 20
+    for r in rows:
+        k = int(r["image_id"].rsplit("_", 1)[-1])
+        got = png.decode_image(bytes(r["bytes"]), r["fmt"])
+        ref = png.gradient_pixels(k, r["w"], r["h"])
+        assert got.shape == (r["h"], r["w"], 3)
+        assert np.array_equal(got, ref)
+
+
+def test_augment_matches_numpy_transforms(spark):
+    img = synth.gradient_images_df(spark, 6, partitions=1)
+    out = {(r["image_id"], r["op"]): r
+           for r in images.augment_images(img).collect()}
+    assert len(out) == 18
+    for k in range(6):
+        iid = f"grad_{k:09d}"
+        ref = png.gradient_pixels(k, 8 + (k % 5) * 4, 8 + ((k + 2) % 4) * 6)
+        for op, want in (("flip_h", ref[:, ::-1]),
+                         ("flip_v", ref[::-1]),
+                         ("rot90", np.rot90(ref, k=-1))):
+            r = out[(iid, op)]
+            got = png.decode_image(bytes(r["bytes"]), "png")
+            assert (r["h"], r["w"]) == want.shape[:2]
+            assert np.array_equal(got, want), (iid, op)
+
+
+def test_augment_involutions_kernel():
+    """flip twice / rot90 four times = identity (the numpy ops the
+    operator applies are true involutions/rotations)."""
+    ref = png.gradient_pixels(7, 20, 14)
+    assert np.array_equal(ref[:, ::-1][:, ::-1], ref)
+    assert np.array_equal(ref[::-1][::-1], ref)
+    r = ref
+    for _ in range(4):
+        r = np.rot90(r, k=-1)
+    assert np.array_equal(r, ref)
+
+
+def test_pixel_checksum_matches_numpy(spark):
+    img = synth.gradient_images_df(spark, 8, partitions=2)
+    got = {r["image_id"]: r["checksum"]
+           for r in images.pixel_checksum(img).collect()}
+    for k in range(8):
+        ref = png.gradient_pixels(
+            k, 8 + (k % 5) * 4, 8 + ((k + 2) % 4) * 6).astype(np.int64)
+        wts = np.arange(ref.size, dtype=np.int64).reshape(ref.shape) + 1
+        assert got[f"grad_{k:09d}"] == int((ref * wts).sum())
+
+
+def test_resize_then_checksum_matches_numpy(spark):
+    img = synth.gradient_images_df(spark, 8, partitions=2)
+    resized = images.resize_images(img, out_w=12, out_h=10)
+    got = {r["image_id"]: (r["w"], r["h"], r["checksum"])
+           for r in images.pixel_checksum(resized).collect()}
+    for k in range(8):
+        w, h = 8 + (k % 5) * 4, 8 + ((k + 2) % 4) * 6
+        ref = png.gradient_pixels(k, w, h)
+        yi = np.minimum((np.arange(10) * h) // 10, h - 1)
+        xi = np.minimum((np.arange(12) * w) // 12, w - 1)
+        small = ref[yi][:, xi].astype(np.int64)
+        wts = np.arange(small.size, dtype=np.int64).reshape(small.shape) + 1
+        assert got[f"grad_{k:09d}"] == (12, 10, int((small * wts).sum()))

@@ -140,6 +140,24 @@ def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
     return np.clip(img.round(), 0, 255).astype(np.uint8)
 
 
+def gradient_pixels(seed: int, w: int, h: int) -> np.ndarray:
+    """Closed-form deterministic (h, w, 3) uint8 image:
+    ``px[y, x, c] = (7x + 13y + 29c + 31*seed) % 256``.
+
+    Unlike :func:`synth_pixels` (PCG64 — realistic content, but only
+    reproducible in numpy), every pixel here is a one-line integer
+    formula any SQL engine can evaluate, so whole
+    decode -> transform -> checksum chains (resize, flips, rotations)
+    get exact-integer DuckDB oracle twins.  Always paired with PNG
+    (lossless) so the checksum is analytic end-to-end."""
+    x = np.arange(w, dtype=np.int64) * 7
+    y = np.arange(h, dtype=np.int64) * 13
+    c = np.arange(3, dtype=np.int64) * 29
+    px = (x[None, :, None] + y[:, None, None] + c[None, None, :]
+          + 31 * int(seed)) % 256
+    return px.astype(np.uint8)
+
+
 JPEG_QUALITY = 95  # default encode quality: worst-case PSNR ~42 dB on
 #                    synth_pixels content, comfortably over the 40 dB
 #                    BASELINE invariant (uniform noise, which no codec

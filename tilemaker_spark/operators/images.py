@@ -224,6 +224,85 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
         run, schema=schema)
 
 
+AUGMENT_OPS = ("flip_h", "flip_v", "rot90")
+
+
+def augment_images(images: DataFrame,
+                   ops: tuple = AUGMENT_OPS) -> DataFrame:
+    """Geometric training-data augmentation: decode each image, apply
+    every requested op, re-encode as PNG — one output row per
+    (image, op).  Ops: ``flip_h`` (mirror columns), ``flip_v`` (mirror
+    rows), ``rot90`` (90° clockwise; output dims swap).
+
+    Map-only at any scale (zero shuffles): each input row expands to
+    len(ops) rows inside the same Arrow batch.  Real per-row codec work
+    (PNG decode + encode), the same batch shape a 100 TB augmentation
+    pass would run.  Output: image_id, op, bytes, w, h, fmt='png'."""
+    schema = "image_id string, op string, bytes binary, w int, h int," \
+             " fmt string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, opl, blobs, ws, hs = [], [], [], [], []
+            for img_id, blob, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = P.decode_image(bytes(blob), fmt)
+                for op in ops:
+                    if op == "flip_h":
+                        out = px[:, ::-1]
+                    elif op == "flip_v":
+                        out = px[::-1]
+                    elif op == "rot90":
+                        out = np.rot90(px, k=-1)  # clockwise
+                    else:
+                        raise ValueError(f"unknown augment op {op}")
+                    ids.append(img_id)
+                    opl.append(op)
+                    blobs.append(P.encode_png(np.ascontiguousarray(out)))
+                    ws.append(out.shape[1])
+                    hs.append(out.shape[0])
+            yield pd.DataFrame({
+                "image_id": ids, "op": opl, "bytes": blobs,
+                "w": ws, "h": hs, "fmt": ["png"] * len(ids)})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=schema)
+
+
+def pixel_checksum(images: DataFrame,
+                   passthrough: tuple = ("w", "h")) -> DataFrame:
+    """Position-weighted exact-integer pixel checksum:
+    ``sum(px[i,j,c] * (i*w*3 + j*3 + c + 1))`` over the decoded image.
+    Every pixel gets a distinct weight, so ANY pixel move or value
+    change alters the sum — a transform-chain verifier that needs no
+    float tolerance and no reference image shipped alongside.
+    Output: image_id (+passthrough), checksum bigint."""
+    in_schema = {f.name: f.dataType.simpleString()
+                 for f in images.schema.fields}
+    extra = list(passthrough)
+    schema = ("image_id string"
+              + "".join(f", {c} {in_schema[c]}" for c in extra)
+              + ", checksum bigint")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = []
+            for blob, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = P.decode_image(bytes(blob), fmt).astype(np.int64)
+                h, w = px.shape[:2]
+                wts = (np.arange(h * w * 3, dtype=np.int64) + 1
+                       ).reshape(h, w, 3)
+                sums.append(int((px * wts).sum()))
+            out = pd.DataFrame({"image_id": pdf["image_id"]})
+            for c in extra:
+                out[c] = pdf[c].to_numpy()
+            out["checksum"] = np.array(sums, dtype=np.int64)
+            yield out
+
+    return images.select("image_id", "bytes", "fmt", *extra).mapInPandas(
+        run, schema=schema)
+
+
 def phash_near_dups(images: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Near-dup image pairs by phash hamming distance, blocked on 16-bit
     phash chunks (pigeonhole: hamming<=4 over 64 bits shares a chunk only

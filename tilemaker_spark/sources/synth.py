@@ -199,6 +199,45 @@ def images_df(spark: SparkSession, n: int, with_bytes: bool = True,
     )
 
 
+def gradient_images_df(spark: SparkSession, n: int,
+                       partitions: int | None = None) -> DataFrame:
+    """Closed-form-pixel image table (image_id, bytes, w, h, fmt='png'):
+    ``px[y, x, c] = (7x + 13y + 29c + 31k) % 256`` (kernels/png.
+    gradient_pixels), PNG-encoded so the bytes round-trip losslessly.
+
+    The point of a second synthetic image table: every pixel is a pure
+    integer formula, so decode -> resize/flip/rotate -> checksum chains
+    can be verified against an exact-integer DuckDB twin (images_df's
+    PCG64 pixels can only be verified in-python).  Sizes vary per row
+    (w in 8..24, h in 8..26) so geometry transforms see non-square,
+    non-constant shapes."""
+    rng = spark.range(n, numPartitions=partitions)
+    k = F.col("id")
+    w = (F.lit(8) + (k % F.lit(5)) * F.lit(4)).cast("int")
+    h = (F.lit(8) + ((k + F.lit(2)) % F.lit(4)) * F.lit(6)).cast("int")
+    df = rng.select(
+        F.format_string("grad_%09d", k).alias("image_id"),
+        k.alias("_k"), w.alias("w"), h.alias("h"),
+        F.lit("png").alias("fmt"),
+    ).withColumn(
+        "bytes", _encode_gradient_udf(F.col("_k"), F.col("w"), F.col("h"))
+    )
+    return df.select("image_id", "bytes", "w", "h", "fmt")
+
+
+def _encode_gradient_udf(k: Column, w: Column, h: Column) -> Column:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def enc(ks: pd.Series, ws: pd.Series, hs: pd.Series) -> pd.Series:
+        from ..kernels import png as P
+        return pd.Series([
+            P.encode_png(P.gradient_pixels(int(kk), int(ww), int(hh)))
+            for kk, ww, hh in zip(ks, ws, hs)])
+
+    return enc(k, w, h)
+
+
 def _encode_image_udf(k: Column, w: Column, h: Column, fmt: Column) -> Column:
     from pyspark.sql.functions import pandas_udf
 
