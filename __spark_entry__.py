@@ -1254,6 +1254,49 @@ FROM px GROUP BY k, op
 """
 
 
+def q_patchify_check(spark, sf_dir):
+    """ViT-style patch-grid extraction verified end to end: decode ->
+    split into non-overlapping 8x8 patches (edge remainders dropped) ->
+    re-encode each patch as PNG -> decode -> position-weighted
+    exact-integer checksum (operators/images.patchify_images +
+    pixel_checksum).  200 closed-form images expand to ~800 patches;
+    the oracle recomputes every patch pixel analytically
+    (global coords gx*8+j / gy*8+i into the gradient formula), so a
+    fault in the grid split, the strided reshape, the edge-drop rule,
+    or the codec round-trip breaks the hash.  Map-only: zero
+    shuffles."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.gradient_images_df(spark, 200, partitions=16)
+    patches = image_ops.patchify_images(img, patch=8)
+    return image_ops.pixel_checksum(
+        patches, passthrough=("py", "px", "w", "h"))
+
+
+def sql_patchify_check():
+    # analytic twin: patch (py,px) pixel (i,j,c) sits at global
+    # (gx*8+j, gy*8+i); weight = patch-local flat index + 1 (i*24+j*3+c+1)
+    return """
+WITH imgs AS (SELECT unnest(generate_series(0, 199)) AS k),
+dims AS (SELECT k, 8 + (k % 5) * 4 AS w, 8 + ((k + 2) % 4) * 6 AS h
+         FROM imgs),
+gy AS (SELECT unnest(generate_series(0, 2)) AS py),
+gx AS (SELECT unnest(generate_series(0, 2)) AS px),
+gi AS (SELECT unnest(generate_series(0, 7)) AS i),
+gj AS (SELECT unnest(generate_series(0, 7)) AS j),
+gc AS (SELECT unnest(generate_series(0, 2)) AS c),
+cells AS (
+  SELECT d.k, gy.py, gx.px, gi.i, gj.j, gc.c,
+         ((gx.px * 8 + gj.j) * 7 + (gy.py * 8 + gi.i) * 13
+          + gc.c * 29 + d.k * 31) % 256 AS v
+  FROM dims d, gy, gx, gi, gj, gc
+  WHERE gy.py < d.h // 8 AND gx.px < d.w // 8
+)
+SELECT printf('grad_%09d', k) AS image_id, py, px, 8 AS w, 8 AS h,
+       CAST(sum(v * (i * 24 + j * 3 + c + 1)) AS BIGINT) AS checksum
+FROM cells GROUP BY k, py, px
+"""
+
+
 def q_phash_clusters(spark, sf_dir):
     """Image near-dup CLUSTERS end-to-end: perceptual-hash pair
     generation (operators/images.phash_near_dups — 16-bit chunk
@@ -2096,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality": q_image_quality,
         "resize_check": q_resize_check,
         "augment_check": q_augment_check,
+        "patchify_check": q_patchify_check,
         "caption_check": q_caption_check,
         "sessionize": q_sessionize,
         "hash_split": q_hash_split,
@@ -2158,6 +2202,7 @@ def oracle_sql() -> dict[str, str]:
         "image_quality": sql_image_quality(),
         "resize_check": sql_resize_check(),
         "augment_check": sql_augment_check(),
+        "patchify_check": sql_patchify_check(),
         "caption_check": sql_caption_check(),
         "sessionize": sql_sessionize(),
         "hash_split": sql_hash_split(),

@@ -79,6 +79,7 @@ BUDGETS = {
     # stages, map-only (zero shuffles) by construction
     "resize_check": (0, 0, 3),
     "augment_check": (0, 0, 3),
+    "patchify_check": (0, 0, 3),
 }
 
 

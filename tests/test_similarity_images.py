@@ -378,3 +378,22 @@ def test_resize_then_checksum_matches_numpy(spark):
         small = ref[yi][:, xi].astype(np.int64)
         wts = np.arange(small.size, dtype=np.int64).reshape(small.shape) + 1
         assert got[f"grad_{k:09d}"] == (12, 10, int((small * wts).sum()))
+
+
+def test_patchify_matches_numpy(spark):
+    img = synth.gradient_images_df(spark, 6, partitions=1)
+    rows = images.patchify_images(img, patch=8).collect()
+    by_key = {(r["image_id"], r["py"], r["px"]): r for r in rows}
+    total = 0
+    for k in range(6):
+        w, h = 8 + (k % 5) * 4, 8 + ((k + 2) % 4) * 6
+        ref = png.gradient_pixels(k, w, h)
+        ny, nx = h // 8, w // 8
+        total += ny * nx
+        for gy in range(ny):
+            for gx in range(nx):
+                r = by_key[(f"grad_{k:09d}", gy, gx)]
+                got = png.decode_image(bytes(r["bytes"]), "png")
+                want = ref[gy * 8:(gy + 1) * 8, gx * 8:(gx + 1) * 8]
+                assert np.array_equal(got, want), (k, gy, gx)
+    assert len(rows) == total

@@ -269,6 +269,49 @@ def augment_images(images: DataFrame,
         run, schema=schema)
 
 
+def patchify_images(images: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style non-overlapping patch grid (Dosovitskiy et al. 2021):
+    each image splits into ``floor(h/patch) x floor(w/patch)`` square
+    patches (edge remainders dropped, the standard behavior for
+    non-divisible inputs); one output row per patch, re-encoded as PNG.
+
+    Map-only at any scale — each input row expands to its patch count
+    inside the same Arrow batch, no shuffle.  The numpy reshape does
+    the grid split in one strided view (no per-patch slicing loop over
+    pixels).  Output: image_id, py, px (patch grid coords), bytes,
+    w, h, fmt='png'."""
+    schema = ("image_id string, py int, px int, bytes binary,"
+              " w int, h int, fmt string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pys, pxs, blobs = [], [], [], []
+            for img_id, blob, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                im = P.decode_image(bytes(blob), fmt)
+                h, w = im.shape[:2]
+                ny, nx = h // patch, w // patch
+                if ny == 0 or nx == 0:
+                    continue
+                grid = (im[:ny * patch, :nx * patch]
+                        .reshape(ny, patch, nx, patch, 3)
+                        .transpose(0, 2, 1, 3, 4))  # (ny, nx, p, p, 3)
+                for gy in range(ny):
+                    for gx in range(nx):
+                        ids.append(img_id)
+                        pys.append(gy)
+                        pxs.append(gx)
+                        blobs.append(P.encode_png(
+                            np.ascontiguousarray(grid[gy, gx])))
+            n = len(ids)
+            yield pd.DataFrame({
+                "image_id": ids, "py": pys, "px": pxs, "bytes": blobs,
+                "w": [patch] * n, "h": [patch] * n, "fmt": ["png"] * n})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=schema)
+
+
 def pixel_checksum(images: DataFrame,
                    passthrough: tuple = ("w", "h")) -> DataFrame:
     """Position-weighted exact-integer pixel checksum:
