@@ -1297,6 +1297,135 @@ FROM cells GROUP BY k, py, px
 """
 
 
+def q_channel_stats(spark, sf_dir):
+    """Per-channel corpus normalization constants as EXACT integers
+    (operators/images.channel_stats): decode 500 closed-form images,
+    fold n_px / sum / sum_sq per channel inside each Arrow batch (3
+    rows out per batch regardless of batch size), one tiny groupBy(c)
+    — the shuffle a 10^12-image run would still do in a few thousand
+    rows.  The oracle re-derives every pixel from the gradient formula
+    and aggregates in SQL, so encoder, decoder, and the per-channel
+    fold all gate the hash."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.gradient_images_df(spark, 500, partitions=16)
+    return image_ops.channel_stats(img)
+
+
+def sql_channel_stats():
+    # analytic twin: channel sums of v = (7j + 13i + 29c + 31k) % 256
+    # over each image's own (h, w) extent
+    return """
+WITH imgs AS (SELECT unnest(generate_series(0, 499)) AS k),
+dims AS (SELECT k, 8 + (k % 5) * 4 AS w, 8 + ((k + 2) % 4) * 6 AS h
+         FROM imgs),
+gi AS (SELECT unnest(generate_series(0, 25)) AS i),
+gj AS (SELECT unnest(generate_series(0, 23)) AS j),
+gc AS (SELECT unnest(generate_series(0, 2)) AS c),
+px AS (
+  SELECT gc.c, (gj.j * 7 + gi.i * 13 + gc.c * 29 + d.k * 31) % 256 AS v
+  FROM dims d, gi, gj, gc
+  WHERE gi.i < d.h AND gj.j < d.w
+)
+SELECT CAST(c AS int) AS c, CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq
+FROM px GROUP BY c
+"""
+
+
+def q_mixup_check(spark, sf_dir):
+    """Mixup augmentation verified end to end (operators/images.
+    mixup_images): pair image k with image k+20 (same dims — the size
+    formulas have period 20), join the image table twice, blend with
+    exact integer weights out = (64·a + 192·b + 128) >> 8, re-encode
+    PNG, checksum.  The oracle evaluates the same integer blend of the
+    two gradient formulas analytically, so the joins, the blend
+    arithmetic, and the codec round-trip all gate the hash.  Plan: two
+    AQE-brokered equi-joins + map-only Arrow stages."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.gradient_images_df(spark, 400, partitions=16)
+    pairs = spark.range(380).select(
+        F.format_string("grad_%09d", F.col("id")).alias("id_a"),
+        F.format_string("grad_%09d", F.col("id") + 20).alias("id_b"))
+    mixed = image_ops.mixup_images(img, pairs, lam_256=64)
+    return image_ops.pixel_checksum(
+        mixed.withColumnRenamed("id_a", "image_id"),
+        passthrough=("id_b", "w", "h"))
+
+
+def sql_mixup_check():
+    # analytic twin: v = (64*va + 192*vb + 128) >> 8 with va, vb the
+    # gradient formulas of seeds k and k+20 (identical dims by period)
+    return """
+WITH ks AS (SELECT unnest(generate_series(0, 379)) AS k),
+dims AS (SELECT k, 8 + (k % 5) * 4 AS w, 8 + ((k + 2) % 4) * 6 AS h
+         FROM ks),
+gi AS (SELECT unnest(generate_series(0, 25)) AS i),
+gj AS (SELECT unnest(generate_series(0, 23)) AS j),
+gc AS (SELECT unnest(generate_series(0, 2)) AS c),
+px AS (
+  SELECT d.k, d.w, d.h, gi.i, gj.j, gc.c,
+         (64 * ((gj.j * 7 + gi.i * 13 + gc.c * 29 + d.k * 31) % 256)
+          + 192 * ((gj.j * 7 + gi.i * 13 + gc.c * 29
+                    + (d.k + 20) * 31) % 256) + 128) // 256 AS v
+  FROM dims d, gi, gj, gc
+  WHERE gi.i < d.h AND gj.j < d.w
+)
+SELECT printf('grad_%09d', k) AS image_id,
+       printf('grad_%09d', k + 20) AS id_b,
+       CAST(max(w) AS int) AS w, CAST(max(h) AS int) AS h,
+       CAST(sum(v * (i * w * 3 + j * 3 + c + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY k, w, h
+"""
+
+
+def q_shard_roundtrip(spark, sf_dir):
+    """WebDataset-style tar-shard sink + source round trip
+    (sinks/shards.write_shards + read_shards): 300 closed-form
+    image+caption samples -> 8 deterministic tar shards (members
+    sorted, tar metadata pinned, tmp+rename atomic writes) -> streamed
+    back -> caption + position-weighted pixel checksum.  The oracle
+    regenerates both analytically, so the shard writer, the tar codec
+    round trip, and the reader's member pairing all gate the hash.
+    Shard assignment here is k % 8 (SQL-expressible on purpose; the
+    sink's default is xxhash64 for production skew-freedom)."""
+    import shutil
+    from tilemaker_spark.operators import images as image_ops
+    from tilemaker_spark.sinks import shards
+
+    out_dir = "/tmp/spark_graft_shards_oracle"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    k = F.substring(F.col("image_id"), 6, 9).cast("long")
+    img = synth.gradient_images_df(spark, 300, partitions=16).withColumn(
+        "caption",
+        F.format_string("gradient number %d", k))
+    shards.write_shards(img, out_dir, n_shards=8,
+                        shard_id=F.pmod(k, F.lit(8)))
+    back = shards.read_shards(spark, out_dir, partitions=8)
+    return image_ops.pixel_checksum(back, passthrough=("caption",))
+
+
+def sql_shard_roundtrip():
+    return """
+WITH imgs AS (SELECT unnest(generate_series(0, 299)) AS k),
+dims AS (SELECT k, 8 + (k % 5) * 4 AS w, 8 + ((k + 2) % 4) * 6 AS h
+         FROM imgs),
+gi AS (SELECT unnest(generate_series(0, 25)) AS i),
+gj AS (SELECT unnest(generate_series(0, 23)) AS j),
+gc AS (SELECT unnest(generate_series(0, 2)) AS c),
+px AS (
+  SELECT d.k, d.w, d.h, gi.i, gj.j, gc.c,
+         (gj.j * 7 + gi.i * 13 + gc.c * 29 + d.k * 31) % 256 AS v
+  FROM dims d, gi, gj, gc
+  WHERE gi.i < d.h AND gj.j < d.w
+)
+SELECT printf('grad_%09d', k) AS image_id,
+       'gradient number ' || k AS caption,
+       CAST(sum(v * (i * w * 3 + j * 3 + c + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY k, w, h
+"""
+
+
 def q_phash_clusters(spark, sf_dir):
     """Image near-dup CLUSTERS end-to-end: perceptual-hash pair
     generation (operators/images.phash_near_dups — 16-bit chunk
@@ -2140,6 +2269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_check": q_resize_check,
         "augment_check": q_augment_check,
         "patchify_check": q_patchify_check,
+        "channel_stats": q_channel_stats,
+        "mixup_check": q_mixup_check,
+        "shard_roundtrip": q_shard_roundtrip,
         "caption_check": q_caption_check,
         "sessionize": q_sessionize,
         "hash_split": q_hash_split,
@@ -2203,6 +2335,9 @@ def oracle_sql() -> dict[str, str]:
         "resize_check": sql_resize_check(),
         "augment_check": sql_augment_check(),
         "patchify_check": sql_patchify_check(),
+        "channel_stats": sql_channel_stats(),
+        "mixup_check": sql_mixup_check(),
+        "shard_roundtrip": sql_shard_roundtrip(),
         "caption_check": sql_caption_check(),
         "sessionize": sql_sessionize(),
         "hash_split": sql_hash_split(),

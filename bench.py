@@ -44,6 +44,7 @@ def main():
         "phash_clusters", "sessionize", "hash_split", "bpe_tokens",
         "repetition", "bpe_pairs", "substring_dups",
         "ann_topk", "ann_ivf",
+        "channel_stats", "mixup_check", "shard_roundtrip",
         "cover_large", "poly_union",
         "area_intersect",
         "rel_members", "pip_line", "covered_by", "line_clip",

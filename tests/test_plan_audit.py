@@ -80,6 +80,17 @@ BUDGETS = {
     "resize_check": (0, 0, 3),
     "augment_check": (0, 0, 3),
     "patchify_check": (0, 0, 3),
+    # round-5 training-corpus additions: channel_stats folds per-batch
+    # partials in Arrow (encode + fold = 2 nodes) and shuffles only the
+    # 3-rows-per-partition partials (1 exchange); mixup joins the image
+    # table twice — both sides broadcast at test scale (AQE would pick
+    # shuffle-hash at 100 TB), 4 Arrow nodes (2 encodes + blend +
+    # checksum), zero shuffles; shard_roundtrip audits the read side
+    # (the sink runs eagerly): repartition over shards + untar +
+    # checksum = 1 exchange, 2 Arrow nodes
+    "channel_stats": (1, 0, 2),
+    "mixup_check": (0, 2, 4),
+    "shard_roundtrip": (1, 0, 2),
 }
 
 

@@ -397,3 +397,44 @@ def test_patchify_matches_numpy(spark):
                 want = ref[gy * 8:(gy + 1) * 8, gx * 8:(gx + 1) * 8]
                 assert np.array_equal(got, want), (k, gy, gx)
     assert len(rows) == total
+
+
+def test_channel_stats_matches_numpy(spark):
+    img = synth.gradient_images_df(spark, 12, partitions=3)
+    got = {r["c"]: (r["n_px"], r["sum_v"], r["sum_sq"])
+           for r in images.channel_stats(img).collect()}
+    tot = np.zeros((3, 3), dtype=np.int64)
+    for k in range(12):
+        px = png.gradient_pixels(
+            k, 8 + (k % 5) * 4, 8 + ((k + 2) % 4) * 6).astype(np.int64)
+        tot[:, 0] += px.shape[0] * px.shape[1]
+        tot[:, 1] += px.sum(axis=(0, 1))
+        tot[:, 2] += (px * px).sum(axis=(0, 1))
+    for c in range(3):
+        assert got[c] == tuple(tot[c]), c
+
+
+def test_mixup_matches_numpy(spark):
+    img = synth.gradient_images_df(spark, 40, partitions=2)
+    pairs = spark.range(20).select(
+        F.format_string("grad_%09d", F.col("id")).alias("id_a"),
+        F.format_string("grad_%09d", F.col("id") + 20).alias("id_b"))
+    rows = images.mixup_images(img, pairs, lam_256=64).collect()
+    assert len(rows) == 20
+    for r in rows:
+        k = int(r["id_a"].rsplit("_", 1)[-1])
+        w, h = 8 + (k % 5) * 4, 8 + ((k + 2) % 4) * 6
+        pa = png.gradient_pixels(k, w, h).astype(np.int64)
+        pb = png.gradient_pixels(k + 20, w, h).astype(np.int64)
+        want = ((64 * pa + 192 * pb + 128) >> 8).astype(np.uint8)
+        got = png.decode_image(bytes(r["bytes"]), "png")
+        assert (r["h"], r["w"]) == want.shape[:2]
+        assert np.array_equal(got, want), k
+
+
+def test_mixup_rejects_dim_mismatch(spark):
+    img = synth.gradient_images_df(spark, 3, partitions=1)
+    pairs = spark.createDataFrame(
+        [("grad_000000000", "grad_000000001")], ["id_a", "id_b"])
+    with pytest.raises(Exception, match="dims differ"):
+        images.mixup_images(img, pairs).collect()

@@ -346,6 +346,88 @@ def pixel_checksum(images: DataFrame,
         run, schema=schema)
 
 
+def channel_stats(images: DataFrame) -> DataFrame:
+    """Per-channel corpus normalization statistics — the mean/std
+    constants a training pipeline bakes into its preprocessing — as
+    EXACT integers: ``n_px``, ``sum_v``, ``sum_sq`` per channel (the
+    caller derives mean = sum_v/n_px and var = sum_sq/n_px - mean²
+    in whatever precision it wants; the engine never rounds).
+
+    Scale shape: partial sums are folded inside each Arrow batch (every
+    batch emits exactly 3 rows no matter how many images it holds), so
+    the one ``groupBy(c)`` shuffle moves O(partitions·3) rows — at
+    10^12 images the shuffle is still a few thousand rows."""
+    schema = "c int, n_px bigint, sum_v bigint, sum_sq bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tot = np.zeros((3, 3), dtype=np.int64)  # per c: n, sum, sumsq
+            for blob, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = P.decode_image(bytes(blob), fmt).astype(np.int64)
+                tot[:, 0] += px.shape[0] * px.shape[1]
+                tot[:, 1] += px.sum(axis=(0, 1))
+                tot[:, 2] += (px * px).sum(axis=(0, 1))
+            yield pd.DataFrame({
+                "c": np.arange(3, dtype=np.int32), "n_px": tot[:, 0],
+                "sum_v": tot[:, 1], "sum_sq": tot[:, 2]})
+
+    partials = images.select("bytes", "fmt").mapInPandas(run, schema=schema)
+    return partials.groupBy("c").agg(
+        F.sum("n_px").alias("n_px"),
+        F.sum("sum_v").alias("sum_v"),
+        F.sum("sum_sq").alias("sum_sq"))
+
+
+def mixup_images(images: DataFrame, pairs: DataFrame,
+                 lam_256: int = 64) -> DataFrame:
+    """Mixup augmentation (Zhang et al. 2018) with exact integer
+    arithmetic: for each (id_a, id_b) pair, blend the decoded pixels as
+    ``out = (lam·a + (256-lam)·b + 128) >> 8`` (lam in /256 units so the
+    blend is reproducible bit-for-bit across engines) and re-encode as
+    PNG.  Both images must share dims — mismatched pairs raise rather
+    than silently resize (a training pipeline pairs within a
+    size-bucket; silent coercion would corrupt the mix).
+
+    Scale shape: two equi-joins against the image table (Catalyst/AQE
+    picks broadcast when the pair list is small, shuffle-hash when it
+    isn't — the pair table and image table both partition cleanly on
+    id), then one map-only Arrow stage doing the real codec work.
+    Output: id_a, id_b, bytes, w, h, fmt='png'."""
+    if not 0 <= lam_256 <= 256:
+        raise ValueError(f"lam_256 out of range: {lam_256}")
+    a = images.select(F.col("image_id").alias("id_a"),
+                      F.col("bytes").alias("bytes_a"),
+                      F.col("fmt").alias("fmt_a"))
+    b = images.select(F.col("image_id").alias("id_b"),
+                      F.col("bytes").alias("bytes_b"),
+                      F.col("fmt").alias("fmt_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    schema = ("id_a string, id_b string, bytes binary, w int, h int,"
+              " fmt string")
+    lam = int(lam_256)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, ws, hs = [], [], []
+            for ba, fa, bb, fb in zip(pdf["bytes_a"], pdf["fmt_a"],
+                                      pdf["bytes_b"], pdf["fmt_b"]):
+                pa = P.decode_image(bytes(ba), fa).astype(np.int64)
+                pb = P.decode_image(bytes(bb), fb).astype(np.int64)
+                if pa.shape != pb.shape:
+                    raise ValueError(
+                        f"mixup pair dims differ: {pa.shape} vs {pb.shape}")
+                out = ((lam * pa + (256 - lam) * pb + 128) >> 8
+                       ).astype(np.uint8)
+                blobs.append(P.encode_png(out))
+                hs.append(out.shape[0])
+                ws.append(out.shape[1])
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"], "id_b": pdf["id_b"], "bytes": blobs,
+                "w": ws, "h": hs, "fmt": ["png"] * len(blobs)})
+
+    return joined.mapInPandas(run, schema=schema)
+
+
 def phash_near_dups(images: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Near-dup image pairs by phash hamming distance, blocked on 16-bit
     phash chunks (pigeonhole: hamming<=4 over 64 bits shares a chunk only

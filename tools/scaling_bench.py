@@ -445,6 +445,16 @@ def focused_main():
         raw = (lv[n4]["images_per_sec"] / lv[n]["images_per_sec"]) / 4.0
         ceil = (lv[n4]["kernel_mean"] / lv[n]["kernel_mean"]) / 4.0
         normed = raw / ceil if ceil > 0 else None
+        # "clean window": the pass criterion held while the host itself
+        # was stable (kernel sandwich drifted <=10% at BOTH levels) and
+        # delivering near-4x bare capacity (ceiling within 0.8..1.25) —
+        # i.e. the raw number is not an artifact of a suppressed or
+        # inflated level, which is the caveat the round-4/5 attempts
+        # carried
+        passed = raw >= TARGET_RAW or (normed or 0.0) >= TARGET_NORM
+        clean = (passed
+                 and all(r["kernel_drift_pct"] <= 10.0 for r in lv.values())
+                 and 0.8 <= ceil <= 1.25)
         a = {
             "attempt": att, "order": list(order),
             "levels": {str(c): {
@@ -459,13 +469,17 @@ def focused_main():
             "raw_efficiency": round(raw, 3),
             "kernel_ceiling": round(ceil, 3),
             "normalized": round(normed, 3) if normed else None,
-            "pass": raw >= TARGET_RAW or (normed or 0.0) >= TARGET_NORM,
+            "pass": passed,
+            "clean_window": clean,
         }
         attempts.append(a)
         print(f"# attempt {att}: raw {raw:.3f}, ceiling {ceil:.3f}, "
               f"normalized {normed:.3f} -> "
-              f"{'PASS' if a['pass'] else 'FAIL'}", file=sys.stderr)
-        if a["pass"]:
+              f"{'PASS' if a['pass'] else 'FAIL'}"
+              f"{' (clean window)' if clean else ''}", file=sys.stderr)
+        require_clean = os.environ.get(
+            "SPARK_GRAFT_SCALE_REQUIRE_CLEAN", "") == "1"
+        if clean or (a["pass"] and not require_clean):
             break
         if att + 1 < max_attempts:
             print(f"# retrying in {retry_sleep:.0f}s (next host window)...",
@@ -474,7 +488,8 @@ def focused_main():
 
     CONF.cleanup()
     best = max(attempts,
-               key=lambda a: (a["pass"], a["normalized"] or 0.0,
+               key=lambda a: (a.get("clean_window", False), a["pass"],
+                              a["normalized"] or 0.0,
                               a["raw_efficiency"]))
     result = {
         "mode": "focused-sandwich", "pair": f"{n}->{n4}",
@@ -486,6 +501,7 @@ def focused_main():
         "target_raw": TARGET_RAW,
         "target_normalized_same_window": TARGET_NORM,
         "pass": best["pass"],
+        "clean_window": best.get("clean_window", False),
     }
 
     rows = []
@@ -502,7 +518,8 @@ def focused_main():
             f"**{a['raw_efficiency']:.3f}** | ceiling "
             f"{a['kernel_ceiling']:.3f} | normalized "
             f"**{a['normalized']:.3f}** -> "
-            f"{'**PASS**' if a['pass'] else 'FAIL'} |")
+            f"{'**PASS**' if a['pass'] else 'FAIL'}"
+            f"{' (clean window)' if a.get('clean_window') else ''} |")
     md = f"""
 
 ## Round-5 addendum: focused sandwich protocol, {n}->{n4} (auto-retry)
