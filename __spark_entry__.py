@@ -596,6 +596,49 @@ def q_fingerprint(spark, sf_dir):
         "doc_id", "fp")
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-document distinctive terms (operators/text.tfidf_top_terms):
+    the inverted-index tf/df aggregation pair + per-doc top-3 window,
+    with an integer-exact smoothed idf (scaled reciprocal instead of
+    log) so the ranking hashes identically cross-engine.  Three
+    shuffles total: (doc,term) tf agg, term df agg, per-doc window —
+    the same plan an index build runs at any corpus size."""
+    return text_ops.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+def q_retrieval_eval(spark, sf_dir):
+    """Embedding retrieval eval (operators/similarity.label_recall_at_k):
+    exact cosine top-5 for the first 50 vectors, then the best rank at
+    which a same-label neighbor appears (null = miss) — the per-query
+    recall@k table every embedding model card aggregates.  Query side
+    broadcast, corpus streamed once, label lookups join the tiny top-k
+    result."""
+    return sim_ops.label_recall_at_k(
+        _t(spark, sf_dir, "embeddings"), k=5, n_queries=50)
+
+
+def sql_retrieval_eval():
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+           FROM embeddings WHERE vec_id < 50),
+d AS (
+  SELECT q.query_id, q.q_label, e.vec_id AS cand_id, e.label AS c_label,
+         list_cosine_similarity(CAST(q.qv AS double[]),
+                                CAST(e.embedding AS double[])) AS sim
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, q_label, c_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, cand_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, CAST(q_label AS int) AS label,
+       CAST(min(CASE WHEN c_label = q_label THEN rank END) AS int)
+         AS hit_rank
+FROM r WHERE rank <= 5 GROUP BY query_id, q_label
+"""
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style within-document repetition filters
     (operators/text.repetition_metrics): duplicate token / 2-gram /
@@ -2244,6 +2287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "bpe_tokens": q_bpe_tokens,
         "fingerprint": q_fingerprint,
+        "tfidf_terms": q_tfidf_terms,
+        "retrieval_eval": q_retrieval_eval,
         "repetition": q_repetition,
         "bpe_pairs": q_bpe_pairs,
         "substring_dups": q_substring_dups,
@@ -2312,6 +2357,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_dups":
             substrings_ops.substring_dup_pairs_oracle_sql(length=20),
         "fingerprint": sql_fingerprint(),
+        "tfidf_terms": text_ops.tfidf_top_terms_oracle_sql(),
+        "retrieval_eval": sql_retrieval_eval(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "jaccard_prefix": sql_ngram_jaccard(threshold=0.7),
         "dedup_clusters": sql_dedup_clusters(),

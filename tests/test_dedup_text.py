@@ -243,3 +243,42 @@ def test_prefix_join_random_corpus(spark):
                 df, "text", "doc_id", block_col=block,
                 threshold=t).collect()))
             assert got == want, (block, t, len(want), len(got))
+
+
+def test_tfidf_top_terms_matches_python(spark):
+    """Integer-exact tf-idf vs a pure-python reference over a planted
+    corpus: exact scores, exact ranking, exact tie-breaks."""
+    import collections
+    rows = [
+        (0, "apple apple banana cherry"),
+        (1, "banana banana banana date"),
+        (2, "apple cherry cherry cherry date date"),
+        (3, "egg egg egg egg"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["rank"], r["term"], r["score"])
+           for r in text.tfidf_top_terms(df, top_k=2).collect()]
+
+    n = len(rows)
+    tf = {d: collections.Counter(t.split()) for d, t in rows}
+    dfreq = collections.Counter(
+        term for c in tf.values() for term in c)
+    want = []
+    for d, c in tf.items():
+        scored = sorted(
+            ((cnt * ((1_000_000 * (n + 1)) // (dfreq[t] + 1)), t)
+             for t, cnt in c.items()),
+            key=lambda p: (-p[0], p[1]))
+        for rank, (score, t) in enumerate(scored[:2], start=1):
+            want.append((d, rank, t, score))
+    assert sorted(got) == sorted(want)
+
+
+def test_tfidf_rare_term_beats_common(spark):
+    """A document's unique term must outrank a corpus-wide stopword-ish
+    term with equal tf (the property the idf exists for)."""
+    rows = [(i, f"common uniq{i} common") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top1 = {r["doc_id"]: r["term"]
+            for r in text.tfidf_top_terms(df, top_k=1).collect()}
+    assert top1 == {i: f"uniq{i}" for i in range(6)}

@@ -438,3 +438,32 @@ def test_mixup_rejects_dim_mismatch(spark):
         [("grad_000000000", "grad_000000001")], ["id_a", "id_b"])
     with pytest.raises(Exception, match="dims differ"):
         images.mixup_images(img, pairs).collect()
+
+
+def test_label_recall_matches_numpy(spark, sf_dir):
+    """label_recall_at_k vs a numpy brute-force reference on the real
+    embeddings table: identical hit ranks (incl. nulls) per query."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r["query_id"]: (r["label"], r["hit_rank"])
+           for r in similarity.label_recall_at_k(
+               emb, k=5, n_queries=20).collect()}
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, labels, mat = ids[order], labels[order], mat[order]
+    assert len(got) == 20
+    for qi in range(20):
+        sims = mat @ mat[qi]
+        cand = [(float(-sims[j]), int(ids[j])) for j in range(len(ids))
+                if ids[j] != qi]
+        cand.sort()
+        hit = None
+        for rank, (_, cid) in enumerate(cand[:5], start=1):
+            if labels[cid] == labels[qi]:
+                hit = rank
+                break
+        assert got[qi] == (int(labels[qi]), hit), qi

@@ -68,6 +68,42 @@ def cosine_topk_bruteforce(
     )
 
 
+def label_recall_at_k(embeddings: DataFrame, k: int = 5,
+                      n_queries: int = 50, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      label_col: str = "label") -> DataFrame:
+    """Embedding-quality retrieval eval (the recall@k every embedding
+    model card reports): for each of the first ``n_queries`` vectors,
+    run EXACT cosine top-k over the corpus (self excluded) and report
+    the best rank at which a candidate sharing the query's label
+    appears — ``hit_rank`` is null when no same-label neighbor is in
+    the top-k, so ``avg(hit_rank is not null)`` is recall@k and the
+    per-query rows (not just the scalar) gate the oracle hash.
+
+    Scale shape: the query side is the bounded small dim (broadcast by
+    :func:`cosine_topk_bruteforce`); the corpus streams once; the two
+    label lookups join the tiny top-k result (n_queries·k rows,
+    broadcast) against the corpus projection.  At 100 TB the eval set
+    stays thousands of queries — the corpus-side scan dominates and
+    shuffles nothing."""
+    q = embeddings.filter(F.col(id_col) < n_queries)
+    topk = cosine_topk_bruteforce(
+        q.select(F.col(id_col).alias("query_id"), vec_col),
+        embeddings.select(F.col(id_col).alias("cand_id"), vec_col),
+        k=k)
+    c_labels = embeddings.select(F.col(id_col).alias("cand_id"),
+                                 F.col(label_col).alias("c_label"))
+    q_labels = q.select(F.col(id_col).alias("query_id"),
+                        F.col(label_col).alias("q_label"))
+    hits = (F.broadcast(topk).join(c_labels, "cand_id")
+            .join(F.broadcast(q_labels), "query_id"))
+    return (hits.groupBy("query_id", "q_label")
+            .agg(F.min(F.when(F.col("c_label") == F.col("q_label"),
+                              F.col("rank"))).alias("hit_rank"))
+            .select("query_id", F.col("q_label").alias("label"),
+                    F.col("hit_rank").cast("int").alias("hit_rank")))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.standard_normal((n_planes, dim)).astype(np.float32)

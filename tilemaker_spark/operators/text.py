@@ -9,7 +9,7 @@ scoring, and document fingerprinting (md5 of normalized text).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS_EN = [
@@ -354,6 +354,85 @@ pairs AS (
 SELECT pair, CAST(sum(freq) AS BIGINT) AS n
 FROM pairs GROUP BY pair
 ORDER BY n DESC, pair ASC LIMIT {int(top_k)}
+"""
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", top_k: int = 3,
+                    idf_scale: int = 1_000_000) -> DataFrame:
+    """Per-document distinctive terms by an INTEGER-EXACT tf-idf
+    variant: ``score = tf · (idf_scale·(N+1) div (df+1))`` — the
+    classic smoothed idf with the logarithm replaced by a scaled
+    integer reciprocal, so the score (and therefore the ranking and
+    the cross-engine hash) involves no floating point anywhere.  The
+    reciprocal is order-isomorphic to ``-log`` in df, so top-k by this
+    score is top-k by smoothed tf-idf whenever tf ties don't
+    interleave — and ties break deterministically (score desc, term
+    asc) in both engines regardless.
+
+    Scale shape (the canonical inverted-index build): explode →
+    ``groupBy(doc, term)`` tf agg (map-side combine does most of the
+    work) → term document-frequency agg over the ALREADY-distinct
+    (doc, term) table (so df is a count, not a countDistinct) → join
+    the per-term idf back (a term-keyed equi-join; the term dim is
+    vocabulary-sized, millions of rows at 100 TB — Catalyst/AQE picks
+    broadcast vs shuffle-hash) → per-doc top-k window.  One extra
+    1-row ``count()`` action fetches N (the same declared scalar
+    bpe_train uses).  Output: doc_id, rank, term, score."""
+    n_docs = df.count()
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = exploded.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "term",
+        F.expr(f"CAST({int(idf_scale)} AS BIGINT) * {int(n_docs) + 1} "
+               f"div (df + 1)").alias("idf_scaled"))
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf_scaled")).alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("doc_id", "rank", "term", "score"))
+
+
+def tfidf_top_terms_oracle_sql(table: str = "documents",
+                               text_col: str = "text",
+                               id_col: str = "doc_id", top_k: int = 3,
+                               idf_scale: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` — same integer idf,
+    same tie-break."""
+    norm = f"regexp_replace(lower({text_col}), '\\s+', ' ', 'g')"
+    toks = f"string_split(trim({norm}), ' ')"
+    return f"""
+WITH n AS (SELECT count(*) AS n_docs FROM {table}),
+exploded AS (
+  SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM exploded GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term,
+         CAST({int(idf_scale)} AS BIGINT) * (n.n_docs + 1) // (count(*) + 1)
+           AS idf_scaled
+  FROM tf, n GROUP BY term, n.n_docs
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * idf.idf_scaled AS score
+  FROM tf JOIN idf USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS int) AS rank, term, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= {int(top_k)}
 """
 
 
