@@ -91,6 +91,13 @@ BUDGETS = {
     "channel_stats": (1, 0, 2),
     "mixup_check": (0, 2, 4),
     "shard_roundtrip": (1, 0, 2),
+    # round-5 text/retrieval additions: tfidf = tf agg + df agg + idf
+    # join + per-doc top-k window (4 exchanges, term dim broadcast at
+    # test scale); retrieval_eval = broadcast query side + corpus scan
+    # + top-k window + label joins on the tiny top-k result (both
+    # label lookups broadcast), zero Python nodes in either
+    "tfidf_terms": (4, 0, 0),
+    "retrieval_eval": (2, 3, 0),
 }
 
 
