@@ -42,8 +42,8 @@ def main():
         "jaccard_prefix", "minhash_pairs", "dedup_clusters",
         "corpus_dedup",
         "phash_clusters", "sessionize", "hash_split", "bpe_tokens",
-        "repetition", "bpe_pairs", "substring_dups",
-        "ann_topk", "ann_ivf",
+        "repetition", "bpe_pairs", "substring_dups", "tfidf_terms",
+        "ann_topk", "ann_ivf", "retrieval_eval",
         "channel_stats", "mixup_check", "shard_roundtrip",
         "cover_large", "poly_union",
         "area_intersect",
