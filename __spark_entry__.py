@@ -1066,6 +1066,71 @@ FROM fr
 """
 
 
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (operators/text.decontaminate —
+    Brown et al. 2020 appendix C): documents with ``doc_id % 37 == 0``
+    stand in for a held-out eval suite; every other document is
+    flagged (with a distinct-gram overlap count) if it shares any word
+    5-gram with that set.  The benchmark gram set broadcasts (eval
+    suites are tiny next to a 10^12-row corpus); the corpus side is
+    one distinct + one per-doc re-agg, never a self-join."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    corpus = d.filter(F.col("doc_id") % 37 != 0)
+    return text_ops.decontaminate(corpus, bench, n=5)
+
+
+def sql_decontam(n: int = 5):
+    toks = (r"string_split(trim(regexp_replace(lower(text), '\s+', ' ',"
+            r" 'g')), ' ')")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {n} + 1, 0)),
+           i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))))
+         AS gram
+  FROM t
+),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+ov AS (
+  SELECT g.doc_id, count(*) AS n_overlap
+  FROM g JOIN bg USING (gram)
+  WHERE g.doc_id % 37 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(ov.n_overlap, 0) AS int) AS n_overlap,
+       CAST(coalesce(ov.n_overlap, 0) > 0 AS int) AS contaminated
+FROM documents d LEFT JOIN ov USING (doc_id)
+WHERE d.doc_id % 37 <> 0
+"""
+
+
+_STRATA_FRACTIONS = {0: 0.5, 1: 0.25, 2: 0.25}
+
+
+def q_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (operators/sampling.
+    stratified_sample — the reproducible ``df.sampleBy``): keep 50% of
+    label 0, 25% of labels 1-2, 10% of the rest, where membership is a
+    pure LCG function of (vec_id, salt) — stable across runs,
+    partitionings, and engines.  Zero shuffles: a projection + filter
+    fully pushed to the scan."""
+    from tilemaker_spark.operators import sampling as sampling_ops
+    d = _t(spark, sf_dir, "embeddings")
+    return (sampling_ops.stratified_sample(
+                d, "label", "vec_id", fractions=_STRATA_FRACTIONS,
+                default=0.1)
+            .select("vec_id", F.col("label").cast("int").alias("label")))
+
+
+def sql_stratified():
+    from tilemaker_spark.operators import sampling as sampling_ops
+    return sampling_ops.stratified_sample_oracle_sql(
+        "embeddings", "label", "vec_id", _STRATA_FRACTIONS, default=0.1)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split (operators/sampling.py):
     membership is a pure function of (doc_id, salt) — stable across
@@ -2319,6 +2384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_roundtrip": q_shard_roundtrip,
         "caption_check": q_caption_check,
         "sessionize": q_sessionize,
+        "decontam": q_decontam,
+        "stratified": q_stratified,
         "hash_split": q_hash_split,
         "mixture": q_mixture,
         "zorder_layout": q_zorder_layout,
@@ -2387,6 +2454,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_roundtrip": sql_shard_roundtrip(),
         "caption_check": sql_caption_check(),
         "sessionize": sql_sessionize(),
+        "decontam": sql_decontam(),
+        "stratified": sql_stratified(),
         "hash_split": sql_hash_split(),
         "mixture": sql_mixture(),
         "zorder_layout": sql_zorder_layout(),

@@ -98,6 +98,12 @@ BUDGETS = {
     # label lookups broadcast), zero Python nodes in either
     "tfidf_terms": (4, 0, 0),
     "retrieval_eval": (2, 3, 0),
+    # decontam: benchmark gram set + overlap counts broadcast (>=2
+    # BroadcastExchanges), corpus side = distinct + per-doc re-agg +
+    # clean-doc preserving join = 3 exchanges, zero Python nodes;
+    # stratified sampling is a pure scan-pushed projection/filter
+    "decontam": (3, 2, 0),
+    "stratified": (0, 0, 0),
 }
 
 

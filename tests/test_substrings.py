@@ -146,3 +146,44 @@ def test_caption_verify_and_audit(spark):
     assert (a.n, a.n_ok, a.n_bad) == (300, 299, 1)
     flagged = I.verify_captions(bad).filter("caption_ok = 0").collect()
     assert [r.image_id for r in flagged] == ["img_000000000007"]
+
+
+# ------------------------------------------------------- decontamination
+def test_decontaminate_planted(spark):
+    """A training doc sharing an exact 5-gram with a benchmark doc is
+    flagged with the right distinct-gram count; clean docs emit a zero
+    row (not no row); short texts produce no grams."""
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "he saw the quick brown fox jumps over a fence"),   # 2 shared 5-grams
+         (2, "completely unrelated text with no overlap at all whatsoever"),
+         (3, "too short"),                                       # < 5 tokens
+         (4, "the quick brown fox jumps over the lazy dog tonight")],  # full dup
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_overlap"], r["contaminated"])
+           for r in T.decontaminate(corpus, bench, n=5).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 shares "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert out[1] == (2, 1)
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+    # doc 4 is a verbatim copy: every one of its 10-5+1=6 grams leaks
+    assert out[4] == (6, 1)
+
+
+def test_decontaminate_matches_oracle(spark, duck):
+    """Cross-engine parity on the real documents table (the driver's
+    compare, inlined)."""
+    import __spark_entry__ as E
+    df = spark.read.parquet(DOCS)
+    bench = df.filter(F.col("doc_id") % 37 == 0)
+    corpus = df.filter(F.col("doc_id") % 37 != 0)
+    got = sorted(tuple(r) for r in
+                 T.decontaminate(corpus, bench, n=5).collect())
+    want = sorted(tuple(r) for r in
+                  duck.execute(E.sql_decontam()).fetchall())
+    assert got == want
+    assert len(got) > 400
+    assert any(r[2] == 1 for r in got)  # the planted dup of a bench doc

@@ -174,3 +174,23 @@ SELECT d.{id_col}, d.{source_col}
 FROM {table} d JOIN thr USING ({source_col})
 WHERE ((({id_col} + {salt}) * {_A} + {_C}) % {_M}) % {_NB} < thr
 """
+
+
+def stratified_sample_oracle_sql(table: str, strata_col: str,
+                                 id_col: str, fractions: dict,
+                                 default: float = 0.0,
+                                 salt: int = 0) -> str:
+    """DuckDB twin of :func:`stratified_sample` for a NUMERIC id —
+    identical LCG arithmetic, identical per-stratum thresholds."""
+    cases = " ".join(
+        f"WHEN {strata_col} = {k} THEN {int(round(frac * _NB))}"
+        for k, frac in fractions.items())
+    return f"""
+WITH b AS (
+  SELECT *,
+         ((({id_col} + {salt}) * {_A} + {_C}) % {_M}) % {_NB} AS bucket
+  FROM {table}
+)
+SELECT {id_col}, CAST({strata_col} AS int) AS {strata_col} FROM b
+WHERE bucket < CASE {cases} ELSE {int(round(default * _NB))} END
+"""

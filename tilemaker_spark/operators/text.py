@@ -493,3 +493,58 @@ def bpe_train(df: DataFrame, n_merges: int = 8,
         # without this the executor storage grows without bound
         prev.rdd.unpersist(False)
     return merges
+
+
+def word_ngrams(col, n: int):
+    """Word n-grams (space-joined) over :func:`tokens` as a pure
+    Catalyst array expression; empty array for texts shorter than
+    ``n`` tokens (Spark's ``sequence`` would otherwise count DOWN for
+    a negative span and fabricate grams)."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def decontaminate(df: DataFrame, bench_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 5) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020 appendix C; Dodge
+    et al. EMNLP 2021's C4 audit): flag every training document that
+    shares ANY word ``n``-gram with a held-out benchmark/eval set, and
+    count how many distinct grams leak.  This is the hygiene pass every
+    serious LLM data pipeline runs so eval numbers aren't memorization.
+
+    Scale shape (the corpus side never self-joins): the benchmark is
+    the SMALL dim — eval suites are thousands of documents against a
+    10^12-row corpus — so its distinct gram set builds in one tiny
+    aggregation and BROADCASTS.  The corpus explodes distinct
+    (doc, gram) pairs (one shuffle with map-side partial distinct),
+    hash-joins the broadcast gram set, and re-aggregates per-doc
+    overlap counts (second shuffle, compact ``id_col`` key).  Clean
+    documents are preserved by a final left join against the corpus id
+    projection, so the output is one row per training doc regardless
+    of contamination.  Output: ``id_col``, ``n_overlap: int``,
+    ``contaminated: int`` (0/1) — integer-exact cross-engine.
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    bench_grams = (bench_df
+                   .select(F.explode(grams).alias("gram"))
+                   .distinct())
+    corpus_grams = (df
+                    .select(F.col(id_col), F.explode(grams).alias("gram"))
+                    .distinct())
+    overlap = (corpus_grams
+               .join(F.broadcast(bench_grams), "gram")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (df.select(id_col)
+            .join(overlap, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                 .cast("int").alias("n_overlap"),
+                (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0)
+                 .cast("int").alias("contaminated")))
