@@ -1107,6 +1107,57 @@ WHERE d.doc_id % 37 <> 0
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (operators/text.redact_pii): deterministic
+    synthetic emails / IPv4s are first PLANTED into a slice of the
+    corpus (identically in both engines — the synthetic testdata has
+    no organic PII), then counted and stripped to typed tags; the
+    md5 of the redacted text is emitted so the oracle hash verifies
+    the redacted BYTES, not just counts.  Map-only JVM regex inside
+    codegen — zero shuffles, zero Python at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com now")))
+             .when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" from host 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit("."),
+                            (F.col("doc_id") % 100).cast("string"),
+                            F.lit(" port 80")))
+             .otherwise(F.lit(""))).alias("text"))
+    return text_ops.redact_pii(planted)
+
+
+def sql_pii_redact():
+    from tilemaker_spark.operators.text import PII_EMAIL, PII_IPV4
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id
+                                    || '@example.com now'
+           WHEN doc_id % 7 = 0 THEN ' from host 10.0.' || (doc_id % 256)
+                                    || '.' || (doc_id % 100) || ' port 80'
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS int)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS int) AS n_ips,
+       md5(regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>',
+                                         'g'),
+                          '{PII_IPV4}', '<IP>', 'g')) AS clean_fp
+FROM planted
+"""
+
+
 _STRATA_FRACTIONS = {0: 0.5, 1: 0.25, 2: 0.25}
 
 
@@ -2385,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_check": q_caption_check,
         "sessionize": q_sessionize,
         "decontam": q_decontam,
+        "pii_redact": q_pii_redact,
         "stratified": q_stratified,
         "hash_split": q_hash_split,
         "mixture": q_mixture,
@@ -2455,6 +2507,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_check": sql_caption_check(),
         "sessionize": sql_sessionize(),
         "decontam": sql_decontam(),
+        "pii_redact": sql_pii_redact(),
         "stratified": sql_stratified(),
         "hash_split": sql_hash_split(),
         "mixture": sql_mixture(),

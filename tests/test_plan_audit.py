@@ -104,6 +104,8 @@ BUDGETS = {
     # stratified sampling is a pure scan-pushed projection/filter
     "decontam": (3, 2, 0),
     "stratified": (0, 0, 0),
+    # pii_redact is map-only JVM regex inside one codegen span
+    "pii_redact": (0, 0, 0),
 }
 
 

@@ -187,3 +187,21 @@ def test_decontaminate_matches_oracle(spark, duck):
     assert got == want
     assert len(got) > 400
     assert any(r[2] == 1 for r in got)  # the planted dup of a bench doc
+
+
+# ----------------------------------------------------------- PII redaction
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b-c@test.org or 10.1.2.3 thanks"),
+         (2, "no pii here at all"),
+         (3, "two mails x@y.io and z@w.co plus 192.168.0.1")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.redact_pii(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"]) == (1, 1)
+    assert (out[2]["n_emails"], out[2]["n_ips"]) == (0, 0)
+    assert (out[3]["n_emails"], out[3]["n_ips"]) == (2, 1)
+    # the fingerprint is of the REDACTED bytes: recompute one by hand
+    import hashlib
+    want = hashlib.md5(
+        b"mail me at <EMAIL> or <IP> thanks").hexdigest()
+    assert out[1]["clean_fp"] == want

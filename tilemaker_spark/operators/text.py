@@ -548,3 +548,36 @@ def decontaminate(df: DataFrame, bench_df: DataFrame,
                  .cast("int").alias("n_overlap"),
                 (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0)
                  .cast("int").alias("contaminated")))
+
+
+# PII patterns deliberately restricted to the regex subset whose
+# semantics are IDENTICAL in Java regex (Spark, executor-side codegen)
+# and RE2 (DuckDB oracle): character classes spelled [0-9] (never \d),
+# no word boundaries, no backrefs, no lookaround.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing (the redaction pass every public-web training
+    pipeline runs before tokenization — cf. the C4/Gopher/RefinedWeb
+    cleaning stages): count and strip email addresses and IPv4
+    literals, replacing them with typed placeholder tags so downstream
+    span offsets stay meaningful.
+
+    Scale shape: map-only JVM ``regexp_count``/``regexp_replace``
+    inside whole-stage codegen — ZERO shuffles and zero Python at any
+    corpus size; order of the two rewrites is fixed (emails first) so
+    the output bytes are deterministic.  Output: ``id_col``,
+    ``n_emails: int``, ``n_ips: int``, ``clean_fp`` (md5 of the
+    redacted text — the oracle hash therefore verifies the REDACTED
+    BYTES, not just the counts)."""
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_IPV4)).cast("int").alias("n_ips"),
+        F.md5(redacted).alias("clean_fp"))
