@@ -1413,6 +1413,51 @@ FROM px GROUP BY k, op
 """
 
 
+def q_grayscale_check(spark, sf_dir):
+    """Integer-exact BT.601 grayscale verified end to end: decode ->
+    fixed-point luma ((77R+150G+29B+128)>>8, weights summing to 256,
+    no float anywhere) -> re-encode PNG -> decode -> position-weighted
+    exact-integer checksum (operators/images.to_grayscale +
+    pixel_checksum).  The oracle recomputes every luma value from the
+    closed-form gradient pixel formula, so a fault in the channel
+    weights, the rounding, the channel replication, or the codec
+    round-trip breaks the hash.  Map-only: zero shuffles."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.gradient_images_df(spark, 300, partitions=16)
+    return image_ops.pixel_checksum(image_ops.to_grayscale(img))
+
+
+def sql_grayscale_check():
+    # analytic twin: v_c = (j*7 + i*13 + c*29 + k*31) % 256; the luma
+    # replicates into all 3 channels, so its weight collapses to
+    # 3*(i*w*3 + j*3) + 6 per pixel
+    return """
+WITH imgs AS (SELECT unnest(generate_series(0, 299)) AS k),
+dims AS (SELECT k, 8 + (k % 5) * 4 AS w, 8 + ((k + 2) % 4) * 6 AS h
+         FROM imgs),
+gi AS (SELECT unnest(generate_series(0, 25)) AS i),
+gj AS (SELECT unnest(generate_series(0, 25)) AS j),
+px AS (
+  SELECT d.k, d.w, d.h, gi.i, gj.j,
+         (gj.j * 7 + gi.i * 13 + d.k * 31) % 256 AS v0,
+         (gj.j * 7 + gi.i * 13 + 29 + d.k * 31) % 256 AS v1,
+         (gj.j * 7 + gi.i * 13 + 58 + d.k * 31) % 256 AS v2
+  FROM dims d, gi, gj
+  WHERE gi.i < d.h AND gj.j < d.w
+),
+g AS (
+  SELECT k, w, h, i, j,
+         (77 * v0 + 150 * v1 + 29 * v2 + 128) // 256 AS gv
+  FROM px
+)
+SELECT printf('grad_%09d', k) AS image_id,
+       CAST(max(w) AS int) AS w, CAST(max(h) AS int) AS h,
+       CAST(sum(gv * (3 * (i * w * 3 + j * 3) + 6)) AS BIGINT)
+         AS checksum
+FROM g GROUP BY k
+"""
+
+
 def q_patchify_check(spark, sf_dir):
     """ViT-style patch-grid extraction verified end to end: decode ->
     split into non-overlapping 8x8 patches (edge remainders dropped) ->
@@ -2429,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality": q_image_quality,
         "resize_check": q_resize_check,
         "augment_check": q_augment_check,
+        "grayscale_check": q_grayscale_check,
         "patchify_check": q_patchify_check,
         "channel_stats": q_channel_stats,
         "mixup_check": q_mixup_check,
@@ -2500,6 +2546,7 @@ def oracle_sql() -> dict[str, str]:
         "image_quality": sql_image_quality(),
         "resize_check": sql_resize_check(),
         "augment_check": sql_augment_check(),
+        "grayscale_check": sql_grayscale_check(),
         "patchify_check": sql_patchify_check(),
         "channel_stats": sql_channel_stats(),
         "mixup_check": sql_mixup_check(),

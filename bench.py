@@ -45,7 +45,7 @@ def main():
         "repetition", "bpe_pairs", "substring_dups", "tfidf_terms",
         "decontam", "stratified", "pii_redact",
         "ann_topk", "ann_ivf", "retrieval_eval",
-        "channel_stats", "mixup_check", "shard_roundtrip",
+        "channel_stats", "mixup_check", "shard_roundtrip", "grayscale_check",
         "cover_large", "poly_union",
         "area_intersect",
         "rel_members", "pip_line", "covered_by", "line_clip",

@@ -80,6 +80,7 @@ BUDGETS = {
     "resize_check": (0, 0, 3),
     "augment_check": (0, 0, 3),
     "patchify_check": (0, 0, 3),
+    "grayscale_check": (0, 0, 3),
     # round-5 training-corpus additions: channel_stats folds per-batch
     # partials in Arrow (encode + fold = 2 nodes) and shuffles only the
     # 3-rows-per-partition partials (1 exchange); mixup joins the image

@@ -467,3 +467,26 @@ def test_label_recall_matches_numpy(spark, sf_dir):
                 hit = rank
                 break
         assert got[qi] == (int(labels[qi]), hit), qi
+
+
+def test_to_grayscale_exact(spark):
+    """BT.601 fixed-point luma is exact: a known RGB pixel maps to the
+    hand-computed value, replicated into all 3 channels, and a gray
+    input is a fixed point of the transform."""
+    import numpy as np
+    from tilemaker_spark.kernels import png as P
+    from tilemaker_spark.operators import images as image_ops
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    px[0, 0] = (255, 0, 0)      # -> (77*255+128)>>8 = 77
+    px[0, 1] = (0, 255, 0)      # -> (150*255+128)>>8 = 149
+    px[0, 2] = (0, 0, 255)      # -> (29*255+128)>>8 = 29
+    px[1, 0] = (200, 200, 200)  # gray stays 200 (weights sum to 256)
+    df = spark.createDataFrame(
+        [("a", P.encode_png(px), 3, 2, "png")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    out = image_ops.to_grayscale(df).collect()[0]
+    got = P.decode_image(bytes(out["bytes"]), "png")
+    assert tuple(got[0, 0]) == (77, 77, 77)
+    assert tuple(got[0, 1]) == (149, 149, 149)
+    assert tuple(got[0, 2]) == (29, 29, 29)
+    assert tuple(got[1, 0]) == (200, 200, 200)

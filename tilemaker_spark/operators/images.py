@@ -494,3 +494,37 @@ def caption_audit(images: DataFrame, id_col: str = "image_id",
         F.sum("caption_ok").alias("n_ok"),
         (F.count(F.lit(1)) - F.sum("caption_ok")).alias("n_bad"),
     )
+
+
+def to_grayscale(images: DataFrame) -> DataFrame:
+    """Integer-exact BT.601 grayscale conversion — the standard
+    preprocessing step before luminance-only models / pHash pipelines:
+    ``luma = (77·R + 150·G + 29·B + 128) >> 8`` (the classic /256
+    fixed-point weights, summing to exactly 256, so the result is
+    bit-reproducible cross-engine with no float rounding anywhere).
+    The luma plane is replicated into all three channels so the output
+    stays a standard RGB PNG and composes with every downstream
+    operator (pixel_checksum, patchify, augment) unchanged.
+
+    Map-only at any scale: decode -> vectorized numpy luma -> encode
+    inside the Arrow batch, zero shuffles.  Output: image_id, bytes,
+    w, h, fmt='png'."""
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs, ws, hs = [], [], []
+            for blob, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = P.decode_image(bytes(blob), fmt).astype(np.int64)
+                g = ((77 * px[..., 0] + 150 * px[..., 1]
+                      + 29 * px[..., 2] + 128) >> 8).astype(np.uint8)
+                out = np.repeat(g[:, :, None], 3, axis=2)
+                blobs.append(P.encode_png(np.ascontiguousarray(out)))
+                ws.append(out.shape[1])
+                hs.append(out.shape[0])
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"], "bytes": blobs,
+                "w": ws, "h": hs, "fmt": ["png"] * len(blobs)})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=schema)
