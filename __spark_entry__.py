@@ -105,6 +105,39 @@ FROM customer GROUP BY 1, 2
 """
 
 
+def q_quadkey(spark, sf_dir):
+    """Bing quadkey tile keys + the prefix property in one query
+    (sql/tile_exprs.quadkey): points -> z12 tiles -> 12-digit quadkey
+    strings, rolled up by their z6 PREFIX (substring, no re-projection
+    — that is the point of the encoding: ancestor keys are prefixes,
+    so pyramid rollups and tile-range scans become string-prefix
+    operations on a sorted layout).  Pure Catalyst bit math + one
+    groupBy; the oracle runs character-identical SQL."""
+    pts = _customer_points(spark, sf_dir)
+    z = 12
+    t = pts.select(
+        TE.lon2tilex(F.col("lon"), z).alias("x"),
+        TE.lat2tiley(F.col("lat"), z).alias("y"))
+    q = t.select(TE.quadkey(F.col("x"), F.col("y"), z).alias("qk"))
+    return (q.groupBy(F.substring("qk", 1, 6).alias("qk6"))
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 F.countDistinct("qk").alias("n_tiles")))
+
+
+def sql_quadkey():
+    z = 12
+    from tilemaker_spark.sql import tile_exprs as TEx
+    return f"""
+WITH pts AS (SELECT {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer),
+t AS (SELECT {TEx.lon2tilex_sql('lon', z)} AS x,
+             {TEx.lat2tiley_sql('lat', z)} AS y FROM pts),
+q AS (SELECT {TEx.quadkey_sql('x', 'y', z)} AS qk FROM t)
+SELECT substring(qk, 1, 6) AS qk6, count(*) AS n_pts,
+       count(DISTINCT qk) AS n_tiles
+FROM q GROUP BY qk6
+"""
+
+
 def q_cell_index(spark, sf_dir):
     """Coarse-cell (H3-coarse analogue, z6 packed id) partition-key
     distribution over order points — the table-layout key of the engine."""
@@ -2428,6 +2461,7 @@ GROUP BY x, y
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
+        "quadkey": q_quadkey,
         "cell_index": q_cell_index,
         "hex_index": q_hex_index,
         "pip_broadcast": q_pip_broadcast,
@@ -2498,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "tile_assign": sql_tile_assign(),
+        "quadkey": sql_quadkey(),
         "cell_index": sql_cell_index(),
         "hex_index": sql_hex_index(),
         "pip_broadcast": sql_pip(),

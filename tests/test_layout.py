@@ -75,3 +75,20 @@ def test_zorder_key_sql_twin(spark):
         f"SELECT {layout.zorder_key_sql('lon', 'lat', 12)} AS k "
         f"FROM zl_pts").collect()]
     assert a == b
+
+
+def test_quadkey_prefix_property(spark):
+    """A parent tile's quadkey is a prefix of all four children's, and
+    known fixtures match the published Bing examples (tile (3,5)@z3 ->
+    '213')."""
+    from pyspark.sql import functions as F
+    from tilemaker_spark.sql import tile_exprs as TE
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    assert df.select(TE.quadkey(F.col("x"), F.col("y"), 3)
+                     .alias("qk")).collect()[0]["qk"] == "213"
+    kids = spark.createDataFrame(
+        [(6, 10), (7, 10), (6, 11), (7, 11)], "x long, y long")
+    out = [r["qk"] for r in kids.select(
+        TE.quadkey(F.col("x"), F.col("y"), 4).alias("qk")).collect()]
+    assert sorted(out) == ["2130", "2131", "2132", "2133"]
+    assert all(q.startswith("213") for q in out)

@@ -230,3 +230,33 @@ def hex_cell_sql_ctes(lon: str, lat: str, source: str, res: int = 6) -> str:
                        ELSE -rx - ry END) + {_HEX_OFF}) AS BIGINT) AS cell
   FROM hexdif
 )"""
+
+
+def quadkey(x: Column, y: Column, z: int) -> Column:
+    """Bing-maps quadkey for tile (x, y) at zoom ``z`` — the string
+    tile key whose PREFIX property (a parent tile's key is a prefix of
+    all its children's) turns pyramid queries into range scans on a
+    lexicographically-sorted layout (the same trick the PMTiles
+    Hilbert ordering and the Z-order layout exploit numerically).
+    Digit l (1-based, coarse to fine) is
+    ``2·((y >> (z-l)) & 1) + ((x >> (z-l)) & 1)``.
+
+    Pure Catalyst (transform over a constant sequence + array_join,
+    whole-stage codegen, zero UDF) with a character-identical DuckDB
+    twin in :func:`quadkey_sql`."""
+    digits = F.transform(
+        F.sequence(F.lit(1), F.lit(z)),
+        lambda l: (
+            F.bit_get(y, F.lit(z) - l) * 2 + F.bit_get(x, F.lit(z) - l)
+        ).cast("string"))
+    return F.array_join(digits, "")
+
+
+def quadkey_sql(x: str, y: str, z: int) -> str:
+    """DuckDB twin of :func:`quadkey` — identical bit math, identical
+    digit order."""
+    return (
+        f"array_to_string(list_transform(generate_series(1, {z}), l -> "
+        f"CAST(2 * (({y} >> ({z} - l)) & 1)"
+        f" + (({x} >> ({z} - l)) & 1) AS varchar)), '')"
+    )
