@@ -138,6 +138,32 @@ FROM q GROUP BY qk6
 """
 
 
+def q_geohash(spark, sf_dir):
+    """Geohash spatial index (sql/tile_exprs.geohash — Niemeyer 2008,
+    verified against the published 'ezs42' fixtures): points -> 6-char
+    base-32 geohashes, rolled up by their 3-char PREFIX (like the
+    quadkey, an ancestor's hash prefixes all descendants', so
+    proximity/pyramid queries are string-prefix scans).  Pure Catalyst
+    bit interleave + alphabet slicing, zero UDF; the oracle runs the
+    character-identical SQL twin."""
+    pts = _customer_points(spark, sf_dir)
+    g = pts.select(TE.geohash(F.col("lon"), F.col("lat"), 6).alias("gh"))
+    return (g.groupBy(F.substring("gh", 1, 3).alias("gh3"))
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 F.countDistinct("gh").alias("n_cells")))
+
+
+def sql_geohash():
+    from tilemaker_spark.sql import tile_exprs as TEx
+    return f"""
+WITH pts AS (SELECT {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer),
+g AS (SELECT {TEx.geohash_sql('lon', 'lat', 6)} AS gh FROM pts)
+SELECT substring(gh, 1, 3) AS gh3, count(*) AS n_pts,
+       count(DISTINCT gh) AS n_cells
+FROM g GROUP BY gh3
+"""
+
+
 def q_cell_index(spark, sf_dir):
     """Coarse-cell (H3-coarse analogue, z6 packed id) partition-key
     distribution over order points — the table-layout key of the engine."""
@@ -2462,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
         "quadkey": q_quadkey,
+        "geohash": q_geohash,
         "cell_index": q_cell_index,
         "hex_index": q_hex_index,
         "pip_broadcast": q_pip_broadcast,
@@ -2533,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_assign": sql_tile_assign(),
         "quadkey": sql_quadkey(),
+        "geohash": sql_geohash(),
         "cell_index": sql_cell_index(),
         "hex_index": sql_hex_index(),
         "pip_broadcast": sql_pip(),

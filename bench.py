@@ -35,7 +35,7 @@ def main():
 
     qs = E.queries()
     headline = [
-        "tile_assign", "quadkey", "cell_index", "hex_index", "pip_broadcast",
+        "tile_assign", "quadkey", "geohash", "cell_index", "hex_index", "pip_broadcast",
         "pip_cell", "knn",
         "way_assembly", "zorder_topk", "tiles_rollup", "pricing_summary",
         "shipping_priority", "dedup_exact", "text_stats", "ngram_jaccard",

@@ -92,3 +92,18 @@ def test_quadkey_prefix_property(spark):
         TE.quadkey(F.col("x"), F.col("y"), 4).alias("qk")).collect()]
     assert sorted(out) == ["2130", "2131", "2132", "2133"]
     assert all(q.startswith("213") for q in out)
+
+
+def test_geohash_published_fixtures(spark):
+    """Matches the canonical published geohashes ('ezs42' is the
+    original Niemeyer example) and keeps the prefix property."""
+    from pyspark.sql import functions as F
+    from tilemaker_spark.sql import tile_exprs as TE
+    df = spark.createDataFrame(
+        [(-5.6, 42.6), (13.361389, 38.115556), (2.3488, 48.8534)],
+        "lon double, lat double")
+    out = df.select(
+        TE.geohash(F.col("lon"), F.col("lat"), 5).alias("g5"),
+        TE.geohash(F.col("lon"), F.col("lat"), 7).alias("g7")).collect()
+    assert [r["g5"] for r in out] == ["ezs42", "sqc8b", "u09tv"]
+    assert all(r["g7"].startswith(r["g5"]) for r in out)

@@ -32,8 +32,9 @@ BUDGETS = {
     "rel_members": (4, 4, 0),
     "knn": (1, 2, 0),
     "tile_assign": (1, 0, 0),
-    # quadkey: distinct-agg + rollup = 2 exchanges, pure codegen
+    # quadkey/geohash: distinct-agg + rollup = 2 exchanges, pure codegen
     "quadkey": (2, 0, 0),
+    "geohash": (2, 0, 0),
     "ngram_jaccard": (2, 2, 0),
     "pip_broadcast": (0, 2, 1),
     "pip_cell": (0, 2, 1),

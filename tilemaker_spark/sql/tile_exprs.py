@@ -260,3 +260,75 @@ def quadkey_sql(x: str, y: str, z: int) -> str:
         f"CAST(2 * (({y} >> ({z} - l)) & 1)"
         f" + (({x} >> ({z} - l)) & 1) AS varchar)), '')"
     )
+
+
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lon: Column, lat: Column, precision: int = 7) -> Column:
+    """Classic geohash (Niemeyer 2008) at ``precision`` base-32 chars
+    — the third standard spatial index next to the slippy z/x/y tile
+    (:func:`lon2tilex`) and the hex cell (:func:`hex_cell_id`): bits
+    alternate longitude/latitude (lon first) and every 5 bits map to
+    one char of the base-32 alphabet, so — like the quadkey — an
+    ancestor cell's hash is a prefix of every descendant's and
+    proximity queries become string-prefix scans.
+
+    Pure Catalyst: the two ordinates quantize with the same
+    floor(double) arithmetic both engines round identically (the
+    proven lon2tilex pattern); each output char's 5-bit value folds
+    directly from the interleaved bit stream (interleaved bit ``i`` is
+    lon bit ``i//2`` for even ``i``, lat bit ``(i-1)//2`` for odd,
+    both indexed from the MSB); chars slice out of the alphabet with
+    ``substring`` — zero UDF, whole-stage codegen.  DuckDB twin:
+    :func:`geohash_sql`."""
+    bits = 5 * precision
+    n_lon = (bits + 1) // 2
+    n_lat = bits // 2
+    lon_i = F.floor((lon + F.lit(180.0)) / F.lit(360.0)
+                    * F.lit(float(2 ** n_lon))).cast("long")
+    lat_i = F.floor((lat + F.lit(90.0)) / F.lit(180.0)
+                    * F.lit(float(2 ** n_lat))).cast("long")
+
+    def bit(i):
+        # interleaved bit i (0 = MSB of the stream), lon first
+        return F.when(
+            i % 2 == 0,
+            F.bit_get(lon_i, F.lit(n_lon - 1) - (i / 2).cast("int")),
+        ).otherwise(
+            F.bit_get(lat_i, F.lit(n_lat - 1) - ((i - 1) / 2).cast("int"))
+        ).cast("int")
+
+    chars = F.transform(
+        F.sequence(F.lit(0), F.lit(precision - 1)),
+        lambda k: F.substring(
+            F.lit(GEOHASH_B32),
+            (F.aggregate(
+                F.sequence(F.lit(0), F.lit(4)),
+                F.lit(0),
+                lambda acc, t: acc * 2 + bit(k * 5 + t)) + 1),
+            1))
+    return F.array_join(chars, "")
+
+
+def geohash_sql(lon: str, lat: str, precision: int = 7) -> str:
+    """DuckDB twin of :func:`geohash` — identical quantization, bit
+    interleave, and alphabet slicing."""
+    bits = 5 * precision
+    n_lon = (bits + 1) // 2
+    n_lat = bits // 2
+    lon_i = (f"cast(floor(({lon} + 180.0) / 360.0 * {float(2 ** n_lon)})"
+             f" as bigint)")
+    lat_i = (f"cast(floor(({lat} + 90.0) / 180.0 * {float(2 ** n_lat)})"
+             f" as bigint)")
+    ib = (f"list_aggregate(list_transform(generate_series(0, {bits - 1}),"
+          f" i -> CASE WHEN i % 2 = 0"
+          f" THEN (({lon_i} >> ({n_lon - 1} - i // 2)) & 1)"
+          f"     * (1::BIGINT << ({bits - 1} - i))"
+          f" ELSE (({lat_i} >> ({n_lat - 1} - (i - 1) // 2)) & 1)"
+          f"     * (1::BIGINT << ({bits - 1} - i)) END), 'sum')")
+    return (f"array_to_string(list_transform("
+            f"generate_series(0, {precision - 1}), k -> "
+            f"substring('{GEOHASH_B32}',"
+            f" CAST((({ib}) >> (5 * ({precision - 1} - k))) % 32 + 1"
+            f" AS int), 1)), '')")
