@@ -1256,6 +1256,43 @@ def sql_hash_split():
     return sampling_ops.hash_split_oracle_sql()
 
 
+def q_pack_blocks(spark, sf_dir):
+    """GPT-style block packing (operators/sampling.pack_blocks):
+    concatenate every document's whitespace tokens in doc_id order and
+    chop the stream into 256-token training blocks; emit each doc's
+    global offset and block span.  Runs as a DISTRIBUTED prefix sum —
+    per-range partitioned windows + a global window over only the tiny
+    per-range totals + a broadcast join — because a single global
+    ORDER BY window would plan as one sequential partition at 100 TB.
+    The oracle computes the straight global cumsum and must agree
+    exactly."""
+    from tilemaker_spark.operators import sampling as sampling_ops
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(text_ops.tokens(F.col("text"))).alias("n_tokens"))
+    return sampling_ops.pack_blocks(toks, capacity=256, range_size=64)
+
+
+def sql_pack_blocks(capacity: int = 256):
+    toks = (r"len(string_split(trim(regexp_replace(lower(text), '\s+',"
+            r" ' ', 'g')), ' '))")
+    return f"""
+WITH t AS (SELECT doc_id, CAST({toks} AS bigint) AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         sum(toks) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - toks AS tok_start
+  FROM t
+)
+SELECT doc_id, tok_start,
+       tok_start // {capacity} AS start_block,
+       (tok_start + toks - 1) // {capacity} AS end_block,
+       CAST(tok_start % {capacity} AS int) AS start_offset
+FROM c
+"""
+
+
 _MIXTURE_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
@@ -2545,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
         "stratified": q_stratified,
+        "pack_blocks": q_pack_blocks,
         "hash_split": q_hash_split,
         "mixture": q_mixture,
         "zorder_layout": q_zorder_layout,
@@ -2619,6 +2657,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam": sql_decontam(),
         "pii_redact": sql_pii_redact(),
         "stratified": sql_stratified(),
+        "pack_blocks": sql_pack_blocks(),
         "hash_split": sql_hash_split(),
         "mixture": sql_mixture(),
         "zorder_layout": sql_zorder_layout(),

@@ -108,6 +108,9 @@ BUDGETS = {
     # stratified sampling is a pure scan-pushed projection/filter
     "decontam": (3, 2, 0),
     "stratified": (0, 0, 0),
+    # pack_blocks: range window + tiny totals agg + tiny global window
+    # = 3 exchanges; the range-offset dim broadcasts back
+    "pack_blocks": (3, 1, 0),
     # pii_redact is map-only JVM regex inside one codegen span
     "pii_redact": (0, 0, 0),
 }

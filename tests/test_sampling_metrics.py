@@ -206,3 +206,24 @@ def test_weighted_mixture_matches_oracle(spark, sf_dir):
     ww = want.sort_values("doc_id").reset_index(drop=True) \
         .astype(g.dtypes.to_dict())
     assert len(g) > 0 and g.equals(ww)
+
+
+def test_pack_blocks_matches_sequential(spark):
+    """The two-level distributed prefix sum equals the straight
+    sequential cumsum, regardless of input partitioning, and block
+    spans respect the capacity boundaries."""
+    import random
+    rnd = random.Random(7)
+    rows = [(i, rnd.randrange(1, 40)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long") \
+              .repartition(13)  # scramble physical order on purpose
+    out = {r["doc_id"]: r for r in sampling.pack_blocks(
+        df, capacity=64, range_size=50).collect()}
+    cum = 0
+    for i, tok in rows:
+        r = out[i]
+        assert r["tok_start"] == cum
+        assert r["start_block"] == cum // 64
+        assert r["end_block"] == (cum + tok - 1) // 64
+        assert r["start_offset"] == cum % 64
+        cum += tok

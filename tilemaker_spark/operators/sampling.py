@@ -21,7 +21,7 @@ All zero-shuffle: each is a projection/filter, fully pushed down.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -194,3 +194,48 @@ WITH b AS (
 SELECT {id_col}, CAST({strata_col} AS int) AS {strata_col} FROM b
 WHERE bucket < CASE {cases} ELSE {int(round(default * _NB))} END
 """
+
+
+def pack_blocks(df: DataFrame, id_col: str = "doc_id",
+                tokens_col: str = "n_tokens", capacity: int = 2048,
+                range_size: int = 1000) -> DataFrame:
+    """GPT-style block packing: conceptually concatenate every
+    document's tokens in ``id_col`` order and chop the stream into
+    fixed ``capacity``-token training blocks (documents straddle block
+    boundaries — the standard GPT/Pile data prep).  Emits, per doc,
+    exactly where its tokens land: ``tok_start`` (global stream
+    offset), ``start_block``/``end_block``, and ``start_offset``
+    within the first block.
+
+    A global running sum is inherently sequential, so the 100 TB
+    version CANNOT be one ORDER BY window (that plans as a
+    single-partition sort — a non-starter).  This is the classic
+    distributed prefix-sum instead: (1) rows window-sum WITHIN
+    contiguous id ranges (``floor(id / range_size)`` — a partitioned
+    window, shuffles on the range key); (2) per-range totals aggregate
+    to one tiny table (#ranges rows = corpus/range_size); (3) the
+    global running offset of each range is a window over THAT tiny
+    table only; (4) a broadcast join hands each row its range offset.
+    The only global-ordered window runs over thousands of rows, never
+    the corpus.  The DuckDB oracle computes the straight global cumsum
+    and must agree exactly."""
+    part = F.floor(F.col(id_col) / F.lit(range_size)).alias("rng")
+    w_in = Window.partitionBy("rng").orderBy(id_col)
+    base = df.select(F.col(id_col), F.col(tokens_col).cast("long")
+                     .alias("toks"), part)
+    local = base.withColumn("local_end", F.sum("toks").over(w_in))
+    rng_tot = local.groupBy("rng").agg(F.max("local_end").alias("rtot"))
+    w_rng = (Window.orderBy("rng")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    rng_off = rng_tot.withColumn(
+        "roff", F.coalesce(F.sum("rtot").over(w_rng), F.lit(0)))
+    j = local.join(F.broadcast(rng_off.select("rng", "roff")), "rng")
+    start = F.col("roff") + F.col("local_end") - F.col("toks")
+    end = F.col("roff") + F.col("local_end") - F.lit(1)
+    return j.select(
+        F.col(id_col),
+        start.alias("tok_start"),
+        F.floor(start / F.lit(capacity)).cast("long")
+         .alias("start_block"),
+        F.floor(end / F.lit(capacity)).cast("long").alias("end_block"),
+        (start % F.lit(capacity)).cast("int").alias("start_offset"))
