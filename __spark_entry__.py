@@ -1256,6 +1256,59 @@ def sql_hash_split():
     return sampling_ops.hash_split_oracle_sql()
 
 
+def q_length_median(spark, sf_dir):
+    """Exact per-source length quartiles via order statistics — corpus
+    reporting without approximate percentile sketches (whose outputs
+    are engine-specific and cannot hash-match cross-engine): rank every
+    doc's n_chars inside its source (ONE window shuffle on the group
+    key), pick the lower Q1 / median / Q3 ranks exactly, and emit
+    integers.  At 10^12 rows the window is per-source and the output is
+    #sources rows — the plan shape of a daily corpus-stats job."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"))
+    q1 = F.floor((F.col("n") + 1) / 4)
+    med = F.floor((F.col("n") + 1) / 2)
+    q3 = F.floor((F.col("n") + 1) * 3 / 4)
+    return (ranked
+            .filter((F.col("rk") == q1) | (F.col("rk") == med)
+                    | (F.col("rk") == q3))
+            .groupBy("source")
+            .agg(F.max("n").cast("long").alias("n_docs"),
+                 F.max(F.when(F.col("rk") == q1, F.col("n_chars")))
+                  .cast("long").alias("q1_chars"),
+                 F.max(F.when(F.col("rk") == med, F.col("n_chars")))
+                  .cast("long").alias("med_chars"),
+                 F.max(F.when(F.col("rk") == q3, F.col("n_chars")))
+                  .cast("long").alias("q3_chars")))
+
+
+def sql_length_median():
+    return """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, CAST(max(n) AS bigint) AS n_docs,
+       CAST(max(CASE WHEN rk = (n + 1) // 4 THEN n_chars END)
+            AS bigint) AS q1_chars,
+       CAST(max(CASE WHEN rk = (n + 1) // 2 THEN n_chars END)
+            AS bigint) AS med_chars,
+       CAST(max(CASE WHEN rk = (n + 1) * 3 // 4 THEN n_chars END)
+            AS bigint) AS q3_chars
+FROM ranked
+WHERE rk = (n + 1) // 4 OR rk = (n + 1) // 2 OR rk = (n + 1) * 3 // 4
+GROUP BY source
+"""
+
+
 def q_pack_blocks(spark, sf_dir):
     """GPT-style block packing (operators/sampling.pack_blocks):
     concatenate every document's whitespace tokens in doc_id order and
@@ -2583,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "stratified": q_stratified,
         "pack_blocks": q_pack_blocks,
+        "length_median": q_length_median,
         "hash_split": q_hash_split,
         "mixture": q_mixture,
         "zorder_layout": q_zorder_layout,
@@ -2658,6 +2712,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": sql_pii_redact(),
         "stratified": sql_stratified(),
         "pack_blocks": sql_pack_blocks(),
+        "length_median": sql_length_median(),
         "hash_split": sql_hash_split(),
         "mixture": sql_mixture(),
         "zorder_layout": sql_zorder_layout(),

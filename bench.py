@@ -43,7 +43,7 @@ def main():
         "corpus_dedup",
         "phash_clusters", "sessionize", "hash_split", "bpe_tokens",
         "repetition", "bpe_pairs", "substring_dups", "tfidf_terms",
-        "decontam", "stratified", "pii_redact", "pack_blocks",
+        "decontam", "stratified", "pii_redact", "pack_blocks", "length_median",
         "ann_topk", "ann_ivf", "retrieval_eval",
         "channel_stats", "mixup_check", "shard_roundtrip", "grayscale_check",
         "cover_large", "poly_union",

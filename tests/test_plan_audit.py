@@ -111,6 +111,9 @@ BUDGETS = {
     # pack_blocks: range window + tiny totals agg + tiny global window
     # = 3 exchanges; the range-offset dim broadcasts back
     "pack_blocks": (3, 1, 0),
+    # length_median: ONE shuffle on the group key shared by both
+    # window passes and the rollup
+    "length_median": (1, 0, 0),
     # pii_redact is map-only JVM regex inside one codegen span
     "pii_redact": (0, 0, 0),
 }
