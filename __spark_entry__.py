@@ -298,6 +298,40 @@ FROM d WHERE rank <= 8
 """
 
 
+def q_radius_join(spark, sf_dir):
+    """Distance-band join / ST_DWithin analogue (operators/knn.
+    radius_join_cell): every customer within 1,000 km haversine of each
+    of 25 nation-derived query points, via the CELL + 8-neighbor-ring
+    path — one shuffle per side on the compact z4 cell key, no cross
+    join at any corpus size.  Exact here by construction: min ring
+    guard over the 25 queries is 1,145 km > the 1,000 km radius
+    (radius_join_audit proves it at runtime in pytest), and the
+    nearest pair to the radius boundary sits 12.7 m away, so the
+    double-precision filter cannot flip cross-engine.  The oracle is
+    the O(n·m) cross-join ground truth."""
+    n = _t(spark, sf_dir, "nation")
+    qlon, qlat = synth.geo_point_expr(F.col("n_nationkey") + F.lit(7777))
+    q = n.select(F.col("n_nationkey").alias("query_id"),
+                 qlon.alias("lon"), qlat.alias("lat"))
+    c = _customer_points(spark, sf_dir).select(
+        F.col("c_custkey").alias("cand_id"), "lon", "lat")
+    out = knn_ops.radius_join_cell(q, c, radius_m=1_000_000.0, cell_zoom=4)
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"), "cand_id",
+        F.round("dist_m", 2).alias("dist_m"))
+
+
+def sql_radius_join():
+    qlon, qlat = synth.geo_point_sql("(n_nationkey + 7777)")
+    dist = TE.haversine_m_sql(qlon, qlat, CUST_LON, CUST_LAT)
+    return f"""
+SELECT n.n_nationkey AS query_id, c.c_custkey AS cand_id,
+       round({dist}, 2) AS dist_m
+FROM nation n CROSS JOIN customer c
+WHERE {dist} <= 1000000.0
+"""
+
+
 def q_way_assembly(spark, sf_dir):
     """way ⋈ nodes geometry assembly (reference src/pbf_processor.cpp:122-146)
     exercised on TPC-H shape: orders = ways, lineitems = ordered refs;
@@ -2584,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_broadcast": q_pip_broadcast,
         "pip_cell": q_pip_cell,
         "knn": q_knn,
+        "radius_join": q_radius_join,
         "way_assembly": q_way_assembly,
         "spherical_area": q_spherical_area,
         "zorder_topk": q_zorder_topk,
@@ -2658,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_broadcast": sql_pip(),
         "pip_cell": sql_pip(),
         "knn": sql_knn(),
+        "radius_join": sql_radius_join(),
         "way_assembly": sql_way_assembly(),
         "spherical_area": sql_spherical_area(),
         "zorder_topk": sql_zorder_topk(),

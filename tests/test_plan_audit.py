@@ -31,6 +31,9 @@ BUDGETS = {
     "covered_by": (3, 6, 3),
     "rel_members": (4, 4, 0),
     "knn": (1, 2, 0),
+    # radius_join: AQE broadcasts both tiny sf0.001 sides; the single
+    # exchange is the (query,cand) dedup shuffle. Zero Python always.
+    "radius_join": (1, 2, 0),
     "tile_assign": (1, 0, 0),
     # quadkey/geohash: distinct-agg + rollup = 2 exchanges, pure codegen
     "quadkey": (2, 0, 0),

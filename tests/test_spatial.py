@@ -231,3 +231,50 @@ def test_knn_cell_audit(spark):
     res2 = knn_join_cell(qs, far, k=3, cell_zoom=5)
     audit2 = knn_cell_audit(res2, qs, k=3, cell_zoom=5)
     assert audit2.filter(F.col("under_filled")).count() == 3
+
+
+def test_radius_join_matches_bruteforce(spark):
+    """Cell+ring DWithin == brute-force filtered cross join when the
+    radius is inside every query's ring guard."""
+    from tilemaker_spark.operators import knn as K
+    img = synth.images_df(spark, 300, with_bytes=False)
+    clustered = img.filter(
+        (F.col("lon") > -30) & (F.col("lon") < 30)
+        & (F.col("lat") > -30) & (F.col("lat") < 30))
+    q = clustered.limit(6).select(
+        F.col("image_id").alias("query_id"), "lon", "lat")
+    c = clustered.select(F.col("image_id").alias("cand_id"), "lon", "lat")
+    r = 500_000.0
+    # brute force: broadcast kNN with huge k, filtered to the radius
+    bf = (K.knn_join_broadcast(q, c, k=10_000)
+          .filter(F.col("dist_m") <= r))
+    cell = K.radius_join_cell(q, c, radius_m=r, cell_zoom=3)
+    ra = {(x["query_id"], x["cand_id"]) for x in bf.collect()}
+    rb = {(x["query_id"], x["cand_id"]) for x in cell.collect()}
+    assert ra == rb and len(rb) > 0
+    # every pair respects the band
+    assert cell.filter(F.col("dist_m") > r).count() == 0
+
+
+def test_radius_join_audit_flags_oversized_radius(spark):
+    from tilemaker_spark.operators.knn import radius_join_audit
+    qs = spark.createDataFrame(
+        [(0, 10.0, 45.0)], "query_id long, lon double, lat double")
+    ok = radius_join_audit(qs, radius_m=100_000.0, cell_zoom=4)
+    assert ok.collect()[0]["covered"]
+    # a radius wider than one z4 cell cannot be covered by the 3x3 ring
+    bad = radius_join_audit(qs, radius_m=5_000_000.0, cell_zoom=4)
+    assert not bad.collect()[0]["covered"]
+
+
+def test_radius_join_driver_fixture_covered(spark):
+    """The driver query's (zoom 4, 1,000 km) fixture is provably exact:
+    every nation-derived query point's ring guard exceeds the radius."""
+    from tilemaker_spark.operators.knn import radius_join_audit
+    n_keys = spark.range(25).select(
+        (F.col("id") + 7777).alias("k"))
+    lon, lat = synth.geo_point_expr(F.col("k"))
+    qs = n_keys.select(F.col("k").alias("query_id"),
+                       lon.alias("lon"), lat.alias("lat"))
+    audit = radius_join_audit(qs, radius_m=1_000_000.0, cell_zoom=4)
+    assert audit.filter(~F.col("covered")).count() == 0

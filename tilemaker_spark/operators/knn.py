@@ -193,3 +193,125 @@ def knn_cell_audit(
          | (F.coalesce("kth_dist_m", F.lit(float("inf")))
             > F.col("guard_m"))).alias("under_filled"),
     )
+
+
+def _ring_guard_m(lon, lat, cell_zoom: int):
+    """Distance (m) from a point to the boundary of its 3x3 cell ring —
+    the radius within which the ring join is provably exhaustive."""
+    nmax = (1 << cell_zoom) - 1
+    span = 360.0 / (1 << cell_zoom)
+    qx = F.least(F.greatest(TE.lon2tilex(lon, cell_zoom), F.lit(0)),
+                 F.lit(nmax))
+    qy = F.least(F.greatest(TE.lat2tiley(lat, cell_zoom), F.lit(0)),
+                 F.lit(nmax))
+    lon_lo = (qx - 1).cast("double") * F.lit(span) - F.lit(180.0)
+    lon_hi = (qx + 2).cast("double") * F.lit(span) - F.lit(180.0)
+    latp_hi = F.lit(180.0) - (qy - 1).cast("double") * F.lit(span)
+    latp_lo = F.lit(180.0) - (qy + 2).cast("double") * F.lit(span)
+    lat_of = (lambda latp: F.degrees(
+        F.lit(2.0) * F.atan(F.exp(F.radians(latp)))
+        - F.lit(3.141592653589793 / 2)))
+    return F.least(
+        TE.haversine_m(lon, lat, lon_lo, lat),
+        TE.haversine_m(lon, lat, lon_hi, lat),
+        TE.haversine_m(lon, lat, lon, lat_of(latp_lo)),
+        TE.haversine_m(lon, lat, lon, lat_of(latp_hi)),
+    )
+
+
+def radius_join_cell(
+    queries: DataFrame,
+    candidates: DataFrame,
+    radius_m: float,
+    cell_zoom: int = 4,
+    query_id: str = "query_id",
+    cand_id: str = "cand_id",
+    q_lon: str = "lon",
+    q_lat: str = "lat",
+    c_lon: str = "lon",
+    c_lat: str = "lat",
+) -> DataFrame:
+    """Distance-band join (ST_DWithin analogue): every (query,
+    candidate) pair within ``radius_m`` haversine meters.
+
+    The reference engine has no distance join; this is the graft-side
+    completion of the spatial-join family (PIP / Intersects / CoveredBy
+    / kNN / DWithin).  Scale path: both sides shuffle ONCE on the
+    compact cell key at ``cell_zoom``; each query probes its own cell
+    plus the 8-neighbor ring — no cross join at any corpus size, and
+    the per-cell fan-out is bounded by the cell occupancy (pick
+    ``cell_zoom`` so cells hold ~10^4 rows at the target scale; skewed
+    urban cells are the documented salting candidates, exactly as in
+    the PIP cell path).
+
+    Exactness: the fixed 3x3 ring is exhaustive iff ``radius_m`` ≤ the
+    query's ring-boundary guard distance; :func:`radius_join_audit`
+    returns the per-query guard so a caller can assert coverage at
+    runtime (the driver query's fixture satisfies it by construction —
+    min guard 1,145 km at zoom 4 vs a 1,000 km radius).
+
+    Output: (query_id, cand_id, dist_m), dist_m ≤ radius_m.
+    """
+    nmax = (1 << cell_zoom) - 1
+    cx = F.least(F.greatest(TE.lon2tilex(F.col(c_lon), cell_zoom), F.lit(0)),
+                 F.lit(nmax))
+    cy = F.least(F.greatest(TE.lat2tiley(F.col(c_lat), cell_zoom), F.lit(0)),
+                 F.lit(nmax))
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"),
+        F.col(c_lon).alias("_clon"), F.col(c_lat).alias("_clat"),
+        TE.tile_id(cell_zoom, cx, cy).alias("_cell"),
+    )
+    qx = F.least(F.greatest(TE.lon2tilex(F.col(q_lon), cell_zoom), F.lit(0)),
+                 F.lit(nmax))
+    qy = F.least(F.greatest(TE.lat2tiley(F.col(q_lat), cell_zoom), F.lit(0)),
+                 F.lit(nmax))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(q_lon).alias("_qlon"), F.col(q_lat).alias("_qlat"),
+        qx.alias("_qx"), qy.alias("_qy"),
+    )
+    ring = F.array(*[
+        F.struct(
+            F.pmod(F.col("_qx") + F.lit(dx), F.lit(nmax + 1)).alias("x"),
+            F.least(F.greatest(F.col("_qy") + F.lit(dy), F.lit(0)),
+                    F.lit(nmax)).alias("y"),
+        )
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    q = (
+        q.withColumn("_probe", F.explode(F.array_distinct(ring)))
+        .withColumn("_cell", TE.tile_id(cell_zoom, F.col("_probe.x"),
+                                        F.col("_probe.y")))
+        .drop("_probe", "_qx", "_qy")
+    )
+    joined = q.join(c, on="_cell", how="inner")
+    dist = TE.haversine_m(
+        F.col("_qlon"), F.col("_qlat"), F.col("_clon"), F.col("_clat")
+    ).alias("dist_m")
+    return (
+        joined.select("query_id", "cand_id", dist)
+        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+
+
+def radius_join_audit(
+    queries: DataFrame,
+    radius_m: float,
+    cell_zoom: int = 4,
+    query_id: str = "query_id",
+    q_lon: str = "lon",
+    q_lat: str = "lat",
+) -> DataFrame:
+    """Coverage audit for :func:`radius_join_cell`: one row per query
+    with its ring-boundary guard distance and ``covered`` =
+    (radius_m ≤ guard_m).  Any uncovered query may be missing true
+    pairs beyond its ring; aggregate ``sum(NOT covered)`` as the
+    runtime exactness counter."""
+    guard = _ring_guard_m(F.col(q_lon), F.col(q_lat), cell_zoom)
+    return queries.select(
+        F.col(query_id).alias("query_id"),
+        guard.alias("guard_m"),
+        (F.lit(float(radius_m)) <= guard).alias("covered"),
+    )
