@@ -1885,6 +1885,155 @@ FROM lab
 """
 
 
+def q_ar_bucket(spark, sf_dir):
+    """SDXL-style aspect-ratio bucketed-batching assignment (operators/
+    images.assign_aspect_buckets — Podell et al. 2023 §2.3): each image
+    goes to the ratio bucket minimizing |w/h - bw/bh|, decided entirely
+    in exact integer arithmetic (cross-multiplied common-denominator
+    costs, ties to the lowest bucket index) so the assignment is
+    bit-reproducible cross-engine.  Pure Catalyst argmin over a literal
+    bucket array — zero UDF, ZERO shuffles, map-only at any corpus
+    size.  The oracle replays the identical costs through a VALUES list
+    + row_number window."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.images_df(spark, 5000, with_bytes=False)
+    out = image_ops.assign_aspect_buckets(img)
+    return out.select("image_id", F.col("bucket").cast("int").alias("bucket"),
+                      "bname")
+
+
+def sql_ar_bucket():
+    from tilemaker_spark.operators import images as image_ops
+    values = image_ops.aspect_bucket_oracle_sql()
+    return f"""
+WITH base AS (
+  SELECT k, printf('img_%012d', k) AS image_id,
+         16 + (k % 5) * 8 AS w,
+         16 + ((k + 2) % 4) * 8 AS h
+  FROM generate_series(0, 4999) t(k)
+),
+costs AS (
+  SELECT base.image_id, b.idx, b.bname,
+         abs(base.w * b.bh - base.h * b.bw) * b.m AS cost
+  FROM base CROSS JOIN {values}
+),
+r AS (
+  SELECT image_id, idx, bname,
+         row_number() OVER (PARTITION BY image_id
+                            ORDER BY cost, idx) AS rk
+  FROM costs
+)
+SELECT image_id, CAST(idx AS int) AS bucket, bname FROM r WHERE rk = 1
+"""
+
+
+def q_corrupt_scan(spark, sf_dir):
+    """Corpus corruption triage (operators/images.scan_corrupt): decode
+    every blob, classify ok / bad_magic / corrupt.  600 lossless
+    gradient PNGs with corruption PLANTED in Catalyst — every k%7==3
+    blob truncated to its first third (interrupted download), every
+    k%7==5 blob's signature byte zeroed (mislabeled file) — so the
+    scanner's DETECTION path is what the oracle checks: if the decoder
+    silently accepted a truncated stream or misclassified a wrong
+    magic, the closed-form expected statuses would mismatch.  Map-only,
+    zero shuffles; the only cost is the decode itself."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.gradient_images_df(spark, 600)
+    k = F.substring_index(F.col("image_id"), "_", -1).cast("long")
+    planted = img.withColumn(
+        "bytes",
+        F.when(k % 7 == 3, F.expr(
+            "substring(bytes, 1, CAST(octet_length(bytes) / 3 AS INT))"))
+        .when(k % 7 == 5, F.concat(
+            F.lit(b"\x00"),
+            F.expr("substring(bytes, 2, octet_length(bytes))")))
+        .otherwise(F.col("bytes")))
+    return image_ops.scan_corrupt(planted)
+
+
+def sql_corrupt_scan():
+    return """
+SELECT printf('grad_%09d', k) AS image_id,
+       CASE WHEN k % 7 = 3 THEN 'corrupt'
+            WHEN k % 7 = 5 THEN 'bad_magic'
+            ELSE 'ok' END AS status
+FROM generate_series(0, 599) t(k)
+"""
+
+
+def q_image_canonical(spark, sf_dir):
+    """Keep-best-copy image dedup — the stage after near-dup clustering
+    where the pipeline picks which copy of each duplicate group to
+    TRAIN on (highest quality score, ties to the smallest id): the same
+    2,400-image planted phash fixture as q_phash_clusters, a
+    deterministic per-image quality, phash chunk-blocked pairs ->
+    alternating-star components -> one survivor per cluster
+    (operators/components.keep_canonical).  The oracle regenerates the
+    phashes, the SAME blocked-pair predicate, a recursive min-label
+    closure, and the survivor window in SQL."""
+    from tilemaker_spark.operators import components as components_ops
+    from tilemaker_spark.operators import images as image_ops
+    df = spark.range(2400).select(
+        F.col("id").alias("image_id"),
+        F.expr(
+            "CAST((((id div 4) * 1103515245 + 12345) % 2147483648)"
+            " * 1000003 AS BIGINT) ^ "
+            "CASE WHEN id % 4 = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), "
+            "CAST(((id div 4) * 7 + (id % 4) * 13) % 61 AS INT)) END"
+        ).alias("phash"),
+        ((F.col("id") * F.lit(2654435761)) % F.lit(1000)).alias("quality"))
+    pairs = image_ops.phash_near_dups(df, max_hamming=4)
+    out = components_ops.keep_canonical(df, pairs, id_col="image_id",
+                                        quality_col="quality",
+                                        src="id_a", dst="id_b")
+    return out.select("image_id", "cluster_id",
+                      F.col("quality").cast("long").alias("quality"))
+
+
+def sql_image_canonical():
+    # same phash + pair predicate as sql_phash_clusters, plus the
+    # quality formula and the survivor window keep_canonical applies
+    return """
+WITH RECURSIVE r AS (SELECT unnest(generate_series(0, 2399)) AS k),
+ph AS (
+  SELECT k,
+         xor(CAST((((k // 4) * 1103515245 + 12345) % 2147483648)
+                  * 1000003 AS BIGINT),
+             CASE WHEN k % 4 = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (CAST(1 AS BIGINT)
+                        << CAST(((k // 4) * 7 + (k % 4) * 13) % 61
+                                AS INT)) END) AS phash,
+         (k * 2654435761) % 1000 AS quality
+  FROM r
+), pairs AS (
+  SELECT a.k AS u, b.k AS v
+  FROM ph a JOIN ph b ON a.k < b.k
+  WHERE bit_count(xor(a.phash, b.phash)) <= 4
+    AND ( (a.phash & 65535) = (b.phash & 65535)
+       OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
+       OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
+       OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535) )
+), edges AS (
+  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach(node, lbl) AS (
+  SELECT k, k FROM ph
+  UNION
+  SELECT e.u, rr.lbl FROM edges e JOIN reach rr ON rr.node = e.v
+), lab AS (
+  SELECT node AS image_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+), sel AS (
+  SELECT lab.image_id, lab.cluster_id, ph.quality,
+         row_number() OVER (PARTITION BY lab.cluster_id
+                            ORDER BY ph.quality DESC, lab.image_id ASC)
+           AS rk
+  FROM lab JOIN ph ON ph.k = lab.image_id
+)
+SELECT image_id, cluster_id, CAST(quality AS BIGINT) AS quality
+FROM sel WHERE rk = 1
+"""
+
+
 def q_audio_features(spark, sf_dir):
     """Audio waveform features over real RIFF/WAVE 16-bit PCM bytes
     (operators/media.audio_features, kernels/riff.py).  The PCM is pure
@@ -2657,6 +2806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "phash_clusters": q_phash_clusters,
+        "ar_bucket": q_ar_bucket,
+        "corrupt_scan": q_corrupt_scan,
+        "image_canonical": q_image_canonical,
         "image_quality": q_image_quality,
         "resize_check": q_resize_check,
         "augment_check": q_augment_check,
@@ -2734,6 +2886,9 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": sql_video_frames(),
         "audio_features": sql_audio_features(),
         "phash_clusters": sql_phash_clusters(),
+        "ar_bucket": sql_ar_bucket(),
+        "corrupt_scan": sql_corrupt_scan(),
+        "image_canonical": sql_image_canonical(),
         "image_quality": sql_image_quality(),
         "resize_check": sql_resize_check(),
         "augment_check": sql_augment_check(),

@@ -119,6 +119,14 @@ BUDGETS = {
     "length_median": (1, 0, 0),
     # pii_redact is map-only JVM regex inside one codegen span
     "pii_redact": (0, 0, 0),
+    # round-5 image-corpus additions: ar_bucket is a pure-Catalyst
+    # integer argmin (zero UDF, zero shuffles); corrupt_scan is the
+    # standard encode + decode-classify chain (2 Arrow nodes, map-only);
+    # image_canonical = pairs/components behind checkpoints + left join
+    # + survivor window (5 exchanges, ZERO Python in the final DAG)
+    "ar_bucket": (0, 0, 0),
+    "corrupt_scan": (0, 0, 2),
+    "image_canonical": (5, 0, 0),
 }
 
 

@@ -490,3 +490,51 @@ def test_to_grayscale_exact(spark):
     assert tuple(got[0, 1]) == (149, 149, 149)
     assert tuple(got[0, 2]) == (29, 29, 29)
     assert tuple(got[1, 0]) == (200, 200, 200)
+
+
+def test_aspect_bucket_matches_python_argmin(spark):
+    """The Catalyst integer argmin equals a float brute force over
+    random (w, h) shapes (the integer cross-multiplication is an exact
+    order embedding of |w/h - bw/bh|, so no tolerance is needed)."""
+    import random
+    rng = random.Random(42)
+    shapes = [(rng.randint(8, 4096), rng.randint(8, 4096))
+              for _ in range(300)] + [(16, 9), (9, 16), (100, 100),
+                                      (4096, 8), (8, 4096)]
+    df = spark.createDataFrame(shapes, "w int, h int")
+    got = {(r["w"], r["h"]): r["bucket"]
+           for r in images.assign_aspect_buckets(df).collect()}
+    for w, h in shapes:
+        best = min(
+            range(len(images.AR_BUCKETS)),
+            key=lambda i: (abs(w / h - images.AR_BUCKETS[i][0]
+                               / images.AR_BUCKETS[i][1]), i))
+        assert got[(w, h)] == best, (w, h)
+
+
+def test_scan_corrupt_classifies(spark):
+    """Planted corruption lands in the right class: intact decodes ok,
+    zeroed magic -> bad_magic (PNG and JPEG), truncation -> corrupt."""
+    from tilemaker_spark.kernels import jpeg as J
+    px = png.gradient_pixels(3, 16, 12)
+    good_png = png.encode_png(px)
+    good_jpg = J.encode_jpeg(px)
+    rows = [
+        ("ok_png", good_png, "png"),
+        ("ok_jpg", good_jpg, "jpeg"),
+        ("magic_png", b"\x00" + good_png[1:], "png"),
+        ("magic_jpg", b"\x00\x00" + good_jpg[2:], "jpeg"),
+        ("trunc_png", good_png[: len(good_png) // 3], "png"),
+        ("trunc_jpg", good_jpg[: len(good_jpg) // 3], "jpeg"),
+        ("empty", b"", "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary,"
+                                     " fmt string")
+    got = {r["image_id"]: r["status"]
+           for r in images.scan_corrupt(df).collect()}
+    assert got == {
+        "ok_png": "ok", "ok_jpg": "ok",
+        "magic_png": "bad_magic", "magic_jpg": "bad_magic",
+        "trunc_png": "corrupt", "trunc_jpg": "corrupt",
+        "empty": "bad_magic",
+    }

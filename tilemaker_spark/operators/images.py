@@ -528,3 +528,100 @@ def to_grayscale(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema=schema)
+
+
+# SDXL-style aspect-ratio buckets (Podell et al. 2023 §2.3 train with
+# bucketed batching so a batch shares one resolution).  (bw, bh) are
+# RATIOS, not pixel sizes; the list covers the common photo/video
+# shapes both orientations.
+AR_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1, 1), (4, 3), (3, 4), (16, 9), (9, 16), (3, 2), (2, 3))
+
+
+def _lcm_all(vals):
+    import math
+    out = 1
+    for v in vals:
+        out = out * v // math.gcd(out, v)
+    return out
+
+
+def aspect_bucket_col(w, h, buckets: tuple[tuple[int, int], ...]
+                      = AR_BUCKETS):
+    """Bucket index (argmin over ``buckets`` of |w/h - bw/bh|, ties to
+    the lowest index) as a pure Catalyst expression — no floats
+    anywhere: |w/h - bw_i/bh_i| ordering is decided by the integer
+    cross-multiplied cost |w*bh_i - h*bw_i| * (L / bh_i) with L =
+    lcm(all bh), an exact common-denominator compare.  Zero UDF, zero
+    shuffle; whole-stage codegen at any corpus size."""
+    L = _lcm_all([bh for _, bh in buckets])
+    costs = [
+        F.struct(
+            (F.abs(w * F.lit(bh) - h * F.lit(bw)) * F.lit(L // bh))
+            .cast("long").alias("cost"),
+            F.lit(i).alias("idx"))
+        for i, (bw, bh) in enumerate(buckets)
+    ]
+    return F.array_sort(F.array(*costs))[0]["idx"]
+
+
+def assign_aspect_buckets(images: DataFrame,
+                          buckets: tuple[tuple[int, int], ...] = AR_BUCKETS,
+                          w_col: str = "w", h_col: str = "h") -> DataFrame:
+    """Aspect-ratio bucketed-batching assignment (the SDXL training
+    prep): adds ``bucket: int`` and ``bname: string`` ('16:9') chosen
+    by exact integer arithmetic.  Map-only projection — grouping a
+    10^12-image corpus into resolution batches costs zero shuffles
+    until the caller repartitions on the bucket."""
+    idx = aspect_bucket_col(F.col(w_col), F.col(h_col), buckets)
+    names = F.array(*[F.lit(f"{bw}:{bh}") for bw, bh in buckets])
+    return images.withColumn("bucket", idx).withColumn(
+        "bname", names[F.col("bucket")])
+
+
+def aspect_bucket_oracle_sql(buckets: tuple[tuple[int, int], ...]
+                             = AR_BUCKETS) -> str:
+    """DuckDB VALUES-list + window twin of :func:`aspect_bucket_col`
+    (same integer costs, same tie-break); yields (idx, bw, bh, m) rows
+    to CROSS JOIN with the image table."""
+    L = _lcm_all([bh for _, bh in buckets])
+    rows = ", ".join(
+        f"({i}, {bw}, {bh}, {L // bh}, '{bw}:{bh}')"
+        for i, (bw, bh) in enumerate(buckets))
+    return f"(VALUES {rows}) AS b(idx, bw, bh, m, bname)"
+
+
+def scan_corrupt(images: DataFrame) -> DataFrame:
+    """Corpus corruption triage — the gate every web-crawl image
+    pipeline runs before spending GPU decode time: attempt a full
+    decode of every blob and classify the failure.  Output:
+    (image_id, status) with status in {'ok', 'bad_magic', 'corrupt'} —
+    bad_magic = the container signature is wrong (mislabeled /
+    Content-Type-lied files), corrupt = signature ok but the stream is
+    truncated or malformed (interrupted downloads).
+
+    Map-only at any scale (zero shuffles); the whole cost is the
+    decode itself, which is the point — a blob that decodes here
+    decodes everywhere downstream."""
+    schema = "image_id string, status string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            statuses = []
+            for blob, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                try:
+                    P.decode_image(bytes(blob), fmt)
+                    statuses.append("ok")
+                except (AssertionError, ValueError) as e:
+                    # kernels/png.py:51 "not a PNG" / kernels/jpeg.py:451
+                    # "not a JPEG (missing SOI)" — wrong container
+                    # signature vs any other malformation
+                    statuses.append(
+                        "bad_magic" if "not a" in str(e) else "corrupt")
+                except Exception:
+                    statuses.append("corrupt")
+            yield pd.DataFrame({"image_id": pdf["image_id"],
+                                "status": statuses})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=schema)
