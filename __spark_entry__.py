@@ -1885,6 +1885,46 @@ FROM lab
 """
 
 
+def q_hilbert(spark, sf_dir):
+    """Hilbert-curve tile ordering (sql/tile_exprs.hilbert_d — the
+    PMTiles physical order, reference src/pmtiles.cpp:16-173): customer
+    points -> z8 tiles -> per-tile counts keyed by the tile's position
+    on the Hilbert curve.  The Catalyst side is one F.aggregate fold
+    over the 8 bit levels (linear expression, zero UDF); the oracle
+    iterates the IDENTICAL state update as a DuckDB recursive CTE, so
+    every rotate/reflect branch is cross-checked per tile.  Ordering a
+    tile table by this key is the locality layout the archive sinks
+    rely on — completing the layout family next to Z-order, quadkey,
+    geohash, and the hex cell."""
+    pts = _customer_points(spark, sf_dir)
+    z = 8
+    t = (pts.select(TE.lon2tilex(F.col("lon"), z).alias("x"),
+                    TE.lat2tiley(F.col("lat"), z).alias("y"))
+         .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_pts")))
+    return t.select(
+        TE.hilbert_d(F.col("x"), F.col("y"), z).alias("hilbert"),
+        F.col("x").cast("int").alias("x"), F.col("y").cast("int").alias("y"),
+        "n_pts")
+
+
+def sql_hilbert():
+    z = 8
+    rec = TE.hilbert_sql_rec_cte("t", z)
+    return f"""
+WITH RECURSIVE pts AS (SELECT {CUST_LON} AS lon, {CUST_LAT} AS lat
+                       FROM customer),
+t AS (
+  SELECT {TE.lon2tilex_sql('lon', z)} AS x,
+         {TE.lat2tiley_sql('lat', z)} AS y,
+         count(*) AS n_pts
+  FROM pts GROUP BY 1, 2
+),
+{rec.lstrip()}
+SELECT hfin.hilbert, CAST(t.x AS int) AS x, CAST(t.y AS int) AS y, t.n_pts
+FROM hfin JOIN t ON t.x = hfin.x0 AND t.y = hfin.y0
+"""
+
+
 def q_ar_bucket(spark, sf_dir):
     """SDXL-style aspect-ratio bucketed-batching assignment (operators/
     images.assign_aspect_buckets — Podell et al. 2023 §2.3): each image
@@ -2806,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "phash_clusters": q_phash_clusters,
+        "hilbert": q_hilbert,
         "ar_bucket": q_ar_bucket,
         "corrupt_scan": q_corrupt_scan,
         "image_canonical": q_image_canonical,
@@ -2886,6 +2927,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": sql_video_frames(),
         "audio_features": sql_audio_features(),
         "phash_clusters": sql_phash_clusters(),
+        "hilbert": sql_hilbert(),
         "ar_bucket": sql_ar_bucket(),
         "corrupt_scan": sql_corrupt_scan(),
         "image_canonical": sql_image_canonical(),

@@ -107,3 +107,43 @@ def test_geohash_published_fixtures(spark):
         TE.geohash(F.col("lon"), F.col("lat"), 7).alias("g7")).collect()
     assert [r["g5"] for r in out] == ["ezs42", "sqc8b", "u09tv"]
     assert all(r["g7"].startswith(r["g5"]) for r in out)
+
+
+def test_hilbert_parity_with_pmtiles_python(spark):
+    """The Catalyst F.aggregate fold equals the sink's independent
+    Python xy2d (sinks/pmtiles.hilbert_d) on random tiles at several
+    zooms — two implementations of the public algorithm written against
+    different substrates."""
+    import random
+    from tilemaker_spark.sinks.pmtiles import hilbert_d as py_hd
+    from tilemaker_spark.sql import tile_exprs as TE
+    rng = random.Random(99)
+    for z in (1, 3, 8, 14):
+        n = 1 << z
+        pts = list({(rng.randrange(n), rng.randrange(n))
+                    for _ in range(120)})
+        df = spark.createDataFrame(pts, "x int, y int")
+        got = {(r["x"], r["y"]): r["d"] for r in df.select(
+            "x", "y",
+            TE.hilbert_d(F.col("x"), F.col("y"), z).alias("d")).collect()}
+        for x, y in pts:
+            assert got[(x, y)] == py_hd(z, x, y), (z, x, y)
+
+
+def test_hilbert_bijection_and_unit_steps(spark):
+    """On the full z=4 grid the curve index is a bijection onto
+    [0, 256) and CONSECUTIVE indices are edge-adjacent cells — the
+    continuity property that makes Hilbert strictly better for
+    locality layout than Z-order (which takes diagonal jumps)."""
+    from tilemaker_spark.sql import tile_exprs as TE
+    z, n = 4, 16
+    df = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x int, y int")
+    rows = df.select(
+        "x", "y", TE.hilbert_d(F.col("x"), F.col("y"), z).alias("d")
+    ).collect()
+    by_d = {r["d"]: (r["x"], r["y"]) for r in rows}
+    assert sorted(by_d) == list(range(n * n))
+    for d in range(1, n * n):
+        (x1, y1), (x2, y2) = by_d[d - 1], by_d[d]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d

@@ -125,6 +125,9 @@ BUDGETS = {
     # image_canonical = pairs/components behind checkpoints + left join
     # + survivor window (5 exchanges, ZERO Python in the final DAG)
     "ar_bucket": (0, 0, 0),
+    # hilbert: one per-tile groupBy shuffle; the curve fold itself is
+    # a pure-Catalyst F.aggregate (zero UDF)
+    "hilbert": (1, 0, 0),
     "corrupt_scan": (0, 0, 2),
     "image_canonical": (5, 0, 0),
 }
