@@ -1885,6 +1885,34 @@ FROM lab
 """
 
 
+def q_salt_plan(spark, sf_dir):
+    """Data-driven skew salting plan (operators/skew.salt_plan): one
+    counting pass over the image table's coarse H3 cells emits (cell,
+    n_rows, n_salts = ceil(n/target)) — the explicit skew decision the
+    north rule requires, sized per cell instead of a fixed guess.  The
+    synthetic geo distribution is deliberately urban-skewed
+    (sources/synth.geo_point_expr), so hot cells genuinely get
+    n_salts > 1 here.  ONE map-side-combinable shuffle; output is
+    #cells rows (broadcastable back via apply_salt_plan at any corpus
+    size).  Integer-exact ceil, so the DuckDB twin matches bit-for-bit."""
+    from tilemaker_spark.operators import skew as skew_ops
+    img = synth.images_df(spark, 20000, with_bytes=False)
+    return skew_ops.salt_plan(img, "h3_coarse", target_rows=50)
+
+
+def sql_salt_plan():
+    lon, lat = synth.geo_point_sql("k")
+    cell = TE.cell_id_sql("lon", "lat", 6)
+    return f"""
+WITH base AS (SELECT k FROM generate_series(0, 19999) t(k)),
+pts AS (SELECT {lon} AS lon, {lat} AS lat FROM base),
+cells AS (SELECT {cell} AS h3_coarse FROM pts)
+SELECT h3_coarse, count(*) AS n_rows,
+       CAST((count(*) + 49) // 50 AS BIGINT) AS n_salts
+FROM cells GROUP BY h3_coarse
+"""
+
+
 def q_hilbert(spark, sf_dir):
     """Hilbert-curve tile ordering (sql/tile_exprs.hilbert_d — the
     PMTiles physical order, reference src/pmtiles.cpp:16-173): customer
@@ -2847,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "phash_clusters": q_phash_clusters,
         "hilbert": q_hilbert,
+        "salt_plan": q_salt_plan,
         "ar_bucket": q_ar_bucket,
         "corrupt_scan": q_corrupt_scan,
         "image_canonical": q_image_canonical,
@@ -2928,6 +2957,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": sql_audio_features(),
         "phash_clusters": sql_phash_clusters(),
         "hilbert": sql_hilbert(),
+        "salt_plan": sql_salt_plan(),
         "ar_bucket": sql_ar_bucket(),
         "corrupt_scan": sql_corrupt_scan(),
         "image_canonical": sql_image_canonical(),

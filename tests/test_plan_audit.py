@@ -128,6 +128,8 @@ BUDGETS = {
     # hilbert: one per-tile groupBy shuffle; the curve fold itself is
     # a pure-Catalyst F.aggregate (zero UDF)
     "hilbert": (1, 0, 0),
+    # salt_plan: ONE map-side-combinable count shuffle, zero Python
+    "salt_plan": (1, 0, 0),
     "corrupt_scan": (0, 0, 2),
     "image_canonical": (5, 0, 0),
 }
