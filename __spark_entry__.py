@@ -1885,6 +1885,46 @@ FROM lab
 """
 
 
+def q_wkb_points(spark, sf_dir):
+    """GeoParquet interop: ISO WKB geometry-column ingestion
+    (sources/wkb.points_from_wkb — one vectorized np.frombuffer reshape
+    per Arrow batch, BOTH byte orders).  4,000 deterministic points are
+    serialized to WKB (every 3rd big-endian, the rest little-endian),
+    parsed back, and assigned to z10 tiles — the oracle recomputes the
+    tiles from the closed-form lon/lat, so any fault in the endian
+    handling, the type word, or the double extraction moves points to
+    wrong tiles and breaks the hash."""
+    from tilemaker_spark.sources import wkb as wkb_src
+    base = spark.range(4000)
+    lon, lat = synth.geo_point_expr(F.col("id"))
+    src = base.select(F.col("id").alias("geom_id"),
+                      lon.alias("_lon"), lat.alias("_lat"))
+    wk = src.select("geom_id",
+                    wkb_src.wkb_point_col(
+                        F.col("geom_id"), F.col("_lon"),
+                        F.col("_lat")).alias("wkb"))
+    pts = wkb_src.points_from_wkb(wk)
+    z = 10
+    return (pts.select(TE.lon2tilex(F.col("lon"), z).alias("x"),
+                       TE.lat2tiley(F.col("lat"), z).alias("y"))
+            .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_pts"))
+            .select(F.col("x").cast("int").alias("x"),
+                    F.col("y").cast("int").alias("y"), "n_pts"))
+
+
+def sql_wkb_points():
+    lon, lat = synth.geo_point_sql("k")
+    z = 10
+    return f"""
+WITH base AS (SELECT k FROM generate_series(0, 3999) t(k)),
+pts AS (SELECT {lon} AS lon, {lat} AS lat FROM base)
+SELECT CAST({TE.lon2tilex_sql('lon', z)} AS int) AS x,
+       CAST({TE.lat2tiley_sql('lat', z)} AS int) AS y,
+       count(*) AS n_pts
+FROM pts GROUP BY 1, 2
+"""
+
+
 def q_salt_plan(spark, sf_dir):
     """Data-driven skew salting plan (operators/skew.salt_plan): one
     counting pass over the image table's coarse H3 cells emits (cell,
@@ -2876,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_clusters": q_phash_clusters,
         "hilbert": q_hilbert,
         "salt_plan": q_salt_plan,
+        "wkb_points": q_wkb_points,
         "ar_bucket": q_ar_bucket,
         "corrupt_scan": q_corrupt_scan,
         "image_canonical": q_image_canonical,
@@ -2958,6 +2999,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_clusters": sql_phash_clusters(),
         "hilbert": sql_hilbert(),
         "salt_plan": sql_salt_plan(),
+        "wkb_points": sql_wkb_points(),
         "ar_bucket": sql_ar_bucket(),
         "corrupt_scan": sql_corrupt_scan(),
         "image_canonical": sql_image_canonical(),

@@ -130,6 +130,9 @@ BUDGETS = {
     "hilbert": (1, 0, 0),
     # salt_plan: ONE map-side-combinable count shuffle, zero Python
     "salt_plan": (1, 0, 0),
+    # wkb_points: pack UDF + vectorized parse (2 Arrow nodes) + one
+    # per-tile count shuffle
+    "wkb_points": (1, 0, 2),
     "corrupt_scan": (0, 0, 2),
     "image_canonical": (5, 0, 0),
 }

@@ -364,3 +364,72 @@ def test_pmtiles_auto_dense_rule(spark, tmp_path):
     pmtiles.write_pmtiles(tiles, p_forced, dense=True)
     with open(p_auto, "rb") as f1, open(p_forced, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_wkb_point_roundtrip_both_endians(spark):
+    """Packed doubles come back BIT-EXACT through the vectorized
+    parser, for both byte orders in one batch."""
+    from pyspark.sql import functions as F
+    from tilemaker_spark.sources import wkb as W
+    vals = [(0, 2.2945, 48.858222), (1, -171.75, -54.001),
+            (2, 179.9999999, 85.0511), (3, 0.0, 0.0)]
+    rows = [(i, W.wkb_point(lo, la, little=(i % 2 == 0)))
+            for i, lo, la in vals]
+    df = spark.createDataFrame(rows, "geom_id long, wkb binary")
+    got = {r["geom_id"]: (r["lon"], r["lat"])
+           for r in W.points_from_wkb(df).collect()}
+    for i, lo, la in vals:
+        assert got[i] == (lo, la), i
+    # non-point blob raises loudly, not silently drops
+    poly = W.wkb_polygon([[(0, 0), (1, 0), (1, 1), (0, 0)]])
+    bad = spark.createDataFrame([(9, poly)], "geom_id long, wkb binary")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        W.points_from_wkb(bad).collect()
+
+
+def test_wkb_polygon_roundtrip_and_pip(spark):
+    """Polygon WKB (outer + hole, both endians) parses to the internal
+    flat closed-ring layout, and the parsed coords drive the PIP
+    expression identically to hand-built coords."""
+    from pyspark.sql import functions as F
+    from tilemaker_spark.sources import wkb as W
+    from tilemaker_spark.operators.spatial_join import points_in_mp_expr
+    outer = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0),
+             (0.0, 0.0)]
+    hole = [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]
+    flat = [c for ring in (outer, hole) for xy in ring for c in xy]
+    for little in (True, False):
+        blob = W.wkb_polygon([outer, hole], little=little)
+        df = spark.createDataFrame([(1, blob)], "poly_id long, wkb binary")
+        got = W.polygons_from_wkb(df).collect()[0]
+        assert got["coords"] == flat, little
+        assert got["ring_sizes"] == [5, 5], little
+    # PIP through the parsed coords: inside outer yes, inside hole no
+    poly_df = W.polygons_from_wkb(
+        spark.createDataFrame([(1, W.wkb_polygon([outer, hole]))],
+                              "poly_id long, wkb binary"))
+    pts = spark.createDataFrame(
+        [(0, 2.0, 2.0), (1, 5.0, 5.0), (2, 11.0, 5.0)],
+        "pid long, px double, py double")
+    j = pts.crossJoin(poly_df).select(
+        "pid", points_in_mp_expr(F.col("px"), F.col("py"),
+                                 F.col("coords"),
+                                 F.col("ring_sizes")).alias("inside"))
+    got = {r["pid"]: r["inside"] for r in j.collect()}
+    assert got == {0: True, 1: False, 2: False}
+
+
+def test_wkb_polygon_rejects_malformed(spark):
+    from tilemaker_spark.sources import wkb as W
+    import pytest as _pytest
+    # unclosed ring
+    blob = W.wkb_polygon([[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)]])
+    df = spark.createDataFrame([(1, blob)], "poly_id long, wkb binary")
+    with _pytest.raises(Exception):
+        W.polygons_from_wkb(df).collect()
+    # wrong geometry type
+    pt = W.wkb_point(1.0, 2.0)
+    df2 = spark.createDataFrame([(1, pt)], "poly_id long, wkb binary")
+    with _pytest.raises(Exception):
+        W.polygons_from_wkb(df2).collect()
