@@ -1885,6 +1885,56 @@ FROM lab
 """
 
 
+def q_dirty_tiles(spark, sf_dir):
+    """Incremental tile maintenance (operators/incremental.
+    changed_point_tiles): diff two snapshots of the image table — v2
+    drops the first 50 rows, appends 50 new ones, and MOVES every 11th
+    surviving row to a fresh deterministic location — and emit the
+    distinct z7 tiles needing re-render (removed rows' tiles, added
+    rows' tiles, and BOTH tiles of moved rows).  One full-outer join
+    co-partitioned on the id + one distinct on the small dirty set; the
+    oracle declares the same adds/removes/moves closed-form."""
+    from tilemaker_spark.operators import incremental as inc_ops
+    k = F.col("id")
+    lon1, lat1 = synth.geo_point_expr(k)
+    v1 = spark.range(6000).select(
+        k.alias("image_id"), lon1.alias("lon"), lat1.alias("lat"))
+    lon2, lat2 = synth.geo_point_expr(k + F.lit(7000000))
+    v2 = (spark.range(50, 6050).select(
+        k.alias("image_id"),
+        F.when(k % 11 == 0, lon2).otherwise(lon1).alias("lon"),
+        F.when(k % 11 == 0, lat2).otherwise(lat1).alias("lat")))
+    out = inc_ops.changed_point_tiles(v1, v2, zoom=7)
+    return out.select(F.col("x").cast("int").alias("x"),
+                      F.col("y").cast("int").alias("y"))
+
+
+def sql_dirty_tiles():
+    lon1, lat1 = synth.geo_point_sql("k")
+    lon2, lat2 = synth.geo_point_sql("(k + 7000000)")
+    z = 7
+    return f"""
+WITH oldv AS (
+  SELECT k, {lon1} AS lon, {lat1} AS lat
+  FROM generate_series(0, 5999) t(k)
+),
+newv AS (
+  SELECT k,
+         CASE WHEN k % 11 = 0 THEN {lon2} ELSE {lon1} END AS lon,
+         CASE WHEN k % 11 = 0 THEN {lat2} ELSE {lat1} END AS lat
+  FROM generate_series(50, 6049) t(k)
+),
+dirty AS (
+  SELECT lon, lat FROM oldv WHERE k < 50 OR k % 11 = 0
+  UNION ALL
+  SELECT lon, lat FROM newv WHERE k >= 6000 OR k % 11 = 0
+)
+SELECT DISTINCT CAST({TE.lon2tilex_sql('lon', z)} AS int) AS x,
+                CAST({TE.lat2tiley_sql('lat', z)} AS int) AS y
+FROM dirty
+"""
+
+
 def q_wkb_points(spark, sf_dir):
     """GeoParquet interop: ISO WKB geometry-column ingestion
     (sources/wkb.points_from_wkb — one vectorized np.frombuffer reshape
@@ -2917,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert": q_hilbert,
         "salt_plan": q_salt_plan,
         "wkb_points": q_wkb_points,
+        "dirty_tiles": q_dirty_tiles,
         "ar_bucket": q_ar_bucket,
         "corrupt_scan": q_corrupt_scan,
         "image_canonical": q_image_canonical,
@@ -3000,6 +3051,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert": sql_hilbert(),
         "salt_plan": sql_salt_plan(),
         "wkb_points": sql_wkb_points(),
+        "dirty_tiles": sql_dirty_tiles(),
         "ar_bucket": sql_ar_bucket(),
         "corrupt_scan": sql_corrupt_scan(),
         "image_canonical": sql_image_canonical(),

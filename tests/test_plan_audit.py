@@ -133,6 +133,9 @@ BUDGETS = {
     # wkb_points: pack UDF + vectorized parse (2 Arrow nodes) + one
     # per-tile count shuffle
     "wkb_points": (1, 0, 2),
+    # dirty_tiles: full-outer join on the id + distinct on the small
+    # dirty set (AQE may broadcast a side at test scale), zero Python
+    "dirty_tiles": (3, 0, 0),
     "corrupt_scan": (0, 0, 2),
     "image_canonical": (5, 0, 0),
 }

@@ -395,3 +395,40 @@ def test_cover_kernel_microbench_golden_opcounts():
     assert tot_poly == 3245
     assert tot_line == 63376
     assert tot_fill == 293487
+
+
+def test_changed_point_tiles_semantics(spark):
+    """Hand fixture at z2 (90-degree tiles): unchanged rows emit
+    nothing; adds/removes emit their tile; a move emits BOTH tiles;
+    coincident dirty tiles dedup."""
+    from pyspark.sql import functions as F
+    from tilemaker_spark.operators.incremental import changed_point_tiles
+    old = spark.createDataFrame(
+        [(1, 10.0, 10.0),    # unchanged
+         (2, -170.0, 40.0),  # removed
+         (3, 100.0, -40.0),  # moved across tiles
+         (5, 10.0, 20.0)],   # unchanged (same tile as id 1)
+        "image_id long, lon double, lat double")
+    new = spark.createDataFrame(
+        [(1, 10.0, 10.0),
+         (3, -100.0, -40.0),
+         (4, -170.0, 40.0),  # added exactly where 2 was removed
+         (5, 10.0, 20.0)],
+        "image_id long, lon double, lat double")
+    got = {(r["x"], r["y"])
+           for r in changed_point_tiles(old, new, zoom=2).collect()}
+    from tilemaker_spark.kernels.proj import lon2tilex, lat2tiley
+    exp = set()
+    for lon, lat in [(-170.0, 40.0),   # removed 2 + added 4 (dedups)
+                     (100.0, -40.0),   # moved-from
+                     (-100.0, -40.0)]:  # moved-to
+        exp.add((int(lon2tilex(lon, 2)), int(lat2tiley(lat, 2))))
+    assert got == exp
+    assert len(got) == 3
+
+
+def test_changed_point_tiles_empty_delta(spark):
+    from tilemaker_spark.operators.incremental import changed_point_tiles
+    df = spark.createDataFrame([(1, 5.0, 5.0)],
+                               "image_id long, lon double, lat double")
+    assert changed_point_tiles(df, df, zoom=5).count() == 0
