@@ -1975,6 +1975,39 @@ FROM pts GROUP BY 1, 2
 """
 
 
+def q_wkb_pip(spark, sf_dir):
+    """Polygon WKB ingestion closing the loop into the spatial join:
+    the 25 nation boxes are serialized to ISO WKB polygons (mixed byte
+    orders), parsed back through sources/wkb.polygons_from_wkb into the
+    internal (coords, ring_sizes) layout, and drive the SAME
+    point-in-polygon join as pip_broadcast — so the oracle
+    (the plain box-predicate SQL) verifies the polygon byte parsing
+    end-to-end through the ray-cast expression."""
+    from tilemaker_spark.sources import wkb as wkb_src
+    n = _t(spark, sf_dir, "nation")
+    b = synth.nation_boxes_expr(F.col("n_nationkey"))
+    wk = n.select(
+        F.col("n_nationkey").alias("poly_id"),
+        wkb_src.wkb_box_col(F.col("n_nationkey"), b["minlon"], b["minlat"],
+                            b["maxlon"], b["maxlat"]).alias("wkb"))
+    polys = wkb_src.polygons_from_wkb(wk)
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
+    j = pts.crossJoin(F.broadcast(polys)).filter(
+        spatial_join.points_in_mp_expr(
+            F.col("lon"), F.col("lat"), F.col("coords"),
+            F.col("ring_sizes")))
+    return j.select(F.col("c_custkey").alias("custkey"),
+                    F.col("poly_id").cast("int").alias("nation_box"))
+
+
+def sql_wkb_pip():
+    # the boxes are half-open [min, max) in the fixture's SQL twin but
+    # the ray cast treats the ring edges with even-odd semantics; the
+    # synthetic customer points never land exactly ON a box edge (LCG
+    # doubles), so the two predicates agree on every row
+    return sql_pip()
+
+
 def q_salt_plan(spark, sf_dir):
     """Data-driven skew salting plan (operators/skew.salt_plan): one
     counting pass over the image table's coarse H3 cells emits (cell,
@@ -2966,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_clusters": q_phash_clusters,
         "hilbert": q_hilbert,
         "salt_plan": q_salt_plan,
+        "wkb_pip": q_wkb_pip,
         "wkb_points": q_wkb_points,
         "dirty_tiles": q_dirty_tiles,
         "ar_bucket": q_ar_bucket,
@@ -3050,6 +3084,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_clusters": sql_phash_clusters(),
         "hilbert": sql_hilbert(),
         "salt_plan": sql_salt_plan(),
+        "wkb_pip": sql_wkb_pip(),
         "wkb_points": sql_wkb_points(),
         "dirty_tiles": sql_dirty_tiles(),
         "ar_bucket": sql_ar_bucket(),

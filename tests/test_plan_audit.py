@@ -136,6 +136,9 @@ BUDGETS = {
     # dirty_tiles: full-outer join on the id + distinct on the small
     # dirty set (AQE may broadcast a side at test scale), zero Python
     "dirty_tiles": (3, 0, 0),
+    # wkb_pip: pack + parse Arrow nodes on the 25-polygon dim, the dim
+    # broadcasts into the ray-cast join, zero shuffles
+    "wkb_pip": (0, 1, 2),
     "corrupt_scan": (0, 0, 2),
     "image_canonical": (5, 0, 0),
 }

@@ -147,3 +147,22 @@ def wkb_point_col(id_col, lon_col, lat_col):
             for i, lo, la in zip(ids, lons, lats)])
 
     return pack(id_col, lon_col, lat_col)
+
+
+def wkb_box_col(id_col, minlon, minlat, maxlon, maxlat):
+    """Column of ISO WKB polygon blobs for axis-aligned boxes (closed
+    CCW ring) — fixture writer; every 3rd id big-endian."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("binary")
+    def pack(ids: pd.Series, a: pd.Series, b: pd.Series,
+             c: pd.Series, d: pd.Series) -> pd.Series:
+        out = []
+        for i, lo, la, hi, ha in zip(ids, a, b, c, d):
+            ring = [(float(lo), float(la)), (float(hi), float(la)),
+                    (float(hi), float(ha)), (float(lo), float(ha)),
+                    (float(lo), float(la))]
+            out.append(wkb_polygon([ring], little=(int(i) % 3 != 0)))
+        return pd.Series(out)
+
+    return pack(id_col, minlon, minlat, maxlon, maxlat)
