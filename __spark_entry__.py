@@ -1975,6 +1975,40 @@ FROM pts GROUP BY 1, 2
 """
 
 
+def q_filter_funnel(spark, sf_dir):
+    """LAION-style acceptance funnel (operators/images.filter_funnel —
+    Schuhmann et al. 2022 §2.2): every image+caption row classified by
+    its first failing gate (min side 20 px, aspect within [2/3, 3/2]
+    by integer cross-multiplication, caption ≥ 33 chars) and rolled up
+    to per-reason counts — the observability a 10^12-row filter stage
+    needs.  All gates integer-exact; the oracle replays them
+    literally.  Map-only + one tiny rollup shuffle."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.images_df(spark, 20000, with_bytes=False)
+    return image_ops.filter_funnel(img, min_side=20, ar_num=3, ar_den=2,
+                                   min_caption=33)
+
+
+def sql_filter_funnel():
+    # w/h/caption formulas mirror sources/synth.images_df; caption
+    # length = 18 + digits(k) + 4 + 8 = 30 + length(k as text)
+    return """
+WITH base AS (
+  SELECT k, 16 + (k % 5) * 8 AS w, 16 + ((k + 2) % 4) * 8 AS h,
+         30 + length(CAST(k AS VARCHAR)) AS clen
+  FROM generate_series(0, 19999) t(k)
+),
+r AS (
+  SELECT CASE WHEN w < 20 OR h < 20 THEN 'too_small'
+              WHEN w * 2 > h * 3 OR h * 2 > w * 3 THEN 'bad_aspect'
+              WHEN clen < 33 THEN 'short_caption'
+              ELSE 'ok' END AS reason
+  FROM base
+)
+SELECT reason, count(*) AS n FROM r GROUP BY reason
+"""
+
+
 def q_wkb_pip(spark, sf_dir):
     """Polygon WKB ingestion closing the loop into the spatial join:
     the 25 nation boxes are serialized to ISO WKB polygons (mixed byte
@@ -3000,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert": q_hilbert,
         "salt_plan": q_salt_plan,
         "wkb_pip": q_wkb_pip,
+        "filter_funnel": q_filter_funnel,
         "wkb_points": q_wkb_points,
         "dirty_tiles": q_dirty_tiles,
         "ar_bucket": q_ar_bucket,
@@ -3085,6 +3120,7 @@ def oracle_sql() -> dict[str, str]:
         "hilbert": sql_hilbert(),
         "salt_plan": sql_salt_plan(),
         "wkb_pip": sql_wkb_pip(),
+        "filter_funnel": sql_filter_funnel(),
         "wkb_points": sql_wkb_points(),
         "dirty_tiles": sql_dirty_tiles(),
         "ar_bucket": sql_ar_bucket(),

@@ -139,6 +139,8 @@ BUDGETS = {
     # wkb_pip: pack + parse Arrow nodes on the 25-polygon dim, the dim
     # broadcasts into the ray-cast join, zero shuffles
     "wkb_pip": (0, 1, 2),
+    # filter_funnel: map-only gates + one tiny rollup shuffle
+    "filter_funnel": (1, 0, 0),
     "corrupt_scan": (0, 0, 2),
     "image_canonical": (5, 0, 0),
 }

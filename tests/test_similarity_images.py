@@ -538,3 +538,21 @@ def test_scan_corrupt_classifies(spark):
         "trunc_png": "corrupt", "trunc_jpg": "corrupt",
         "empty": "bad_magic",
     }
+
+
+def test_filter_funnel_first_failing_gate(spark):
+    """Rows failing several gates report only the FIRST (the funnel is
+    a partition, so reason counts sum to the corpus size)."""
+    rows = [
+        ("a", 10, 10, "x" * 50),    # too_small (even though caption ok)
+        ("b", 60, 30, "x" * 50),    # bad_aspect (w*2 > h*3)
+        ("c", 30, 30, "tiny"),      # short_caption
+        ("d", 30, 30, "x" * 50),    # ok
+        ("e", 10, 60, "y"),         # too_small wins over aspect+caption
+    ]
+    df = spark.createDataFrame(rows, "image_id string, w int, h int,"
+                                     " caption string")
+    got = {r["reason"]: r["n"] for r in images.filter_funnel(
+        df, min_side=20, ar_num=3, ar_den=2, min_caption=33).collect()}
+    assert got == {"too_small": 2, "bad_aspect": 1,
+                   "short_caption": 1, "ok": 1}

@@ -625,3 +625,32 @@ def scan_corrupt(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, schema=schema)
+
+
+def filter_funnel(images: DataFrame, min_side: int = 32,
+                  ar_num: int = 3, ar_den: int = 2,
+                  min_caption: int = 33,
+                  w_col: str = "w", h_col: str = "h",
+                  caption_col: str = "caption") -> DataFrame:
+    """LAION-style acceptance funnel for an image+caption corpus
+    (Schuhmann et al. 2022 §2.2 run exactly this chain before CLIP
+    scoring): classify every row by its FIRST failing gate —
+    'too_small' (either side < min_side), 'bad_aspect' (w/h outside
+    [ar_den/ar_num, ar_num/ar_den], checked by integer
+    cross-multiplication, no floats), 'short_caption' (< min_caption chars), else 'ok' —
+    and roll up the counts.  The per-reason funnel is the
+    observability a 10^12-row filter stage needs: silent-drop
+    pipelines cannot explain WHERE the corpus went.
+
+    Map-only projection + one tiny rollup shuffle (#reasons rows out);
+    all gates integer-exact, so the report is oracle-checkable."""
+    w, h = F.col(w_col), F.col(h_col)
+    reason = (
+        F.when((w < min_side) | (h < min_side), F.lit("too_small"))
+        .when((w * ar_den > h * ar_num) | (h * ar_den > w * ar_num),
+              F.lit("bad_aspect"))
+        .when(F.length(caption_col) < min_caption,
+              F.lit("short_caption"))
+        .otherwise(F.lit("ok")))
+    return (images.select(reason.alias("reason"))
+            .groupBy("reason").agg(F.count(F.lit(1)).alias("n")))
