@@ -38,7 +38,7 @@ def main():
         "tile_assign", "quadkey", "geohash", "hilbert", "cell_index",
         "hex_index", "pip_broadcast",
         "pip_cell", "knn", "radius_join", "salt_plan", "wkb_points",
-        "dirty_tiles",
+        "wkb_pip", "dirty_tiles",
         "way_assembly", "zorder_topk", "tiles_rollup", "pricing_summary",
         "shipping_priority", "dedup_exact", "text_stats", "ngram_jaccard",
         "jaccard_prefix", "minhash_pairs", "dedup_clusters",
@@ -48,7 +48,7 @@ def main():
         "decontam", "stratified", "pii_redact", "pack_blocks", "length_median",
         "ann_topk", "ann_ivf", "retrieval_eval",
         "channel_stats", "mixup_check", "shard_roundtrip", "grayscale_check",
-        "ar_bucket", "corrupt_scan", "image_canonical",
+        "ar_bucket", "filter_funnel", "corrupt_scan", "image_canonical",
         "cover_large", "poly_union",
         "area_intersect",
         "rel_members", "pip_line", "covered_by", "line_clip",
