@@ -1975,6 +1975,37 @@ FROM pts GROUP BY 1, 2
 """
 
 
+def q_pip_anti(spark, sf_dir):
+    """Spatial ANTI-join — the complement the join family was missing
+    (PIP / Intersects / CoveredBy / kNN / DWithin cover the positive
+    side): customers located in NO nation box, as one broadcast
+    left_anti nested-loop against the 25-polygon dim with the SAME
+    ray-cast predicate the positive PIP paths use (operators/
+    spatial_join.points_in_mp_expr).  The ocean/no-coverage partition
+    of a corpus is a first-class output at 10^12 rows (it decides what
+    falls back to coarser geo metadata); the oracle is the plain
+    NOT EXISTS box predicate."""
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
+    boxes = _nation_boxes(spark, sf_dir)
+    inside = spatial_join.points_in_mp_expr(
+        F.col("lon"), F.col("lat"), F.col("coords"), F.col("ring_sizes"))
+    j = pts.join(F.broadcast(boxes.select("coords", "ring_sizes")),
+                 on=inside, how="left_anti")
+    return j.select(F.col("c_custkey").alias("custkey"))
+
+
+def sql_pip_anti():
+    return f"""
+SELECT c.c_custkey AS custkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM nation n
+  WHERE {CUST_LON} >= {NB['minlon']} AND {CUST_LON} < {NB['maxlon']}
+    AND {CUST_LAT} >= {NB['minlat']} AND {CUST_LAT} < {NB['maxlat']}
+)
+"""
+
+
 def q_filter_funnel(spark, sf_dir):
     """LAION-style acceptance funnel (operators/images.filter_funnel —
     Schuhmann et al. 2022 §2.2): every image+caption row classified by
@@ -3035,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salt_plan": q_salt_plan,
         "wkb_pip": q_wkb_pip,
         "filter_funnel": q_filter_funnel,
+        "pip_anti": q_pip_anti,
         "wkb_points": q_wkb_points,
         "dirty_tiles": q_dirty_tiles,
         "ar_bucket": q_ar_bucket,
@@ -3121,6 +3153,7 @@ def oracle_sql() -> dict[str, str]:
         "salt_plan": sql_salt_plan(),
         "wkb_pip": sql_wkb_pip(),
         "filter_funnel": sql_filter_funnel(),
+        "pip_anti": sql_pip_anti(),
         "wkb_points": sql_wkb_points(),
         "dirty_tiles": sql_dirty_tiles(),
         "ar_bucket": sql_ar_bucket(),

@@ -37,7 +37,7 @@ def main():
     headline = [
         "tile_assign", "quadkey", "geohash", "hilbert", "cell_index",
         "hex_index", "pip_broadcast",
-        "pip_cell", "knn", "radius_join", "salt_plan", "wkb_points",
+        "pip_cell", "pip_anti", "knn", "radius_join", "salt_plan", "wkb_points",
         "wkb_pip", "dirty_tiles",
         "way_assembly", "zorder_topk", "tiles_rollup", "pricing_summary",
         "shipping_priority", "dedup_exact", "text_stats", "ngram_jaccard",

@@ -141,6 +141,8 @@ BUDGETS = {
     "wkb_pip": (0, 1, 2),
     # filter_funnel: map-only gates + one tiny rollup shuffle
     "filter_funnel": (1, 0, 0),
+    # pip_anti: broadcast left_anti nested loop, zero shuffles/Python
+    "pip_anti": (0, 1, 0),
     "corrupt_scan": (0, 0, 2),
     "image_canonical": (5, 0, 0),
 }
