@@ -2217,6 +2217,73 @@ FROM generate_series(0, 599) t(k)
 """
 
 
+def q_multimodal_dups(spark, sf_dir):
+    """Multimodal JOINT dedup — the policy serious image+caption
+    pipelines use to avoid boilerplate-caption false positives: a pair
+    is a duplicate only when BOTH modalities agree (caption exact-hash
+    equality AND phash hamming <= 4 through the chunk blocking).  1,800
+    images in 450 planted groups of 4: every group is phash-near, but
+    only every 3rd group shares a caption — so caption-only dedup and
+    phash-only dedup both overclaim, and the intersection (computed as
+    an equi-join of the two pair sets, both sides bucketed generators,
+    never all-pairs) keeps exactly the double-confirmed 900 pairs.  The
+    oracle regenerates both planted predicates and intersects them in
+    SQL."""
+    from tilemaker_spark.operators import dedup as dedup_ops
+    from tilemaker_spark.operators import images as image_ops
+    df = spark.range(1800).select(
+        F.col("id").alias("image_id"),
+        F.expr(
+            "CAST((((id div 4) * 1103515245 + 12345) % 2147483648)"
+            " * 1000003 AS BIGINT) ^ "
+            "CASE WHEN id % 4 = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), "
+            "CAST(((id div 4) * 7 + (id % 4) * 13) % 61 AS INT)) END"
+        ).alias("phash"),
+        F.when((F.col("id") / 4).cast("long") % 3 == 0,
+               F.concat(F.lit("caption of group "),
+                        (F.col("id") / 4).cast("long").cast("string")))
+        .otherwise(F.concat(F.lit("unique caption "),
+                            F.col("id").cast("string"))).alias("caption"))
+    p_pairs = image_ops.phash_near_dups(df, max_hamming=4)
+    c_pairs = (df.alias("a").join(
+        df.alias("b"),
+        (F.col("a.caption") == F.col("b.caption"))
+        & (F.col("a.image_id") < F.col("b.image_id")))
+        .select(F.col("a.image_id").alias("id_a"),
+                F.col("b.image_id").alias("id_b")))
+    both = p_pairs.join(c_pairs, on=["id_a", "id_b"], how="inner")
+    return both.select("id_a", "id_b", "hamming")
+
+
+def sql_multimodal_dups():
+    return """
+WITH r AS (SELECT unnest(generate_series(0, 1799)) AS k),
+t AS (
+  SELECT k,
+         xor(CAST((((k // 4) * 1103515245 + 12345) % 2147483648)
+                  * 1000003 AS BIGINT),
+             CASE WHEN k % 4 = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (CAST(1 AS BIGINT)
+                        << CAST(((k // 4) * 7 + (k % 4) * 13) % 61
+                                AS INT)) END) AS phash,
+         CASE WHEN (k // 4) % 3 = 0
+              THEN 'caption of group ' || (k // 4)
+              ELSE 'unique caption ' || k END AS caption
+  FROM r
+)
+SELECT a.k AS id_a, b.k AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS int) AS hamming
+FROM t a JOIN t b ON a.k < b.k
+WHERE a.caption = b.caption
+  AND bit_count(xor(a.phash, b.phash)) <= 4
+  AND ( (a.phash & 65535) = (b.phash & 65535)
+     OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
+     OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
+     OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535) )
+"""
+
+
 def q_image_canonical(spark, sf_dir):
     """Keep-best-copy image dedup — the stage after near-dup clustering
     where the pipeline picks which copy of each duplicate group to
@@ -3072,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar_bucket": q_ar_bucket,
         "corrupt_scan": q_corrupt_scan,
         "image_canonical": q_image_canonical,
+        "multimodal_dups": q_multimodal_dups,
         "image_quality": q_image_quality,
         "resize_check": q_resize_check,
         "augment_check": q_augment_check,
@@ -3159,6 +3227,7 @@ def oracle_sql() -> dict[str, str]:
         "ar_bucket": sql_ar_bucket(),
         "corrupt_scan": sql_corrupt_scan(),
         "image_canonical": sql_image_canonical(),
+        "multimodal_dups": sql_multimodal_dups(),
         "image_quality": sql_image_quality(),
         "resize_check": sql_resize_check(),
         "augment_check": sql_augment_check(),

@@ -48,7 +48,7 @@ def main():
         "decontam", "stratified", "pii_redact", "pack_blocks", "length_median",
         "ann_topk", "ann_ivf", "retrieval_eval",
         "channel_stats", "mixup_check", "shard_roundtrip", "grayscale_check",
-        "ar_bucket", "filter_funnel", "corrupt_scan", "image_canonical",
+        "ar_bucket", "filter_funnel", "corrupt_scan", "image_canonical", "multimodal_dups",
         "cover_large", "poly_union",
         "area_intersect",
         "rel_members", "pip_line", "covered_by", "line_clip",

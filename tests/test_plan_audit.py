@@ -145,6 +145,10 @@ BUDGETS = {
     "pip_anti": (0, 1, 0),
     "corrupt_scan": (0, 0, 2),
     "image_canonical": (5, 0, 0),
+    # multimodal_dups: phash chunk-pair distinct (2 exchanges) with
+    # the caption equi-join + intersection broadcast at test scale;
+    # zero Python nodes — all three pair sets pure Catalyst
+    "multimodal_dups": (2, 2, 0),
 }
 
 
