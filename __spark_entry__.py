@@ -1418,6 +1418,35 @@ def sql_sessionize():
     return sessions_ops.sessionize_oracle_sql(gap_minutes=30.0)
 
 
+def q_sliding_users(spark, sf_dir):
+    """SLIDING-window active users — the pattern tumbling windows can't
+    express (every event belongs to 2 overlapping windows): 2-hour
+    windows sliding hourly, per-window event count + DISTINCT user
+    count, via the native F.window generator (epoch-aligned, the same
+    relation its Structured Streaming twin maintains incrementally).
+    The oracle expands each event into its two window starts explicitly
+    and re-aggregates — same relation, independent derivation."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .select(F.col("w.start").alias("win_start"),
+                    "n_events", "n_users"))
+
+
+def sql_sliding_users():
+    return """
+WITH ex AS (
+  SELECT date_trunc('hour', ts) AS win_start, user_id FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, user_id FROM events
+)
+SELECT win_start, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM ex GROUP BY win_start
+"""
+
+
 def q_caption_check(spark, sf_dir):
     """Caption byte-identity verification — the second half of the
     BASELINE per-row invariant (operators/images.verify_captions; pixels
@@ -3101,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "events_window": q_events_window,
+        "sliding_users": q_sliding_users,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -3187,6 +3217,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": sql_pricing_summary(),
         "shipping_priority": sql_shipping_priority(),
         "events_window": sql_events_window(),
+        "sliding_users": sql_sliding_users(),
         "dedup_exact": sql_dedup_exact(),
         "text_stats": text_ops.text_stats_oracle_sql(),
         "lang_id": text_ops.lang_scores_oracle_sql(),

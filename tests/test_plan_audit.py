@@ -149,6 +149,8 @@ BUDGETS = {
     # the caption equi-join + intersection broadcast at test scale;
     # zero Python nodes — all three pair sets pure Catalyst
     "multimodal_dups": (2, 2, 0),
+    # sliding_users: window explode + two-phase distinct agg
+    "sliding_users": (2, 0, 0),
 }
 
 
