@@ -3109,6 +3109,96 @@ GROUP BY x, y
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward-inclusive AS-OF join (operators/temporal.asof_join):
+    every click event attaches the latest prior (ties inclusive)
+    purchase of the same user — the attribution query time-series
+    engines ship natively and vanilla Spark lacks.  Union-merge plan:
+    ONE shuffle on user_id, one window pass, no UDF, never quadratic.
+    The right side is pre-aggregated to unique (user, ts) as any as-of
+    engine requires.  The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``
+    — a fully independent implementation of the same semantics.  The
+    gap rides as exact integer microseconds (unix_micros/epoch_us), so
+    no float canonicalization is involved."""
+    from tilemaker_spark.operators import temporal
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("purchase_value")))
+    out = temporal.asof_join(clicks, purchases, keys=["user_id"])
+    return out.select(
+        "event_id", "user_id", "purchase_value",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("matched_ts").cast("timestamp")))
+        .alias("gap_us"))
+
+
+def sql_asof_join():
+    return """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, r.purchase_value,
+       epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_interval_join(spark, sf_dir):
+    """Interval-containment join (operators/temporal.interval_join):
+    15k cohort-scoped campaign windows (derived deterministically from
+    orders, shifted into the events month) x the events stream -> per-
+    campaign event count + integer value sum.  Spark plan: points get
+    one day-bin, intervals explode to their covered day-bins
+    (sequence), plain equi-join on (cohort, bin), exact containment
+    filter — no cross product, no inequality join, AQE/salting apply
+    unchanged.  The oracle is DuckDB's direct inequality join (BETWEEN)
+    over the identical interval derivation.  Sum is floor(value) per
+    event (bit-identical IEEE on both engines) so re-aggregation order
+    cannot perturb the hash."""
+    from tilemaker_spark.operators import temporal
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "ts", "value",
+                  (F.col("user_id") % 100).alias("cohort")))
+    iv = (_t(spark, sf_dir, "orders")
+          .select(
+              "o_orderkey",
+              (F.col("o_custkey") % 100).alias("cohort"),
+              F.expr("timestampadd(HOUR, int(o_orderkey % 672), "
+                     "TIMESTAMP '2024-01-01')").alias("iv_start"))
+          .withColumn("iv_end", F.expr(
+              "timestampadd(HOUR, int(1 + o_orderkey % 47), iv_start)")))
+    j = temporal.interval_join(ev, iv, point_ts="ts", keys=["cohort"],
+                               bin_seconds=86400)
+    return (j.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.floor("value")).alias("sum_value_floor")))
+
+
+def sql_interval_join():
+    return """
+WITH iv AS (
+  SELECT o_orderkey, o_custkey % 100 AS cohort,
+         TIMESTAMP '2024-01-01'
+           + INTERVAL 1 HOUR * (o_orderkey % 672) AS iv_start,
+         TIMESTAMP '2024-01-01'
+           + INTERVAL 1 HOUR * (o_orderkey % 672)
+           + INTERVAL 1 HOUR * (1 + o_orderkey % 47) AS iv_end
+  FROM orders
+)
+SELECT iv.o_orderkey, count(*) AS n_events,
+       sum(CAST(floor(e.value) AS BIGINT)) AS sum_value_floor
+FROM iv JOIN events e
+  ON e.user_id % 100 = iv.cohort AND e.ts BETWEEN iv.iv_start AND iv.iv_end
+GROUP BY iv.o_orderkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -3193,6 +3283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid": q_label_centroid,
         "raster_roundtrip": q_raster_roundtrip,
         "simplify": q_simplify,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
     }
 
 
@@ -3281,4 +3373,6 @@ def oracle_sql() -> dict[str, str]:
         "getdata_lookup": sql_getdata_lookup(),
         "label_centroid": sql_label_centroid(),
         "simplify": sql_simplify(),
+        "asof_join": sql_asof_join(),
+        "interval_join": sql_interval_join(),
     }

@@ -43,7 +43,8 @@ def main():
         "shipping_priority", "dedup_exact", "text_stats", "ngram_jaccard",
         "jaccard_prefix", "minhash_pairs", "dedup_clusters",
         "corpus_dedup",
-        "phash_clusters", "sessionize", "sliding_users", "hash_split", "bpe_tokens",
+        "phash_clusters", "sessionize", "sliding_users", "asof_join",
+        "interval_join", "hash_split", "bpe_tokens",
         "repetition", "bpe_pairs", "substring_dups", "tfidf_terms",
         "decontam", "stratified", "pii_redact", "pack_blocks", "length_median",
         "ann_topk", "ann_ivf", "retrieval_eval",

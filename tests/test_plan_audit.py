@@ -71,6 +71,12 @@ BUDGETS = {
     "repetition": (0, 0, 0),
     "bpe_pairs": (2, 0, 0),
     "substring_dups": (2, 0, 0),
+    # asof_join: 1 exchange for the right-side (user,ts) pre-agg + the
+    # ONE union-window shuffle on user_id the operator owns; zero UDF.
+    # interval_join: AQE broadcasts both tiny sf0.001 sides of the
+    # (cohort,bin) equi-join; the single exchange is the per-order agg.
+    "asof_join": (2, 0, 0),
+    "interval_join": (1, 2, 0),
     # caption verify is a pure map-only projection over the synthesized
     # metadata table (no bytes, no join) — zero everything
     "caption_check": (0, 0, 0),
