@@ -3199,6 +3199,47 @@ GROUP BY iv.o_orderkey
 """
 
 
+_BOILER = ("free shipping on all orders click here to subscribe now")
+
+
+def q_boilerplate(spark, sf_dir):
+    """C4-style boilerplate-LINE removal (operators/text.py
+    remove_boilerplate_lines): drop every 10-word line occurring in >= 3
+    distinct documents, rewrite each doc from its survivors, fingerprint
+    the rewritten bytes.  The corpus is organic word soup with no real
+    boilerplate, so a 10-word ad phrase is deterministically planted
+    into words 11-20 of every doc_id%7==0 document (>= 21 words) —
+    exercising the REMOVAL path; both engines plant identically.
+    3 shuffles (line freq agg + anti-join + per-doc re-agg), zero UDF,
+    no self-join; the hot-line dictionary is the only distinct state."""
+    from tilemaker_spark.operators import text as text_ops2
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    planted = d.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 7 == 0) & (F.size(words) >= 21),
+               F.array_join(F.concat(
+                   F.slice(words, 1, 10),
+                   F.split(F.lit(_BOILER), " "),
+                   F.slice(words, 21, 1 << 30)), " "))
+        .otherwise(F.col("text")).alias("text"))
+    return text_ops2.remove_boilerplate_lines(planted)
+
+
+def sql_boilerplate():
+    from tilemaker_spark.operators import text as text_ops2
+    boiler_list = "['" + "','".join(_BOILER.split(" ")) + "']"
+    plant = f"""
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 21
+       THEN array_to_string(list_concat(list_concat(
+              string_split(text, ' ')[1:10], {boiler_list}),
+              string_split(text, ' ')[21:len(string_split(text, ' '))]), ' ')
+       ELSE text END AS text
+FROM documents"""
+    return text_ops2.remove_boilerplate_oracle_sql(source_cte=plant)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -3285,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify": q_simplify,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "boilerplate": q_boilerplate,
     }
 
 
@@ -3375,4 +3417,5 @@ def oracle_sql() -> dict[str, str]:
         "simplify": sql_simplify(),
         "asof_join": sql_asof_join(),
         "interval_join": sql_interval_join(),
+        "boilerplate": sql_boilerplate(),
     }

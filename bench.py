@@ -45,7 +45,8 @@ def main():
         "corpus_dedup",
         "phash_clusters", "sessionize", "sliding_users", "asof_join",
         "interval_join", "hash_split", "bpe_tokens",
-        "repetition", "bpe_pairs", "substring_dups", "tfidf_terms",
+        "repetition", "bpe_pairs", "substring_dups", "boilerplate",
+        "tfidf_terms",
         "decontam", "stratified", "pii_redact", "pack_blocks", "length_median",
         "ann_topk", "ann_ivf", "retrieval_eval",
         "channel_stats", "mixup_check", "shard_roundtrip", "grayscale_check",

@@ -77,6 +77,9 @@ BUDGETS = {
     # (cohort,bin) equi-join; the single exchange is the per-order agg.
     "asof_join": (2, 0, 0),
     "interval_join": (1, 2, 0),
+    # boilerplate: line-freq agg + per-doc re-agg + countDistinct
+    # expansion; the hot-line dictionary and doc-totals dim broadcast
+    "boilerplate": (3, 2, 0),
     # caption verify is a pure map-only projection over the synthesized
     # metadata table (no bytes, no join) — zero everything
     "caption_check": (0, 0, 0),

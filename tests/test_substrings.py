@@ -205,3 +205,48 @@ def test_redact_pii_planted(spark):
     want = hashlib.md5(
         b"mail me at <EMAIL> or <IP> thanks").hexdigest()
     assert out[1]["clean_fp"] == want
+
+
+class TestBoilerplateRemoval:
+    def _run(self, spark, rows, **kw):
+        from tilemaker_spark.operators.text import remove_boilerplate_lines
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in
+                remove_boilerplate_lines(df, **kw).collect()}
+
+    def test_hot_line_removed_unique_kept(self, spark):
+        import hashlib
+        boiler = "b1 b2 b3"
+        rows = [(i, f"u{i}a u{i}b u{i}c {boiler}") for i in range(3)]
+        rows.append((9, "x1 x2 x3 y1 y2 y3"))
+        out = self._run(spark, rows, words_per_line=3, min_docs=3)
+        for i in range(3):
+            assert out[i]["n_lines"] == 2 and out[i]["n_removed"] == 1
+            want = hashlib.md5(f"u{i}a u{i}b u{i}c".encode()).hexdigest()
+            assert out[i]["clean_fp"] == want
+        assert out[9]["n_removed"] == 0
+        want9 = hashlib.md5(b"x1 x2 x3 y1 y2 y3").hexdigest()
+        assert out[9]["clean_fp"] == want9
+
+    def test_below_threshold_survives(self, spark):
+        rows = [(0, "a b c"), (1, "a b c"), (2, "z z z")]
+        out = self._run(spark, rows, words_per_line=3, min_docs=3)
+        assert all(r["n_removed"] == 0 for r in out.values())
+
+    def test_fully_boilerplate_doc_empty_fingerprint(self, spark):
+        import hashlib
+        rows = [(i, "same line here") for i in range(4)]
+        out = self._run(spark, rows, words_per_line=3, min_docs=3)
+        empty = hashlib.md5(b"").hexdigest()
+        for r in out.values():
+            assert r["n_removed"] == 1 and r["clean_fp"] == empty
+
+    def test_short_tail_line_and_position_order(self, spark):
+        import hashlib
+        # 7 words -> lines of 3: "a b c", "d e f", "g"; middle line hot
+        rows = [(i, f"a{i} b{i} c{i} hot hot hot g{i}") for i in range(3)]
+        out = self._run(spark, rows, words_per_line=3, min_docs=3)
+        for i in range(3):
+            assert out[i]["n_lines"] == 3 and out[i]["n_removed"] == 1
+            want = hashlib.md5(f"a{i} b{i} c{i} g{i}".encode()).hexdigest()
+            assert out[i]["clean_fp"] == want

@@ -581,3 +581,105 @@ def redact_pii(df: DataFrame, text_col: str = "text",
         F.regexp_count(c, F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
         F.regexp_count(c, F.lit(PII_IPV4)).cast("int").alias("n_ips"),
         F.md5(redacted).alias("clean_fp"))
+
+
+def remove_boilerplate_lines(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             words_per_line: int = 10,
+                             min_docs: int = 3) -> DataFrame:
+    """C4-style boilerplate-line removal (Raffel et al. 2020 §2.2): drop
+    every line that occurs in >= ``min_docs`` DISTINCT documents, then
+    rewrite each document from its surviving lines — the dedup stage
+    that REMOVES repeated boilerplate ("click here to subscribe")
+    rather than whole near-duplicate documents.
+
+    The corpus here is single-line, so a "line" is a fixed
+    ``words_per_line``-word chunk (the same convention line-less corpora
+    use); real newline-delimited text would swap the chunker for
+    ``split(text, '\\n')`` and nothing else changes.
+
+    Output: (id, n_lines, n_removed, clean_fp = md5 of the rewritten
+    text) — the fingerprint makes the REWRITE itself cross-engine
+    verifiable, not just the counts.
+
+    Plan (3 shuffles, zero UDF): chunk via sequence/slice/posexplode in
+    pure Catalyst -> line-frequency agg (map-side combined; the hot-line
+    dictionary is the only distinct-line state) -> join lines against
+    hot lines (AQE broadcasts the hot side when small, which at corpus
+    scale it is: boilerplate is by definition the repeated minority) ->
+    per-doc re-agg in position order.  No self-join, no all-pairs.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(float(words_per_line)))
+    lines = (df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(
+            F.sequence(F.lit(1), n_lines.cast("int")),
+            lambda i: F.array_join(
+                F.slice(words, (i - 1) * words_per_line + 1,
+                        words_per_line), " ")))
+        .alias("pos", "line")))
+    hot = (lines.groupBy("line")
+           .agg(F.countDistinct(id_col).alias("nd"))
+           .filter(F.col("nd") >= min_docs)
+           .select("line"))
+    kept = lines.join(hot, "line", "left_anti")
+    per_doc = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]), " ").alias("clean")))
+    totals = df.select(F.col(id_col), n_lines.cast("long").alias("n_lines"))
+    return (totals.join(per_doc, id_col, "left")
+            .select(
+                id_col, "n_lines",
+                (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                .cast("long").alias("n_removed"),
+                F.md5(F.coalesce(F.col("clean"), F.lit("")))
+                .alias("clean_fp")))
+
+
+def remove_boilerplate_oracle_sql(table: str = "documents",
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  words_per_line: int = 10,
+                                  min_docs: int = 3,
+                                  source_cte: str | None = None) -> str:
+    """DuckDB twin of :func:`remove_boilerplate_lines` — independent
+    chunking (1-based inclusive list slices + lateral generate_series)
+    and an explicit total/kept anti-join reconciliation."""
+    src = source_cte or f"SELECT {id_col}, {text_col} FROM {table}"
+    w = words_per_line
+    return f"""
+WITH src AS ({src}),
+ws AS (
+  SELECT {id_col} AS id, string_split({text_col}, ' ') AS words FROM src
+),
+lines AS (
+  SELECT id, i AS pos,
+         array_to_string(words[((i-1)*{w}+1):(i*{w})], ' ') AS line
+  FROM ws, LATERAL (SELECT unnest(generate_series(
+       1, CAST(ceil(len(words)/{w}.0) AS BIGINT))) AS i) g
+),
+hot AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT id) >= {min_docs}
+),
+kept AS (
+  SELECT l.* FROM lines l WHERE l.line NOT IN (SELECT line FROM hot)
+),
+per_doc AS (
+  SELECT id, count(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY pos) AS clean
+  FROM kept GROUP BY id
+),
+totals AS (
+  SELECT id, CAST(ceil(len(words)/{w}.0) AS BIGINT) AS n_lines FROM ws
+)
+SELECT t.id AS {id_col}, t.n_lines,
+       t.n_lines - coalesce(p.n_kept, 0) AS n_removed,
+       md5(coalesce(p.clean, '')) AS clean_fp
+FROM totals t LEFT JOIN per_doc p ON t.id = p.id
+"""
