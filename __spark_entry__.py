@@ -2246,6 +2246,42 @@ FROM generate_series(0, 599) t(k)
 """
 
 
+def q_image_meta(spark, sf_dir):
+    """Header-only image profiling (operators/images.image_meta):
+    dimensions + container format read straight from the PNG IHDR /
+    JPEG SOF0 headers with pure Catalyst (hex + fixed-offset substr +
+    byte-aligned regexp) — ZERO decode, ZERO Python in the parse.
+    1,500 real kernel-encoded blobs (2/3 PNG, 1/3 JPEG), every
+    k%11==7 blob truncated to 4 bytes (interrupted download) so the
+    'unknown' fallback path is exercised too.  The oracle recomputes
+    the expected (fmt, w, h) from the synth formulas — a drift in
+    either codec's header layout OR the parser breaks the hash.
+    This is the first pass a 100 TB crawl profiling stage runs: w/h
+    for every blob without paying for a single pixel decode."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.images_df(spark, 1500, with_bytes=True, partitions=16)
+    k = F.substring_index(F.col("image_id"), "_", -1).cast("long")
+    planted = img.withColumn(
+        "bytes",
+        F.when(k % 11 == 7, F.expr("substring(bytes, 1, 4)"))
+        .otherwise(F.col("bytes")))
+    return image_ops.image_meta(planted)
+
+
+def sql_image_meta():
+    # twin of images_df's dim/format formulas with the truncation plant
+    return """
+SELECT printf('img_%012d', k) AS image_id,
+       CASE WHEN k % 11 = 7 THEN 'unknown'
+            WHEN k % 3 = 0 THEN 'jpeg' ELSE 'png' END AS fmt_hdr,
+       CASE WHEN k % 11 = 7 THEN NULL
+            ELSE CAST(16 + (k % 5) * 8 AS int) END AS w_hdr,
+       CASE WHEN k % 11 = 7 THEN NULL
+            ELSE CAST(16 + ((k + 2) % 4) * 8 AS int) END AS h_hdr
+FROM generate_series(0, 1499) t(k)
+"""
+
+
 def q_multimodal_dups(spark, sf_dir):
     """Multimodal JOINT dedup — the policy serious image+caption
     pipelines use to avoid boilerplate-caption false positives: a pair
@@ -3299,6 +3335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dirty_tiles": q_dirty_tiles,
         "ar_bucket": q_ar_bucket,
         "corrupt_scan": q_corrupt_scan,
+        "image_meta": q_image_meta,
         "image_canonical": q_image_canonical,
         "multimodal_dups": q_multimodal_dups,
         "image_quality": q_image_quality,
@@ -3391,6 +3428,7 @@ def oracle_sql() -> dict[str, str]:
         "dirty_tiles": sql_dirty_tiles(),
         "ar_bucket": sql_ar_bucket(),
         "corrupt_scan": sql_corrupt_scan(),
+        "image_meta": sql_image_meta(),
         "image_canonical": sql_image_canonical(),
         "multimodal_dups": sql_multimodal_dups(),
         "image_quality": sql_image_quality(),

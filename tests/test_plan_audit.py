@@ -153,6 +153,9 @@ BUDGETS = {
     # pip_anti: broadcast left_anti nested loop, zero shuffles/Python
     "pip_anti": (0, 1, 0),
     "corrupt_scan": (0, 0, 2),
+    # image_meta: header parse is pure Catalyst — the single Arrow
+    # node is the synth encoder, not the operator
+    "image_meta": (0, 0, 1),
     "image_canonical": (5, 0, 0),
     # multimodal_dups: phash chunk-pair distinct (2 exchanges) with
     # the caption equi-join + intersection broadcast at test scale;

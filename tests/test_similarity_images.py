@@ -556,3 +556,34 @@ def test_filter_funnel_first_failing_gate(spark):
         df, min_side=20, ar_num=3, ar_den=2, min_caption=33).collect()}
     assert got == {"too_small": 2, "bad_aspect": 1,
                    "short_caption": 1, "ok": 1}
+
+
+def test_image_meta_header_only_exact(spark):
+    """Header-extracted (fmt, w, h) equal the encoder's inputs for
+    both codecs; truncated blobs fall into the 'unknown' bucket with
+    NULL dims; and the parse plan contains zero Python nodes."""
+    from tilemaker_spark.sources import synth
+    from pyspark.sql import functions as F
+    img = synth.images_df(spark, 30, with_bytes=True, partitions=2)
+    k = F.substring_index(F.col("image_id"), "_", -1).cast("long")
+    planted = img.withColumn(
+        "bytes", F.when(k % 11 == 7, F.expr("substring(bytes, 1, 4)"))
+        .otherwise(F.col("bytes")))
+    meta = images.image_meta(planted, passthrough=(
+        "image_id", "fmt", "w", "h"))
+    rows = meta.collect()
+    assert len(rows) == 30
+    for r in rows:
+        kk = int(r["image_id"].split("_")[-1])
+        if kk % 11 == 7:
+            assert r["fmt_hdr"] == "unknown"
+            assert r["w_hdr"] is None and r["h_hdr"] is None
+        else:
+            assert (r["fmt_hdr"], r["w_hdr"], r["h_hdr"]) == (
+                r["fmt"], r["w"], r["h"])
+    # the parse itself is pure Catalyst: planning image_meta over a
+    # bytes column with no UDF upstream shows no Arrow/Python nodes
+    plain = spark.createDataFrame(
+        [("x", bytes(8))], "image_id string, bytes binary")
+    plan = images.image_meta(plain)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
