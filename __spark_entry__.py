@@ -1343,6 +1343,30 @@ GROUP BY source
 """
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle
+    (operators/sampling.corpus_shuffle): every document gets a dense
+    position 0..n-1 in LCG-pseudo-random order, a pure function of
+    (doc_id, seed) — reproducible across runs, partitionings, and
+    engines.  Planned as fixed-arithmetic key ranges + per-range rank
+    + tiny-offset prefix sum + broadcast, never a single global sort;
+    the oracle's straight row_number() over the same key must agree
+    on every row."""
+    from tilemaker_spark.operators import sampling as sampling_ops
+    d = _t(spark, sf_dir, "documents")
+    return sampling_ops.corpus_shuffle(d, seed=7, n_ranges=64)
+
+
+def sql_corpus_shuffle(seed: int = 7):
+    return f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY ((doc_id + {seed}) * 48271 + 11) % 2147483647,
+                  doc_id) - 1 AS pos
+FROM documents
+"""
+
+
 def q_pack_blocks(spark, sf_dir):
     """GPT-style block packing (operators/sampling.pack_blocks):
     concatenate every document's whitespace tokens in doc_id order and
@@ -1571,6 +1595,57 @@ px AS (
 SELECT printf('grad_%09d', k) AS image_id,
        12 AS w, 10 AS h,
        CAST(sum(v * (i * 36 + j * 3 + c + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY k
+"""
+
+
+def q_letterbox_check(spark, sf_dir):
+    """Letterbox pad-to-square (YOLO-style gray-114 canvas,
+    operators/images.letterbox_images) verified end to end: decode ->
+    center on a side x side canvas (side = max(w,h), floor-centered
+    offsets) -> re-encode PNG -> decode -> position-weighted
+    exact-integer checksum.  300 closed-form gradient images of
+    non-square varying sizes; the oracle recomputes every canvas pixel
+    analytically (gradient formula inside the centered window, 114
+    outside), so a fault in the offset convention, the fill, or the
+    codec round-trip breaks the hash.  Map-only: zero shuffles."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.gradient_images_df(spark, 300, partitions=16)
+    boxed = image_ops.letterbox_images(img, fill=114)
+    return image_ops.pixel_checksum(
+        boxed, passthrough=("w", "h", "ox", "oy"))
+
+
+def sql_letterbox_check():
+    # canvas pixel (i,j,c): inside the centered window it is the
+    # gradient formula at (j-ox, i-oy), else 114; weight = flat
+    # index + 1 over the side x side canvas
+    return """
+WITH imgs AS (SELECT unnest(generate_series(0, 299)) AS k),
+dims AS (SELECT k, 8 + (k % 5) * 4 AS w, 8 + ((k + 2) % 4) * 6 AS h
+         FROM imgs),
+geo AS (SELECT k, w, h, greatest(w, h) AS side,
+               (greatest(w, h) - w) // 2 AS ox,
+               (greatest(w, h) - h) // 2 AS oy
+        FROM dims),
+gi AS (SELECT unnest(generate_series(0, 25)) AS i),
+gj AS (SELECT unnest(generate_series(0, 25)) AS j),
+gc AS (SELECT unnest(generate_series(0, 2)) AS c),
+px AS (
+  SELECT g.k, g.side, g.ox, g.oy, gi.i, gj.j, gc.c,
+         CASE WHEN gj.j >= g.ox AND gj.j < g.ox + g.w
+               AND gi.i >= g.oy AND gi.i < g.oy + g.h
+              THEN ((gj.j - g.ox) * 7 + (gi.i - g.oy) * 13
+                    + gc.c * 29 + g.k * 31) % 256
+              ELSE 114 END AS v
+  FROM geo g, gi, gj, gc
+  WHERE gi.i < g.side AND gj.j < g.side
+)
+SELECT printf('grad_%09d', k) AS image_id,
+       CAST(max(side) AS int) AS w, CAST(max(side) AS int) AS h,
+       CAST(max(ox) AS int) AS ox, CAST(max(oy) AS int) AS oy,
+       CAST(sum(v * (i * side * 3 + j * 3 + c + 1)) AS BIGINT)
+         AS checksum
 FROM px GROUP BY k
 """
 
@@ -2342,6 +2417,60 @@ SELECT a.k AS id_a, b.k AS id_b,
 FROM t a JOIN t b ON a.k < b.k
 WHERE a.caption = b.caption
   AND bit_count(xor(a.phash, b.phash)) <= 4
+  AND ( (a.phash & 65535) = (b.phash & 65535)
+     OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
+     OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
+     OR ((a.phash >> 48) & 65535) = ((b.phash >> 48) & 65535) )
+"""
+
+
+def q_geo_dedup(spark, sf_dir):
+    """Geo-fenced near-dup detection — the graft's geospatial × image
+    composition (operators/images.geo_phash_near_dups): a pair counts
+    only when phash hamming <= 4 AND both images sit in the same
+    coarse cell (the same-landmark-shot-10000-times reality; fencing
+    also makes pair generation independent per cell).  1,200 images in
+    300 planted groups of 4 — all groups phash-near, but in every
+    g%3==1 group one member is displaced to a far cell, so its 3 pairs
+    must vanish: 200*6 + 100*3 = 1500 pairs.  The oracle regenerates
+    the phash/cell formulas and applies the same chunk-blocking
+    predicate in SQL."""
+    from tilemaker_spark.operators import images as image_ops
+    df = spark.range(1200).select(
+        F.col("id").alias("image_id"),
+        F.expr(
+            "CAST((((id div 4) * 1103515245 + 12345) % 2147483648)"
+            " * 1000003 AS BIGINT) ^ "
+            "CASE WHEN id % 4 = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE shiftleft(CAST(1 AS BIGINT), "
+            "CAST(((id div 4) * 7 + (id % 4) * 13) % 61 AS INT)) END"
+        ).alias("phash"),
+        F.expr(
+            "CAST(id div 4 AS BIGINT) + "
+            "CASE WHEN (id div 4) % 3 = 1 AND id % 4 = 3 "
+            "THEN 100000 ELSE 0 END").alias("h3_coarse"))
+    return image_ops.geo_phash_near_dups(df, max_hamming=4)
+
+
+def sql_geo_dedup():
+    return """
+WITH r AS (SELECT unnest(generate_series(0, 1199)) AS k),
+t AS (
+  SELECT k,
+         xor(CAST((((k // 4) * 1103515245 + 12345) % 2147483648)
+                  * 1000003 AS BIGINT),
+             CASE WHEN k % 4 = 0 THEN CAST(0 AS BIGINT)
+                  ELSE (CAST(1 AS BIGINT)
+                        << CAST(((k // 4) * 7 + (k % 4) * 13) % 61
+                                AS INT)) END) AS phash,
+         (k // 4) + CASE WHEN (k // 4) % 3 = 1 AND k % 4 = 3
+                         THEN 100000 ELSE 0 END AS cell
+  FROM r
+)
+SELECT a.cell AS cell, a.k AS id_a, b.k AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS int) AS hamming
+FROM t a JOIN t b ON a.k < b.k AND a.cell = b.cell
+WHERE bit_count(xor(a.phash, b.phash)) <= 4
   AND ( (a.phash & 65535) = (b.phash & 65535)
      OR ((a.phash >> 16) & 65535) = ((b.phash >> 16) & 65535)
      OR ((a.phash >> 32) & 65535) = ((b.phash >> 32) & 65535)
@@ -3338,8 +3467,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "image_canonical": q_image_canonical,
         "multimodal_dups": q_multimodal_dups,
+        "geo_dedup": q_geo_dedup,
         "image_quality": q_image_quality,
         "resize_check": q_resize_check,
+        "letterbox_check": q_letterbox_check,
         "augment_check": q_augment_check,
         "grayscale_check": q_grayscale_check,
         "patchify_check": q_patchify_check,
@@ -3351,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
         "stratified": q_stratified,
+        "corpus_shuffle": q_corpus_shuffle,
         "pack_blocks": q_pack_blocks,
         "length_median": q_length_median,
         "hash_split": q_hash_split,
@@ -3431,8 +3563,10 @@ def oracle_sql() -> dict[str, str]:
         "image_meta": sql_image_meta(),
         "image_canonical": sql_image_canonical(),
         "multimodal_dups": sql_multimodal_dups(),
+        "geo_dedup": sql_geo_dedup(),
         "image_quality": sql_image_quality(),
         "resize_check": sql_resize_check(),
+        "letterbox_check": sql_letterbox_check(),
         "augment_check": sql_augment_check(),
         "grayscale_check": sql_grayscale_check(),
         "patchify_check": sql_patchify_check(),
@@ -3444,6 +3578,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam": sql_decontam(),
         "pii_redact": sql_pii_redact(),
         "stratified": sql_stratified(),
+        "corpus_shuffle": sql_corpus_shuffle(),
         "pack_blocks": sql_pack_blocks(),
         "length_median": sql_length_median(),
         "hash_split": sql_hash_split(),

@@ -95,6 +95,7 @@ BUDGETS = {
     "resize_check": (0, 0, 3),
     "augment_check": (0, 0, 3),
     "patchify_check": (0, 0, 3),
+    "letterbox_check": (0, 0, 3),
     "grayscale_check": (0, 0, 3),
     # round-5 training-corpus additions: channel_stats folds per-batch
     # partials in Arrow (encode + fold = 2 nodes) and shuffles only the
@@ -123,6 +124,10 @@ BUDGETS = {
     # pack_blocks: range window + tiny totals agg + tiny global window
     # = 3 exchanges; the range-offset dim broadcasts back
     "pack_blocks": (3, 1, 0),
+    # corpus_shuffle: same distributed-prefix-sum shape as pack_blocks
+    # (range window + tiny counts agg + tiny global window; offsets
+    # broadcast back) — never a single global sort
+    "corpus_shuffle": (3, 1, 0),
     # length_median: ONE shuffle on the group key shared by both
     # window passes and the rollup
     "length_median": (1, 0, 0),
@@ -163,6 +168,9 @@ BUDGETS = {
     "multimodal_dups": (2, 2, 0),
     # sliding_users: window explode + two-phase distinct agg
     "sliding_users": (2, 0, 0),
+    # geo_dedup: cell+chunk equi-join (one side broadcast at test
+    # scale) + pair distinct; pure Catalyst
+    "geo_dedup": (2, 1, 0),
 }
 
 

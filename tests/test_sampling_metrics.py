@@ -265,3 +265,21 @@ def test_salt_plan_rejects_bad_target(spark):
                                F.col("id").alias("rid"))
     with _pytest.raises(ValueError):
         skew.salt_plan(df, "cell", 0)
+
+
+def test_corpus_shuffle_dense_and_partition_invariant(spark):
+    """Positions are a dense permutation of 0..n-1, equal the
+    sequential row_number over the same key, and do not change when
+    the input partitioning changes (the whole point)."""
+    n = 500
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["pos"] for r in
+           sampling.corpus_shuffle(df, seed=7, n_ranges=8).collect()}
+    assert sorted(got.values()) == list(range(n))
+    keyed = sorted(range(n), key=lambda i: (((i + 7) * 48271 + 11)
+                                            % 2147483647, i))
+    expect = {doc: pos for pos, doc in enumerate(keyed)}
+    assert got == expect
+    re = {r["doc_id"]: r["pos"] for r in sampling.corpus_shuffle(
+        df.repartition(13), seed=7, n_ranges=3).collect()}
+    assert re == got

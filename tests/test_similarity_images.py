@@ -587,3 +587,47 @@ def test_image_meta_header_only_exact(spark):
         [("x", bytes(8))], "image_id string, bytes binary")
     plan = images.image_meta(plain)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_geo_phash_near_dups_fences_cells(spark):
+    """Pairs phash-near but in different cells are excluded; same-cell
+    near pairs survive with their hamming."""
+    from pyspark.sql import functions as F
+    rows = [
+        # (id, phash, cell): a/b near + same cell -> pair
+        (1, 0b1010, 10), (2, 0b1011, 10),
+        # c near a but different cell -> fenced out
+        (3, 0b1010, 20),
+        # d same cell as a but hamming 5 -> filtered
+        (4, 0b1010 ^ 0b11111000000, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, phash long, h3_coarse long")
+    got = [(r["id_a"], r["id_b"], r["hamming"], r["cell"])
+           for r in images.geo_phash_near_dups(df, max_hamming=4)
+           .collect()]
+    assert got == [(1, 2, 1, 10)]
+
+
+def test_letterbox_centers_and_fills(spark):
+    """Pad-to-square round-trips: the original pixels sit at the
+    floor-centered window, everything else is the fill value, output
+    is square with side max(w,h)."""
+    from tilemaker_spark.sources import synth
+    from tilemaker_spark.kernels import png as P
+    img = synth.gradient_images_df(spark, 4, partitions=1)
+    rows = images.letterbox_images(img, fill=114).collect()
+    for r in rows:
+        k = int(r["image_id"].split("_")[-1])
+        px = P.decode_image(bytes(r["bytes"]), "png")
+        side = px.shape[0]
+        assert px.shape == (side, side, 3) and r["w"] == r["h"] == side
+        orig = P.gradient_pixels(k, 8 + (k % 5) * 4, 8 + ((k + 2) % 4) * 6)
+        h, w = orig.shape[:2]
+        assert side == max(w, h)
+        ox, oy = (side - w) // 2, (side - h) // 2
+        assert (r["ox"], r["oy"]) == (ox, oy)
+        assert (px[oy:oy + h, ox:ox + w] == orig).all()
+        mask = np.ones((side, side), dtype=bool)
+        mask[oy:oy + h, ox:ox + w] = False
+        assert (px[mask] == 114).all()

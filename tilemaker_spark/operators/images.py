@@ -224,6 +224,42 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
         run, schema=schema)
 
 
+def letterbox_images(images: DataFrame, fill: int = 114) -> DataFrame:
+    """Letterbox pad-to-square — the standard detector/ViT preprocessing
+    step (YOLO pads with gray 114): each image is centered on a
+    side x side canvas (side = max(w, h)) filled with ``fill``, so the
+    aspect ratio survives where a plain resize would distort it.
+    Centering offsets use the floor convention ox=(side-w)//2,
+    oy=(side-h)//2.  Map-only at any scale (decode -> pad -> re-encode
+    PNG inside one Arrow batch, zero shuffles).  Output: image_id,
+    bytes, w, h (both = side), fmt='png', ox, oy."""
+    schema = "image_id string, bytes binary, w int, h int, fmt string," \
+             " ox int, oy int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, sides, oxs, oys = [], [], [], [], []
+            for img_id, blob, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = P.decode_image(bytes(blob), fmt)
+                h, w = px.shape[:2]
+                side = max(w, h)
+                ox, oy = (side - w) // 2, (side - h) // 2
+                canvas = np.full((side, side, 3), fill, dtype=np.uint8)
+                canvas[oy:oy + h, ox:ox + w] = px
+                ids.append(img_id)
+                blobs.append(P.encode_png(canvas))
+                sides.append(side)
+                oxs.append(ox)
+                oys.append(oy)
+            yield pd.DataFrame({
+                "image_id": ids, "bytes": blobs, "w": sides, "h": sides,
+                "fmt": ["png"] * len(ids), "ox": oxs, "oy": oys})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema=schema)
+
+
 AUGMENT_OPS = ("flip_h", "flip_v", "rot90")
 
 
@@ -446,6 +482,42 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 4) -> DataFrame:
         a.join(b, (F.col("a.key") == F.col("b.key"))
                & (F.col("a.image_id") < F.col("b.image_id")))
         .select(F.col("a.image_id").alias("id_a"),
+                F.col("b.image_id").alias("id_b"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def geo_phash_near_dups(images: DataFrame, cell_col: str = "h3_coarse",
+                        max_hamming: int = 4) -> DataFrame:
+    """Geo-fenced near-dup image pairs: phash hamming <= max_hamming AND
+    same coarse spatial cell — the graft's geospatial × image
+    composition.  The policy matters as much as the plan: planet-scale
+    photo corpora near-duplicate LOCALLY (the same landmark shot ten
+    thousand times), and fencing candidate pairs to a cell both
+    matches that reality and turns the pair generation into
+    independent per-cell subproblems.  The join key becomes
+    (cell, 16-bit phash chunk), so bucket sizes are bounded by cell
+    density — and the input's (h3_coarse, salt) partition spec means
+    the heaviest urban cells are already salted upstream.  Pure
+    Catalyst end to end (explode + equi-join + bit_count), zero
+    Python.  Output: (cell, id_a, id_b, hamming)."""
+    chunks = images.select(
+        F.col("image_id"), F.col("phash"),
+        F.col(cell_col).alias("cell"),
+        F.explode(F.array(*[
+            F.shiftrightunsigned("phash", 16 * c)
+            .bitwiseAND(F.lit(0xFFFF)).alias("k") for c in range(4)
+        ])).alias("key"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.image_id") < F.col("b.image_id")))
+        .select(F.col("a.cell").alias("cell"),
+                F.col("a.image_id").alias("id_a"),
                 F.col("b.image_id").alias("id_b"), ham.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

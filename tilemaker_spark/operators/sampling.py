@@ -239,3 +239,42 @@ def pack_blocks(df: DataFrame, id_col: str = "doc_id",
          .alias("start_block"),
         F.floor(end / F.lit(capacity)).cast("long").alias("end_block"),
         (start % F.lit(capacity)).cast("int").alias("start_offset"))
+
+
+def corpus_shuffle(df: DataFrame, id_col: str = "doc_id",
+                   seed: int = 0, n_ranges: int = 256) -> DataFrame:
+    """Deterministic GLOBAL training-order shuffle: assign every row a
+    dense position 0..n-1 in pseudo-random order that is a pure
+    function of (id, seed) — the reproducible epoch ordering a
+    pretraining run needs (re-running the job, repartitioning the
+    input, or resuming mid-epoch must all yield the SAME order;
+    ``df.orderBy(rand())`` yields none of that).
+
+    Scale shape: a naive ``row_number() OVER (ORDER BY key)`` plans as
+    a single-partition global sort — a non-starter at 10^12 rows.  The
+    distributed version uses FIXED, data-independent key ranges (the
+    LCG key is uniform on [0, M), so ``key div ceil(M/n_ranges)`` is a
+    balanced range id from pure arithmetic — unlike
+    ``repartitionByRange``'s sampled boundaries, which are not
+    reproducible): (1) rank WITHIN each range (partitioned window),
+    (2) range counts aggregate to n_ranges rows, (3) the global offset
+    of each range is a window over that tiny table, (4) broadcast the
+    offsets back.  pos = range_offset + local_rank - 1.  The DuckDB
+    oracle computes the straight global row_number and must agree
+    exactly on every row."""
+    key = ((F.col(id_col).cast("long") + F.lit(seed)) * F.lit(_A)
+           + F.lit(_C)) % F.lit(_M)
+    width = _M // n_ranges + 1
+    base = df.select(F.col(id_col), key.alias("skey"),
+                     (key / F.lit(width)).cast("int").alias("rng"))
+    w_in = Window.partitionBy("rng").orderBy("skey", id_col)
+    local = base.withColumn("lrank", F.row_number().over(w_in))
+    rng_tot = local.groupBy("rng").agg(F.count(F.lit(1)).alias("rn"))
+    w_rng = (Window.orderBy("rng")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    rng_off = rng_tot.withColumn(
+        "roff", F.coalesce(F.sum("rn").over(w_rng), F.lit(0)))
+    return (local.join(F.broadcast(rng_off.select("rng", "roff")), "rng")
+            .select(F.col(id_col),
+                    (F.col("roff") + F.col("lrank") - 1).cast("long")
+                    .alias("pos")))
