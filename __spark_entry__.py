@@ -254,6 +254,39 @@ FROM customer c JOIN nation n
 """
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (operators/spatial_join.zonal_stats): PIP-join
+    customer points into the nation boxes, then roll up per zone —
+    point count plus exact-integer key stats (sum/min/max custkey).
+    The rollup shuffles only on the zone id (#polygons keys,
+    map-side-combined), so the join dominates at any scale.  The
+    oracle recomputes the box-range join + GROUP BY in SQL."""
+    pts = _customer_points(spark, sf_dir).select("c_custkey", "lon", "lat")
+    boxes = _nation_boxes(spark, sf_dir)
+    return spatial_join.zonal_stats(
+        pts, boxes, metrics={
+            "sum_key": F.sum("c_custkey"),
+            "min_key": F.min("c_custkey"),
+            "max_key": F.max("c_custkey"),
+        }, index_zoom=4).select(
+            F.col("zone").cast("int").alias("zone"),
+            "n_points", "sum_key", "min_key", "max_key")
+
+
+def sql_zonal_stats():
+    return f"""
+SELECT CAST(n.n_nationkey AS int) AS zone,
+       count(*) AS n_points,
+       sum(c.c_custkey) AS sum_key,
+       min(c.c_custkey) AS min_key,
+       max(c.c_custkey) AS max_key
+FROM customer c JOIN nation n
+  ON {CUST_LON} >= {NB['minlon']} AND {CUST_LON} < {NB['maxlon']}
+ AND {CUST_LAT} >= {NB['minlat']} AND {CUST_LAT} < {NB['maxlat']}
+GROUP BY n.n_nationkey
+"""
+
+
 def q_pip_cell(spark, sf_dir):
     """Same join through the cell-keyed shuffle path (large-layer plan,
     reference z15 bitmap filter-refine, src/shp_mem_tiles.cpp:58-127)."""
@@ -1095,6 +1128,47 @@ d AS (
   FROM d
 )
 SELECT query_id, rank, cand_id FROM r WHERE rank <= 5
+"""
+
+
+def q_clip_gate(spark, sf_dir):
+    """CLIP-style crossmodal alignment gate
+    (operators/similarity.crossmodal_gate): pair the first half of the
+    embeddings table (image side) with the second half (caption side)
+    by index, quantize both to fixed-scale ints (floor(x*64+0.5)), and
+    accept pairs whose exact int64 dot clears 0 — the LAION filtering
+    stage made reproducible: the accept bit is a pure integer function
+    of the inputs, so the oracle recomputes it exactly in SQL (a float
+    cosine gate would flip near-threshold rows between engines).
+    One equi-join on the pair index; the gate itself map-only."""
+    e = _t(spark, sf_dir, "embeddings")
+    n_half = e.count() // 2
+    img = e.filter(F.col("vec_id") < n_half).select(
+        F.col("vec_id").alias("pair_id"),
+        F.col("embedding").alias("img_emb"))
+    txt = e.filter(F.col("vec_id") >= n_half).select(
+        (F.col("vec_id") - n_half).alias("pair_id"),
+        F.col("embedding").alias("txt_emb"))
+    return sim_ops.crossmodal_gate(img.join(txt, "pair_id"))
+
+
+def sql_clip_gate():
+    return """
+WITH n AS (SELECT count(*) // 2 AS half FROM embeddings),
+img AS (SELECT vec_id AS pair_id, embedding AS a
+        FROM embeddings, n WHERE vec_id < half),
+txt AS (SELECT vec_id - half AS pair_id, embedding AS b
+        FROM embeddings, n WHERE vec_id >= half)
+SELECT i.pair_id,
+       CAST(list_sum(list_transform(range(1, len(i.a) + 1), k ->
+            floor(CAST(i.a[k] AS double) * 64 + 0.5)
+          * floor(CAST(t.b[k] AS double) * 64 + 0.5))) AS BIGINT)
+         AS dot_q,
+       CAST(list_sum(list_transform(range(1, len(i.a) + 1), k ->
+            floor(CAST(i.a[k] AS double) * 64 + 0.5)
+          * floor(CAST(t.b[k] AS double) * 64 + 0.5))) >= 0 AS int)
+         AS accept
+FROM img i JOIN txt t USING (pair_id)
 """
 
 
@@ -3414,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_index": q_hex_index,
         "pip_broadcast": q_pip_broadcast,
         "pip_cell": q_pip_cell,
+        "zonal_stats": q_zonal_stats,
         "knn": q_knn,
         "radius_join": q_radius_join,
         "way_assembly": q_way_assembly,
@@ -3452,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "clip_gate": q_clip_gate,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "phash_clusters": q_phash_clusters,
@@ -3508,6 +3584,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_index": sql_hex_index(),
         "pip_broadcast": sql_pip(),
         "pip_cell": sql_pip(),
+        "zonal_stats": sql_zonal_stats(),
         "knn": sql_knn(),
         "radius_join": sql_radius_join(),
         "way_assembly": sql_way_assembly(),
@@ -3548,6 +3625,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_roundtrip": sql_raster_roundtrip(),
         "ann_topk": sql_ann_topk(),
         "ann_ivf": sql_ann_ivf(),
+        "clip_gate": sql_clip_gate(),
         "video_frames": sql_video_frames(),
         "audio_features": sql_audio_features(),
         "phash_clusters": sql_phash_clusters(),

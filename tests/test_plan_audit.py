@@ -40,6 +40,12 @@ BUDGETS = {
     "geohash": (2, 0, 0),
     "ngram_jaccard": (2, 2, 0),
     "pip_broadcast": (0, 2, 1),
+    # zonal_stats: the broadcast PIP join + ONE map-side-combined
+    # rollup shuffle on the zone id
+    "zonal_stats": (1, 2, 1),
+    # clip_gate: pair-index equi-join (one side broadcast at test
+    # scale); quantize + int dot pure Catalyst, zero Python
+    "clip_gate": (2, 1, 0),
     "pip_cell": (0, 2, 1),
     "dedup_exact": (1, 0, 0),
     "zorder_topk": (1, 0, 0),

@@ -631,3 +631,21 @@ def test_letterbox_centers_and_fills(spark):
         mask = np.ones((side, side), dtype=bool)
         mask[oy:oy + h, ox:ox + w] = False
         assert (px[mask] == 114).all()
+
+
+def test_quantized_dot_and_gate_exact(spark):
+    """quantized_dot equals the straight python int computation, and
+    the gate's accept bit follows the threshold."""
+    import math
+    from tilemaker_spark.operators import similarity as sim
+    rows = [(1, [0.5, -0.25, 0.1], [0.5, 0.25, -0.1]),
+            (2, [1.0, 1.0, 1.0], [-1.0, -1.0, -1.0])]
+    df = spark.createDataFrame(
+        rows, "pair_id long, img_emb array<float>, txt_emb array<float>")
+    got = {r["pair_id"]: (r["dot_q"], r["accept"]) for r in
+           sim.crossmodal_gate(df, scale=64, threshold=0).collect()}
+    def q(x):
+        return math.floor(float(np.float32(x)) * 64 + 0.5)
+    for pid, a, b in rows:
+        dot = sum(q(x) * q(y) for x, y in zip(a, b))
+        assert got[pid] == (dot, int(dot >= 0))

@@ -447,3 +447,39 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                 sim)
         .filter(F.col("sim") >= threshold)
     )
+
+
+def quantized_dot(a, b, scale: int = 64):
+    """Exact-integer dot product of two float vectors after symmetric
+    fixed-scale int quantization: q(x) = floor(x*scale + 0.5).  Both
+    the quantization (one double multiply-add + floor, bit-identical
+    across engines) and the int64 dot are EXACT, so crossmodal gates
+    built on it are oracle-checkable — unlike a raw float cosine,
+    where the summation order alone flips near-threshold rows.
+    Pure Catalyst (transform/zip_with/aggregate), zero Python."""
+    qa = F.transform(a, lambda x: F.floor(x.cast("double") * scale
+                                          + F.lit(0.5)))
+    qb = F.transform(b, lambda x: F.floor(x.cast("double") * scale
+                                          + F.lit(0.5)))
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def crossmodal_gate(pairs: DataFrame, a_col: str = "img_emb",
+                    b_col: str = "txt_emb", scale: int = 64,
+                    threshold: int = 0) -> DataFrame:
+    """CLIP-style image<->caption alignment gate: keep a pair when the
+    quantized embedding dot clears the threshold — the filtering stage
+    LAION ran on 5B crawled pairs (Schuhmann et al. 2022 §2.2, CLIP
+    similarity >= 0.28) re-expressed exactly.  int8-style fixed-scale
+    quantization is standard retrieval practice AND makes the gate
+    deterministic: the accept bit is a pure integer function of the
+    inputs, identical on any engine, any partitioning, any SIMD width
+    — a float gate flips near-threshold rows between runs, which at
+    10^9 pairs means a non-reproducible training set.  Map-only, zero
+    shuffles, zero Python."""
+    dot = quantized_dot(F.col(a_col), F.col(b_col), scale)
+    return pairs.withColumn("dot_q", dot).withColumn(
+        "accept", (F.col("dot_q") >= threshold).cast("int")).drop(
+        a_col, b_col)

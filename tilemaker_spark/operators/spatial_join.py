@@ -205,6 +205,28 @@ def pip_join_broadcast(points: DataFrame, polygons: DataFrame, **kw):
     return pip_join(points, polygons, strategy="broadcast", **kw)
 
 
+def zonal_stats(points: DataFrame, polygons: DataFrame,
+                metrics: dict[str, Column] | None = None,
+                zone_col: str = "poly_id", **kw) -> DataFrame:
+    """Zonal statistics — the classic geospatial OLAP rollup: assign
+    every point to its containing polygon (filter-refine PIP join,
+    broadcast or cell-keyed per ``strategy`` in ``**kw``), then
+    aggregate per zone.  Default metrics are exact integers
+    (n_points); pass ``metrics`` as {out_name: agg Column} for more.
+
+    Scale shape: the PIP join dominates; the rollup after it shuffles
+    only on the zone id — a key space of #polygons, tiny next to the
+    point count, and the partial aggregation is map-side combined, so
+    the exchange carries #zones rows per task, not points.  Points
+    matching no zone are simply absent (inner join), matching the
+    semantics of every raster zonal-stats tool."""
+    j = pip_join(points, polygons, poly_cols=(zone_col,), **kw)
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    for name, col in (metrics or {}).items():
+        aggs.append(col.alias(name))
+    return j.groupBy(F.col(zone_col).alias("zone")).agg(*aggs)
+
+
 def pip_join_cell(points: DataFrame, polygons: DataFrame, **kw):
     """Large-layer path: cell-keyed shuffle strategy."""
     return pip_join(points, polygons, strategy="cell", **kw)
