@@ -254,6 +254,41 @@ FROM customer c JOIN nation n
 """
 
 
+def q_tile_budget(spark, sf_dir):
+    """Per-zoom tile load distribution
+    (operators/tiling.tile_load_stats) — the observability behind the
+    reference's oversized-tile warnings, as exact statistics instead
+    of a log line: per zoom, #non-empty tiles, total points, max and
+    EXACT p50/p99 per-tile load (order statistic at floor(q*(n-1)),
+    no approx percentile, so the oracle hash-matches).  One tile-count
+    shuffle + a rank window over the counts table only."""
+    from tilemaker_spark.operators import tiling as tiling_ops
+    pts = _customer_points(spark, sf_dir).select("lon", "lat")
+    return tiling_ops.tile_load_stats(pts, zooms=(4, 7, 10))
+
+
+def sql_tile_budget():
+    per_zoom = "\nUNION ALL\n".join(f"""
+SELECT {z} AS z, {TE.lon2tilex_sql(CUST_LON, z)} AS x,
+       {TE.lat2tiley_sql(CUST_LAT, z)} AS y
+FROM customer""" for z in (4, 7, 10))
+    return f"""
+WITH zxy AS ({per_zoom}),
+t AS (SELECT z, x, y, count(*) AS n FROM zxy GROUP BY z, x, y),
+r AS (SELECT z, n,
+             row_number() OVER (PARTITION BY z ORDER BY n, x, y) AS rk,
+             count(*) OVER (PARTITION BY z) AS cnt
+      FROM t)
+SELECT z, max(cnt) AS n_tiles, sum(n) AS n_points,
+       max(n) AS max_load,
+       max(CASE WHEN rk = (cnt - 1) * 50 // 100 + 1 THEN n END)
+         AS p50_load,
+       max(CASE WHEN rk = (cnt - 1) * 99 // 100 + 1 THEN n END)
+         AS p99_load
+FROM r GROUP BY z
+"""
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (operators/spatial_join.zonal_stats): PIP-join
     customer points into the nation boxes, then roll up per zone —
@@ -1414,6 +1449,32 @@ SELECT source, CAST(max(n) AS bigint) AS n_docs,
 FROM ranked
 WHERE rk = (n + 1) // 4 OR rk = (n + 1) // 2 OR rk = (n + 1) * 3 // 4
 GROUP BY source
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (operators/sampling.domain_cap) — the
+    RefinedWeb/C4 policy that stops template farms dominating the mix:
+    keep at most 120 docs per source, chosen by deterministic
+    (id, salt)-hash rank so reruns and repartitions keep the SAME
+    rows.  One shuffle on the domain key.  The oracle replays the
+    hash-ranked window in SQL."""
+    from tilemaker_spark.operators import sampling as sampling_ops
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling_ops.domain_cap(d, cap=120, salt=3)
+
+
+def sql_domain_cap(cap: int = 120, salt: int = 3):
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id + {salt}) * 48271 + 11) % 2147483647
+                    % 1000000, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= {cap}
 """
 
 
@@ -3489,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_broadcast": q_pip_broadcast,
         "pip_cell": q_pip_cell,
         "zonal_stats": q_zonal_stats,
+        "tile_budget": q_tile_budget,
         "knn": q_knn,
         "radius_join": q_radius_join,
         "way_assembly": q_way_assembly,
@@ -3558,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
         "stratified": q_stratified,
+        "domain_cap": q_domain_cap,
         "corpus_shuffle": q_corpus_shuffle,
         "pack_blocks": q_pack_blocks,
         "length_median": q_length_median,
@@ -3585,6 +3648,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_broadcast": sql_pip(),
         "pip_cell": sql_pip(),
         "zonal_stats": sql_zonal_stats(),
+        "tile_budget": sql_tile_budget(),
         "knn": sql_knn(),
         "radius_join": sql_radius_join(),
         "way_assembly": sql_way_assembly(),
@@ -3656,6 +3720,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam": sql_decontam(),
         "pii_redact": sql_pii_redact(),
         "stratified": sql_stratified(),
+        "domain_cap": sql_domain_cap(),
         "corpus_shuffle": sql_corpus_shuffle(),
         "pack_blocks": sql_pack_blocks(),
         "length_median": sql_length_median(),

@@ -51,7 +51,7 @@ def main():
         "ann_topk", "ann_ivf", "retrieval_eval",
         "channel_stats", "mixup_check", "shard_roundtrip", "grayscale_check",
         "ar_bucket", "filter_funnel", "corrupt_scan", "image_canonical", "multimodal_dups",
-        "image_meta", "geo_dedup", "corpus_shuffle", "zonal_stats", "clip_gate",
+        "image_meta", "geo_dedup", "corpus_shuffle", "zonal_stats", "clip_gate", "domain_cap", "tile_budget",
         "cover_large", "poly_union",
         "area_intersect",
         "rel_members", "pip_line", "covered_by", "line_clip",

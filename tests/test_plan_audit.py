@@ -43,6 +43,9 @@ BUDGETS = {
     # zonal_stats: the broadcast PIP join + ONE map-side-combined
     # rollup shuffle on the zone id
     "zonal_stats": (1, 2, 1),
+    # tile_budget: tile-count shuffle + per-zoom rank window over the
+    # counts table + |zooms|-row rollup; pure Catalyst tile math
+    "tile_budget": (3, 0, 0),
     # clip_gate: pair-index equi-join (one side broadcast at test
     # scale); quantize + int dot pure Catalyst, zero Python
     "clip_gate": (2, 1, 0),
@@ -130,6 +133,8 @@ BUDGETS = {
     # pack_blocks: range window + tiny totals agg + tiny global window
     # = 3 exchanges; the range-offset dim broadcasts back
     "pack_blocks": (3, 1, 0),
+    # domain_cap: ONE shuffle on the domain key (hash-ranked window)
+    "domain_cap": (1, 0, 0),
     # corpus_shuffle: same distributed-prefix-sum shape as pack_blocks
     # (range window + tiny counts agg + tiny global window; offsets
     # broadcast back) — never a single global sort

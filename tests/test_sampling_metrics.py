@@ -283,3 +283,44 @@ def test_corpus_shuffle_dense_and_partition_invariant(spark):
     re = {r["doc_id"]: r["pos"] for r in sampling.corpus_shuffle(
         df.repartition(13), seed=7, n_ranges=3).collect()}
     assert re == got
+
+
+def test_domain_cap_deterministic_and_capped(spark):
+    """Cap holds per group; survivor set is stable across repartition;
+    groups under the cap keep everything."""
+    rows = [(i, "big" if i < 400 else "small") for i in range(430)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out1 = sampling.domain_cap(df, cap=50, salt=3)
+    got1 = sorted((r["source"], r["doc_id"]) for r in out1.collect())
+    counts = {}
+    for s, _ in got1:
+        counts[s] = counts.get(s, 0) + 1
+    assert counts == {"big": 50, "small": 30}
+    out2 = sampling.domain_cap(df.repartition(7), cap=50, salt=3)
+    assert sorted((r["source"], r["doc_id"]) for r in out2.collect()) \
+        == got1
+
+
+def test_tile_load_stats_matches_numpy(spark):
+    """Exact order statistics over per-tile loads match a sequential
+    numpy computation."""
+    from tilemaker_spark.operators import tiling
+    from tilemaker_spark.kernels import proj
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(-170, 170, 800)
+    lats = rng.uniform(-80, 80, 800)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lons, lats)],
+        "lon double, lat double")
+    got = {r["z"]: r for r in
+           tiling.tile_load_stats(df, zooms=(3, 5)).collect()}
+    for z in (3, 5):
+        xs = proj.lon2tilex(lons, z)
+        ys = proj.lat2tiley(lats, z)
+        _, n = np.unique(np.stack([xs, ys]), axis=1, return_counts=True)
+        n = np.sort(n)
+        r = got[z]
+        assert r["n_tiles"] == len(n) and r["n_points"] == 800
+        assert r["max_load"] == n[-1]
+        assert r["p50_load"] == n[(len(n) - 1) * 50 // 100]
+        assert r["p99_load"] == n[(len(n) - 1) * 99 // 100]

@@ -278,3 +278,28 @@ def corpus_shuffle(df: DataFrame, id_col: str = "doc_id",
             .select(F.col(id_col),
                     (F.col("roff") + F.col("lrank") - 1).cast("long")
                     .alias("pos")))
+
+
+def domain_cap(df: DataFrame, group_col: str = "source",
+               id_col: str = "doc_id", cap: int = 100,
+               salt: int = 0) -> DataFrame:
+    """Per-domain document cap — the anti-boilerplate policy RefinedWeb
+    and C4 run after dedup: no single domain may contribute more than
+    ``cap`` documents, so template farms and mirror sites cannot
+    dominate the mixture.  WHICH ``cap`` docs survive must be
+    deterministic (a rerun or repartition must keep the same rows), so
+    rank within each domain follows the (id, salt) hash with id
+    tie-break — a pseudo-random but pure-function-of-the-data choice,
+    not head-of-file bias and not ``rand()``.
+
+    One shuffle on the domain key; the per-domain window is the same
+    exchange.  Skewed mega-domains are exactly the rows this operator
+    deletes, so the skew bounds itself at ``cap`` survivors per key —
+    but the WINDOW still sees the raw domain partition, so a truly
+    pathological single domain (10^9 rows in one task) should be
+    pre-thinned with :func:`hash_bucket` filtering before ranking;
+    the 100 TB plan composes both.  Output: the surviving rows."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(df, id_col, salt), id_col)
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= cap).drop("_rk"))

@@ -769,3 +769,48 @@ def tile_assignments(covered: DataFrame, cfg: Config,
     )
     return per_zoom.groupBy("z", "x", "y", "layer").agg(
         F.count("*").alias("n_features"))
+
+
+def tile_load_stats(points: DataFrame, zooms: tuple = (6, 9, 12),
+                    lon_col: str = "lon",
+                    lat_col: str = "lat") -> DataFrame:
+    """Per-zoom tile LOAD statistics — the observability behind the
+    reference's oversized-tile warnings (tilemaker logs tiles whose
+    payload blows the budget; a 100 TB build needs the distribution,
+    not a log line): for every requested zoom, the number of non-empty
+    tiles, total points, the maximum per-tile load, and EXACT p50/p99
+    order statistics of the per-tile load (index floor(q*(n-1)),
+    1-based — no approximate percentile, so the oracle can match
+    hash-exactly).
+
+    Plan: one explode (|zooms| structs per point, pure Catalyst tile
+    math) -> one (z,x,y) count shuffle (map-side combined) -> a
+    per-zoom rank window over the COUNTS table (#tiles rows, not
+    points) -> a |zooms|-row rollup.  The window partitions by zoom
+    only, which is fine because its input is already one row per tile;
+    at planet scale that is millions of rows per zoom, not billions of
+    points."""
+    from pyspark.sql import Window
+    from ..sql import tile_exprs as TE
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    zxy = points.select(F.explode(F.array(*[
+        F.struct(F.lit(z).alias("z"),
+                 TE.lon2tilex(lon, z).alias("x"),
+                 TE.lat2tiley(lat, z).alias("y"))
+        for z in zooms])).alias("t")).select("t.z", "t.x", "t.y")
+    counts = zxy.groupBy("z", "x", "y").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("z").orderBy("n", "x", "y")
+    wz = Window.partitionBy("z")
+    r = counts.select(
+        "z", "n", F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wz).alias("cnt"))
+    at = lambda q: ((F.col("cnt") - 1) * q) / 100  # noqa: E731
+    return r.groupBy("z").agg(
+        F.max("cnt").alias("n_tiles"),
+        F.sum("n").alias("n_points"),
+        F.max("n").alias("max_load"),
+        F.max(F.when(F.col("rk") == F.floor(at(50)) + 1,
+                     F.col("n"))).alias("p50_load"),
+        F.max(F.when(F.col("rk") == F.floor(at(99)) + 1,
+                     F.col("n"))).alias("p99_load"))
