@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from tilemaker_spark import lineage
 from tilemaker_spark.sql import tile_exprs as TE
 from tilemaker_spark.sources import synth
 from tilemaker_spark.operators import (
@@ -2492,6 +2493,37 @@ FROM generate_series(0, 1499) t(k)
 """
 
 
+def q_upsert(spark, sf_dir):
+    """Iceberg-style MERGE INTO (lineage.merge_upsert): a re-crawl
+    delta — every k%7==2 image arrives with a new caption, plus 500
+    brand-new ids — merges into the 5,000-row metadata table: matched
+    rows replaced, new rows inserted, untouched rows pass through.
+    One left_anti join on the key + unionByName (the delta broadcasts
+    in the common CDC case).  The oracle rebuilds the merged table
+    from the closed-form caption formulas."""
+    img = synth.images_df(spark, 5000, with_bytes=False).select(
+        "image_id", "caption")
+    upd = spark.range(5500).filter(
+        (F.col("id") % 7 == 2) | (F.col("id") >= 5000)).select(
+        F.format_string("img_%012d", F.col("id")).alias("image_id"),
+        F.concat(F.lit("recrawl "), F.col("id").cast("string"))
+        .alias("caption"))
+    return lineage.merge_upsert(img, upd, key_col="image_id")
+
+
+def sql_upsert():
+    # merged table = recrawl caption where k%7==2 or k>=5000, else the
+    # original LCG caption formula (sources/synth A1=9301, M32=2^32)
+    return """
+SELECT printf('img_%012d', k) AS image_id,
+       CASE WHEN k % 7 = 2 OR k >= 5000 THEN 'recrawl ' || k
+            ELSE 'caption for image ' || k || ' // '
+                 || printf('%08x', (k * 9301) % 4294967296) END
+         AS caption
+FROM generate_series(0, 5499) t(k)
+"""
+
+
 def q_multimodal_dups(spark, sf_dir):
     """Multimodal JOINT dedup — the policy serious image+caption
     pipelines use to avoid boilerplate-caption false positives: a pair
@@ -3606,6 +3638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_canonical": q_image_canonical,
         "multimodal_dups": q_multimodal_dups,
         "geo_dedup": q_geo_dedup,
+        "upsert": q_upsert,
         "image_quality": q_image_quality,
         "resize_check": q_resize_check,
         "letterbox_check": q_letterbox_check,
@@ -3706,6 +3739,7 @@ def oracle_sql() -> dict[str, str]:
         "image_canonical": sql_image_canonical(),
         "multimodal_dups": sql_multimodal_dups(),
         "geo_dedup": sql_geo_dedup(),
+        "upsert": sql_upsert(),
         "image_quality": sql_image_quality(),
         "resize_check": sql_resize_check(),
         "letterbox_check": sql_letterbox_check(),

@@ -116,3 +116,16 @@ def test_snapshot_time_travel(spark, tmp_path):
     # returning the latest view — a typo'd as_of must not mask itself
     with pytest.raises(ValueError, match="unknown snapshot"):
         sink.read(spark, as_of=3)
+
+
+def test_merge_upsert_semantics(spark):
+    """Matched keys replaced, new keys inserted, untouched rows pass
+    through; output key set = union of both key sets."""
+    from tilemaker_spark.lineage import merge_upsert
+    tgt = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string")
+    upd = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "id long, v string")
+    got = sorted((r["id"], r["v"]) for r in
+                 merge_upsert(tgt, upd, key_col="id").collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (4, "D")]

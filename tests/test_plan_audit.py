@@ -182,6 +182,9 @@ BUDGETS = {
     # geo_dedup: cell+chunk equi-join (one side broadcast at test
     # scale) + pair distinct; pure Catalyst
     "geo_dedup": (2, 1, 0),
+    # upsert: key distinct + left_anti (delta broadcast at CDC scale)
+    # + unionByName
+    "upsert": (1, 1, 0),
 }
 
 

@@ -145,3 +145,26 @@ class CheckpointedSink:
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "lineage"))
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame,
+                 key_col: str = "image_id") -> DataFrame:
+    """Iceberg-style MERGE INTO (upsert) semantics as one declarative
+    plan: rows of ``updates`` REPLACE same-key rows of ``target``
+    ("when matched then update *"), unmatched update rows are inserted,
+    untouched target rows pass through — the CDC-ingest shape a
+    continuously-crawled image corpus needs (re-crawled pages arrive
+    as full-row updates).
+
+    Plan: one left_anti join (target keys minus update keys) + a
+    unionByName — the anti join shuffles on the compact key unless the
+    update batch is small enough for AQE to broadcast it, which is the
+    common CDC case (daily delta << table).  Deterministic: output =
+    updates ∪ (target ⧹ keys(updates)); no per-row Python, no window.
+    Update batches must be key-unique — enforce upstream with
+    dropDuplicates(key) so the merge never multiplies rows
+    (Iceberg's MERGE raises on multiple matches; we document instead
+    of double-scanning the batch to check)."""
+    survivors = target.join(updates.select(key_col).distinct(),
+                            on=key_col, how="left_anti")
+    return survivors.unionByName(updates.select(*target.columns))
