@@ -209,3 +209,34 @@ def test_job_multi_input_union(spark, tmp_path):
     assert sorted(t_full) == sorted(t_merged)
     for k in t_full:
         assert t_full[k] == t_merged[k], f"tile differs at {k}"
+
+
+def test_dedup_corpus_job_end_to_end(spark, tmp_path):
+    """The dedup job keeps <= input docs, writes split-partitioned
+    parquet, dedups planted exact copies, honors the per-source cap,
+    and attaches a dense shuffle position when asked."""
+    from pyspark.sql import functions as F
+
+    import jobs.dedup_corpus_job as DJ
+    src = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "clean")
+    rows = []
+    for i in range(120):
+        # 3 exact copies of each base text -> exact dedup keeps 1 of 3
+        rows.append((i, f"document body number {i // 3}",
+                     "web" if i % 2 == 0 else "books", 20 + i % 7))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(src)
+    DJ.main(["--input", src, "--output", out,
+             "--cap-per-source", "15", "--shuffle-seed", "3"])
+    back = spark.read.parquet(out)
+    n = back.count()
+    assert 0 < n <= 40  # 120 docs / 3 exact copies, then capped
+    per_src = {r["source"]: r["n"] for r in back.groupBy("source")
+               .agg(F.count("*").alias("n")).collect()}
+    assert all(v <= 15 for v in per_src.values())
+    assert set(back.select("split").distinct().toPandas()["split"]) \
+        <= {"train", "val", "test"}
+    pos = sorted(r["pos"] for r in back.select("pos").collect())
+    assert pos == list(range(n))  # dense 0..n-1 order positions
