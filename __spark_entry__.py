@@ -1208,6 +1208,33 @@ FROM img i JOIN txt t USING (pair_id)
 """
 
 
+def q_emb_dups(spark, sf_dir):
+    """Embedding near-dup pairs on the exact quantized dot
+    (operators/similarity.embedding_near_dups_exact): every pair of
+    the 500 embeddings whose fixed-scale integer dot clears 1000 —
+    the integer-exact ground truth the LSH-bucketed near-dup path is
+    recall-audited against.  Broadcast-bounded declared O(n²)
+    baseline; the oracle recomputes the same quantization and join in
+    SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_near_dups_exact(e, threshold=1000)
+
+
+def sql_emb_dups():
+    return """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(list_sum(list_transform(range(1, len(a.embedding) + 1), k ->
+            floor(CAST(a.embedding[k] AS double) * 64 + 0.5)
+          * floor(CAST(b.embedding[k] AS double) * 64 + 0.5)))
+            AS BIGINT) AS dot_q
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(range(1, len(a.embedding) + 1), k ->
+          floor(CAST(a.embedding[k] AS double) * 64 + 0.5)
+        * floor(CAST(b.embedding[k] AS double) * 64 + 0.5)))
+          AS BIGINT) >= 1000
+"""
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-Flat ANN end-to-end (train -> list assign -> probe -> exact
     re-rank, operators/similarity.py).  Probes every list (n_probes =
@@ -3622,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "clip_gate": q_clip_gate,
+        "emb_dups": q_emb_dups,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "phash_clusters": q_phash_clusters,
@@ -3723,6 +3751,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": sql_ann_topk(),
         "ann_ivf": sql_ann_ivf(),
         "clip_gate": sql_clip_gate(),
+        "emb_dups": sql_emb_dups(),
         "video_frames": sql_video_frames(),
         "audio_features": sql_audio_features(),
         "phash_clusters": sql_phash_clusters(),

@@ -52,6 +52,7 @@ def main():
         "channel_stats", "mixup_check", "shard_roundtrip", "grayscale_check",
         "ar_bucket", "filter_funnel", "corrupt_scan", "image_canonical", "multimodal_dups",
         "image_meta", "geo_dedup", "corpus_shuffle", "zonal_stats", "clip_gate", "domain_cap", "tile_budget",
+        "upsert", "letterbox_check", "emb_dups",
         "cover_large", "poly_union",
         "area_intersect",
         "rel_members", "pip_line", "covered_by", "line_clip",

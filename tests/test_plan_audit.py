@@ -49,6 +49,9 @@ BUDGETS = {
     # clip_gate: pair-index equi-join (one side broadcast at test
     # scale); quantize + int dot pure Catalyst, zero Python
     "clip_gate": (2, 1, 0),
+    # emb_dups: declared broadcast O(n²) exact baseline — the
+    # broadcast is the point, zero shuffles, zero Python
+    "emb_dups": (0, 1, 0),
     "pip_cell": (0, 2, 1),
     "dedup_exact": (1, 0, 0),
     "zorder_topk": (1, 0, 0),

@@ -649,3 +649,25 @@ def test_quantized_dot_and_gate_exact(spark):
     for pid, a, b in rows:
         dot = sum(q(x) * q(y) for x, y in zip(a, b))
         assert got[pid] == (dot, int(dot >= 0))
+
+
+def test_embedding_near_dups_exact_matches_numpy(spark):
+    """The quantized-dot pair set equals a sequential numpy
+    computation bit for bit."""
+    import math
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 0.3, (40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["dot_q"] for r in
+           similarity.embedding_near_dups_exact(
+               df, threshold=50).collect()}
+    q = np.floor(vecs.astype(np.float64) * 64 + 0.5).astype(np.int64)
+    expect = {}
+    for i in range(40):
+        for j in range(i + 1, 40):
+            d = int(q[i] @ q[j])
+            if d >= 50:
+                expect[(i, j)] = d
+    assert got == expect

@@ -483,3 +483,28 @@ def crossmodal_gate(pairs: DataFrame, a_col: str = "img_emb",
     return pairs.withColumn("dot_q", dot).withColumn(
         "accept", (F.col("dot_q") >= threshold).cast("int")).drop(
         a_col, b_col)
+
+
+def embedding_near_dups_exact(vecs: DataFrame, id_col: str = "vec_id",
+                              emb_col: str = "embedding",
+                              scale: int = 64,
+                              threshold: int = 1000) -> DataFrame:
+    """Embedding near-dup pairs on the EXACT quantized dot — the
+    oracle-checkable twin of the LSH-bucketed
+    :func:`embedding_near_dups`: every pair whose fixed-scale integer
+    dot (:func:`quantized_dot`) clears ``threshold``.  Declared
+    broadcast-bounded O(n²) baseline (same contract as
+    :func:`cosine_topk_bruteforce`): one side broadcasts, so it is the
+    ground-truth generator for recall audits and small candidate sets,
+    not the planet-scale path — that is the bucketed variant.
+    Integer-exact end to end, so any engine recomputes it
+    bit-identically.  Output: (id_a, id_b, dot_q)."""
+    a = vecs.select(F.col(id_col).alias("id_a"),
+                    F.col(emb_col).alias("_ea"))
+    b = vecs.select(F.col(id_col).alias("id_b"),
+                    F.col(emb_col).alias("_eb"))
+    dot = quantized_dot(F.col("_ea"), F.col("_eb"), scale)
+    return (F.broadcast(a).join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("dot_q", dot)
+            .filter(F.col("dot_q") >= threshold)
+            .select("id_a", "id_b", "dot_q"))
