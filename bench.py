@@ -52,7 +52,11 @@ def main():
         "channel_stats", "mixup_check", "shard_roundtrip", "grayscale_check",
         "ar_bucket", "filter_funnel", "corrupt_scan", "image_canonical", "multimodal_dups",
         "image_meta", "geo_dedup", "corpus_shuffle", "zonal_stats", "clip_gate", "domain_cap", "tile_budget",
-        "upsert", "letterbox_check", "emb_dups",
+        # emb_dups is deliberately absent: it is the DECLARED O(n²)
+        # exact ground-truth baseline (oracle-checked at sf0.01); at
+        # sf0.1 its 12.5M-pair broadcast loop costs ~12s by design and
+        # would read as a headline regression rather than a baseline
+        "upsert", "letterbox_check",
         "cover_large", "poly_union",
         "area_intersect",
         "rel_members", "pip_line", "covered_by", "line_clip",

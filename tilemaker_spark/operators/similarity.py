@@ -487,8 +487,8 @@ def crossmodal_gate(pairs: DataFrame, a_col: str = "img_emb",
 
 def embedding_near_dups_exact(vecs: DataFrame, id_col: str = "vec_id",
                               emb_col: str = "embedding",
-                              scale: int = 64,
-                              threshold: int = 1000) -> DataFrame:
+                              scale: int = 64, threshold: int = 1000,
+                              dim: int | None = None) -> DataFrame:
     """Embedding near-dup pairs on the EXACT quantized dot — the
     oracle-checkable twin of the LSH-bucketed
     :func:`embedding_near_dups`: every pair whose fixed-scale integer
@@ -498,12 +498,35 @@ def embedding_near_dups_exact(vecs: DataFrame, id_col: str = "vec_id",
     ground-truth generator for recall audits and small candidate sets,
     not the planet-scale path — that is the bucketed variant.
     Integer-exact end to end, so any engine recomputes it
-    bit-identically.  Output: (id_a, id_b, dot_q)."""
-    a = vecs.select(F.col(id_col).alias("id_a"),
-                    F.col(emb_col).alias("_ea"))
-    b = vecs.select(F.col(id_col).alias("id_b"),
-                    F.col(emb_col).alias("_eb"))
-    dot = quantized_dot(F.col("_ea"), F.col("_eb"), scale)
+    bit-identically.  Output: (id_a, id_b, dot_q).
+
+    Execution shape: each row is quantized ONCE (per-row transform,
+    not per-pair), then the vector is widened into ``dim`` scalar
+    columns so the per-pair dot is a flat 64-term multiply-add inside
+    whole-stage codegen — Catalyst's higher-order functions
+    (zip_with/aggregate) are interpreted per ELEMENT, which at n²/2
+    pairs × dim elements is the difference between seconds and
+    minutes.  ``dim`` is read from the first row when not given
+    (tiny driver lookup, standard for a fixed-dim embedding table)."""
+    if dim is None:
+        dim = len(vecs.select(emb_col).first()[0])
+    quant = F.transform(
+        F.col(emb_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)))
+
+    def widened(tag: str) -> DataFrame:
+        q = vecs.select(F.col(id_col).alias(f"id_{tag}"),
+                        quant.alias("_q"))
+        return q.select(
+            f"id_{tag}",
+            *[F.element_at("_q", i + 1).alias(f"_{tag}{i}")
+              for i in range(dim)])
+
+    a, b = widened("a"), widened("b")
+    dot = None
+    for i in range(dim):
+        t = F.col(f"_a{i}") * F.col(f"_b{i}")
+        dot = t if dot is None else dot + t
     return (F.broadcast(a).join(b, F.col("id_a") < F.col("id_b"))
             .withColumn("dot_q", dot)
             .filter(F.col("dot_q") >= threshold)
