@@ -1480,6 +1480,28 @@ GROUP BY source
 """
 
 
+def q_cube_stats(spark, sf_dir):
+    """Multi-granularity corpus accounting via CUBE grouping sets —
+    the one-pass answer to "counts by source, by lang, by both, and
+    overall" that a data-card report needs (4 granularities, ONE scan
+    + one shuffle; Spark expands grouping sets map-side, it does not
+    rescan).  grouping_id disambiguates the rollup rows from real
+    NULLs.  Oracle: the same CUBE in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.cube("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.grouping_id().alias("gid")))
+
+
+def sql_cube_stats():
+    return """
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       GROUPING(source, lang) AS gid
+FROM documents GROUP BY CUBE (source, lang)
+"""
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-domain document cap (operators/sampling.domain_cap) — the
     RefinedWeb/C4 policy that stops template farms dominating the mix:
@@ -3681,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
         "stratified": q_stratified,
+        "cube_stats": q_cube_stats,
         "domain_cap": q_domain_cap,
         "corpus_shuffle": q_corpus_shuffle,
         "pack_blocks": q_pack_blocks,
@@ -3783,6 +3806,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam": sql_decontam(),
         "pii_redact": sql_pii_redact(),
         "stratified": sql_stratified(),
+        "cube_stats": sql_cube_stats(),
         "domain_cap": sql_domain_cap(),
         "corpus_shuffle": sql_corpus_shuffle(),
         "pack_blocks": sql_pack_blocks(),

@@ -138,6 +138,8 @@ BUDGETS = {
     "pack_blocks": (3, 1, 0),
     # domain_cap: ONE shuffle on the domain key (hash-ranked window)
     "domain_cap": (1, 0, 0),
+    # cube_stats: map-side Expand + ONE grouping-sets shuffle
+    "cube_stats": (1, 0, 0),
     # corpus_shuffle: same distributed-prefix-sum shape as pack_blocks
     # (range window + tiny counts agg + tiny global window; offsets
     # broadcast back) — never a single global sort
