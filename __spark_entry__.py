@@ -1610,6 +1610,63 @@ def sql_mixture():
     return sampling_ops.weighted_mixture_oracle_sql(_MIXTURE_WEIGHTS)
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered event-sequence funnel (operators/sessions.event_funnel):
+    users who viewed, then clicked strictly after their first view,
+    then purchased after that click — len(stages) compact-key shuffles
+    with the per-user table shrinking every stage, never a per-user
+    sort of the raw log.  The oracle chains the same per-stage
+    min(ts) CTEs."""
+    from tilemaker_spark.operators import sessions as sessions_ops
+    e = _t(spark, sf_dir, "events")
+    return sessions_ops.event_funnel(
+        e, stages=("view", "click", "purchase"))
+
+
+def sql_funnel():
+    return """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+       JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+       JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2, 'click', count(*) FROM s2
+UNION ALL
+SELECT 3, 'purchase', count(*) FROM s3
+"""
+
+
+def q_heat_grid(spark, sf_dir):
+    """Tile heat map with 3x3 box smoothing
+    (operators/tiling.heat_grid): convolution over the AGGREGATED
+    grid — points collapse to per-tile counts first, each count row
+    fans out to its 9 neighbor keys (9x #tiles, not #points) and
+    re-aggregates; only non-empty centers survive.  The oracle
+    computes the neighborhood sum as a |dx|<=1 self-join."""
+    from tilemaker_spark.operators import tiling as tiling_ops
+    pts = _customer_points(spark, sf_dir).select("lon", "lat")
+    return tiling_ops.heat_grid(pts, zoom=6)
+
+
+def sql_heat_grid():
+    return f"""
+WITH t AS (
+  SELECT {TE.lon2tilex_sql(CUST_LON, 6)} AS x,
+         {TE.lat2tiley_sql(CUST_LAT, 6)} AS y, count(*) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT a.x, a.y, a.n, sum(b.n) AS heat
+FROM t a JOIN t b
+  ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+GROUP BY a.x, a.y, a.n
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -3700,6 +3757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_roundtrip": q_shard_roundtrip,
         "caption_check": q_caption_check,
         "sessionize": q_sessionize,
+        "funnel": q_funnel,
+        "heat_grid": q_heat_grid,
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
         "stratified": q_stratified,
@@ -3803,6 +3862,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_roundtrip": sql_shard_roundtrip(),
         "caption_check": sql_caption_check(),
         "sessionize": sql_sessionize(),
+        "funnel": sql_funnel(),
+        "heat_grid": sql_heat_grid(),
         "decontam": sql_decontam(),
         "pii_redact": sql_pii_redact(),
         "stratified": sql_stratified(),

@@ -140,6 +140,14 @@ BUDGETS = {
     "domain_cap": (1, 0, 0),
     # cube_stats: map-side Expand + ONE grouping-sets shuffle
     "cube_stats": (1, 0, 0),
+    # funnel: 3 per-stage user-key aggs + 2 user-key joins + 3 global
+    # 1-row counts = 8 exchanges; every one is on the compact user key
+    # or a 1-row rollup (the per-user table shrinks each stage, and at
+    # 10^12 events it is NOT broadcastable, so shuffle join is the
+    # honest 100 TB plan)
+    "funnel": (8, 0, 0),
+    # heat_grid: tile-count agg + 9x neighbor re-agg + center join
+    "heat_grid": (3, 0, 0),
     # corpus_shuffle: same distributed-prefix-sum shape as pack_blocks
     # (range window + tiny counts agg + tiny global window; offsets
     # broadcast back) — never a single global sort

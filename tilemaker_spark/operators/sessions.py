@@ -121,3 +121,37 @@ SELECT {user_col}, session_idx,
 FROM sess
 GROUP BY {user_col}, session_idx
 """
+
+
+def event_funnel(events: DataFrame,
+                 stages: tuple = ("view", "click", "purchase"),
+                 user_col: str = "user_id", type_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Ordered event-sequence funnel — the product-analytics staple:
+    how many users did stage 1, then stage 2 strictly AFTER their
+    first stage-1 event, then stage 3 after that, ...  Each stage is
+    one filter + per-user min(ts) + an equi-join back on the user key
+    (the previous stage's per-user table is at most #converted-users
+    rows, shrinking every stage), so the whole funnel is len(stages)
+    compact-key shuffles — never a per-user sort of the raw event log.
+    Output: (stage int, event_type, n_users), stage 1-based."""
+    spark = events.sparkSession
+    counts = []
+    prev = None  # (user, t_prev) of the last completed stage
+    for i, st in enumerate(stages):
+        e = events.filter(F.col(type_col) == st)
+        if prev is None:
+            cur = e.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            cur = (e.join(prev, user_col)
+                   .filter(F.col(ts_col) > F.col("_tp"))
+                   .groupBy(user_col).agg(F.min(ts_col).alias("_t")))
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage"),
+                F.lit(st).alias("event_type"), "n_users"))
+        prev = cur.select(user_col, F.col("_t").alias("_tp"))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

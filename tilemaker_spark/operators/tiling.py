@@ -814,3 +814,29 @@ def tile_load_stats(points: DataFrame, zooms: tuple = (6, 9, 12),
                      F.col("n"))).alias("p50_load"),
         F.max(F.when(F.col("rk") == F.floor(at(99)) + 1,
                      F.col("n"))).alias("p99_load"))
+
+
+def heat_grid(points: DataFrame, zoom: int = 8, lon_col: str = "lon",
+              lat_col: str = "lat") -> DataFrame:
+    """Tile heat map with 3x3 neighborhood smoothing — the
+    kernel-density rollup a density layer renders from: per non-empty
+    tile, its own point count and the box-summed count of its 9-cell
+    neighborhood.  Convolution over an aggregated grid, not the
+    points: the raw table collapses to per-tile counts first (one
+    map-side-combined shuffle), then each COUNT row fans out to its 9
+    neighbor keys (a 9x explode of #tiles rows, not #points) and
+    re-aggregates; a final equi-join keeps only real (non-empty)
+    centers.  Output: (x, y, n, heat)."""
+    from ..sql import tile_exprs as TE
+    t = points.select(
+        TE.lon2tilex(F.col(lon_col), zoom).alias("x"),
+        TE.lat2tiley(F.col(lat_col), zoom).alias("y"),
+    ).groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    spread = t.select(
+        F.explode(F.array(*[
+            F.struct((F.col("x") + dx).alias("x"),
+                     (F.col("y") + dy).alias("y"))
+            for dx, dy in offs])).alias("c"), "n"
+    ).groupBy("c.x", "c.y").agg(F.sum("n").alias("heat"))
+    return t.join(spread, ["x", "y"]).select("x", "y", "n", "heat")
