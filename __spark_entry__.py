@@ -1667,6 +1667,41 @@ GROUP BY a.x, a.y, a.n
 """
 
 
+def q_retention(spark, sf_dir):
+    """Weekly retention-cohort matrix
+    (operators/sessions.retention_cohorts): users cohorted by the
+    epoch week of their first signup, counted once per later activity
+    week at offset (activity - cohort) — one compact-key agg, one
+    user-key join, one distinct on the (cohort, offset, user) key.
+    Weeks are epoch-seconds // 604800 so both engines bucket
+    identically (no timezone/date-trunc semantics).  The oracle
+    replays the same chain."""
+    from tilemaker_spark.operators import sessions as sessions_ops
+    e = _t(spark, sf_dir, "events")
+    return sessions_ops.retention_cohorts(e)
+
+
+def sql_retention():
+    return """
+WITH first AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+cells AS (
+  SELECT DISTINCT e.user_id,
+         CAST(floor(floor(epoch(f.t0)) / 604800) AS BIGINT)
+           AS cohort_week,
+         CAST(floor(floor(epoch(e.ts)) / 604800)
+              - floor(floor(epoch(f.t0)) / 604800) AS BIGINT)
+           AS week_offset
+  FROM events e JOIN first f USING (user_id)
+  WHERE e.ts >= f.t0
+)
+SELECT cohort_week, week_offset, count(*) AS n_users
+FROM cells GROUP BY cohort_week, week_offset
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -3758,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_check": q_caption_check,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
+        "retention": q_retention,
         "heat_grid": q_heat_grid,
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
@@ -3863,6 +3899,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_check": sql_caption_check(),
         "sessionize": sql_sessionize(),
         "funnel": sql_funnel(),
+        "retention": sql_retention(),
         "heat_grid": sql_heat_grid(),
         "decontam": sql_decontam(),
         "pii_redact": sql_pii_redact(),

@@ -148,6 +148,9 @@ BUDGETS = {
     "funnel": (8, 0, 0),
     # heat_grid: tile-count agg + 9x neighbor re-agg + center join
     "heat_grid": (3, 0, 0),
+    # retention: signup min-ts agg + user-key join + two-phase
+    # distinct-count on the (cohort, offset, user) key
+    "retention": (5, 0, 0),
     # corpus_shuffle: same distributed-prefix-sum shape as pack_blocks
     # (range window + tiny counts agg + tiny global window; offsets
     # broadcast back) — never a single global sort

@@ -155,3 +155,34 @@ def event_funnel(events: DataFrame,
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def retention_cohorts(events: DataFrame, signup_type: str = "signup",
+                      user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      ts_col: str = "ts") -> DataFrame:
+    """Weekly retention-cohort matrix — the other product-analytics
+    staple next to :func:`event_funnel`: users are cohorted by the
+    epoch week of their FIRST ``signup_type`` event, and each later
+    activity week counts them once at offset (activity_week -
+    cohort_week).  Plan: one per-user min-ts agg (compact key), one
+    join back onto the log (user key), then a distinct + count on the
+    tiny (cohort, offset, user) key — the distinct is what keeps a
+    chatty user from inflating a cell.  Weeks are integer
+    epoch-day // 7 so both engines bucket identically (no timezone,
+    no date truncation semantics).  Output:
+    (cohort_week, week_offset, n_users)."""
+    wk = lambda c: F.floor(  # noqa: E731
+        F.unix_timestamp(c) / F.lit(604800))
+    first = (events.filter(F.col(type_col) == signup_type)
+             .groupBy(user_col)
+             .agg(F.min(ts_col).alias("_t0")))
+    j = events.join(first, user_col).filter(
+        F.col(ts_col) >= F.col("_t0"))
+    cells = j.select(
+        F.col(user_col),
+        wk(F.col("_t0")).alias("cohort_week"),
+        (wk(F.col(ts_col)) - wk(F.col("_t0"))).alias("week_offset"),
+    ).distinct()
+    return cells.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users"))
