@@ -1702,6 +1702,43 @@ FROM cells GROUP BY cohort_week, week_offset
 """
 
 
+def q_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day
+    (operators/sessions.max_concurrency): sweep line over session
+    (+1 start, -1 end) deltas with starts-before-ends tie order,
+    running sum via the distributed prefix-sum shape (fixed time-range
+    cumsum + tiny offsets + broadcast — never one global ORDER BY
+    window), daily max.  The oracle reuses the sessionize CTE and the
+    straight global window."""
+    from tilemaker_spark.operators import sessions as sessions_ops
+    e = _t(spark, sf_dir, "events")
+    return sessions_ops.max_concurrency(e, gap_minutes=30.0)
+
+
+def sql_concurrency():
+    from tilemaker_spark.operators import sessions as sessions_ops
+    base = sessions_ops.sessionize_oracle_sql(gap_minutes=30.0)
+    # reuse the sessionize twin's CTE chain, keep only the interval
+    head = base.split("SELECT {0}".format("user_id"), 1)[0]
+    return head + """
+, iv AS (
+  SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1
+  FROM sess GROUP BY user_id, session_idx
+), d AS (
+  SELECT t0 AS t, 1 AS dd, 0 AS tie FROM iv
+  UNION ALL
+  SELECT t1, -1, 1 FROM iv
+), c AS (
+  SELECT t, sum(dd) OVER (ORDER BY t, tie ROWS UNBOUNDED PRECEDING)
+           AS conc
+  FROM d
+)
+SELECT t // 86400000000 AS day,
+       CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM c GROUP BY day
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -3794,6 +3831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "funnel": q_funnel,
         "retention": q_retention,
+        "concurrency": q_concurrency,
         "heat_grid": q_heat_grid,
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
@@ -3900,6 +3938,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": sql_sessionize(),
         "funnel": sql_funnel(),
         "retention": sql_retention(),
+        "concurrency": sql_concurrency(),
         "heat_grid": sql_heat_grid(),
         "decontam": sql_decontam(),
         "pii_redact": sql_pii_redact(),

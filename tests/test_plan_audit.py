@@ -151,6 +151,11 @@ BUDGETS = {
     # retention: signup min-ts agg + user-key join + two-phase
     # distinct-count on the (cohort, offset, user) key
     "retention": (5, 0, 0),
+    # concurrency: sessionize window + session-interval agg + range
+    # cumsum window + range totals + tiny global window + day rollup
+    # = 8 exchanges, every one on a compact key or a tiny table;
+    # offsets broadcast back
+    "concurrency": (8, 1, 0),
     # corpus_shuffle: same distributed-prefix-sum shape as pack_blocks
     # (range window + tiny counts agg + tiny global window; offsets
     # broadcast back) — never a single global sort

@@ -174,3 +174,55 @@ def test_streaming_first_seen_dedups_across_batches(spark, tmp_path):
         assert ids == [1, 3, 5, 6]
     finally:
         q.stop()
+
+
+def test_max_concurrency_matches_bruteforce(spark):
+    """Per-day peak concurrency equals a sequential sweep, including a
+    session spanning midnight (carried into the next day's count) and
+    single-event sessions (+1/-1 at the same instant count once)."""
+    import datetime as dt
+    from tilemaker_spark.operators.sessions import max_concurrency
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # user u emits a burst starting at base + offset minutes lasting
+    # dur minutes (events every 10 min keep one session per burst)
+    bursts = [(1, 0, 50), (2, 20, 50), (3, 30, 5), (4, 23*60+30, 90),
+              (5, 24*60+10, 30), (6, 40, 0)]
+    for u, off, dur in bursts:
+        t = 0
+        while True:
+            rows.append((eid, base + dt.timedelta(minutes=off + t), u))
+            eid += 1
+            if t >= dur:
+                break
+            t = min(t + 10, dur)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long")
+    got = {r["day"]: r["max_concurrent"] for r in
+           max_concurrency(df, gap_minutes=30).collect()}
+    # brute force: sweep the interval list per microsecond-sorted deltas
+    iv = {}
+    for eid_, ts, u in rows:
+        k = u
+        iv.setdefault(k, []).append(ts)
+    deltas = []
+    for times in iv.values():
+        times.sort()
+        start = prev = times[0]
+        for t in times[1:]:
+            if (t - prev).total_seconds() > 1800:
+                deltas.append((start, prev))
+                start = t
+            prev = t
+        deltas.append((start, prev))
+    ev = []
+    for s, e in deltas:
+        ev.append((s, 0, +1))
+        ev.append((e, 1, -1))
+    ev.sort(key=lambda x: (x[0], x[1]))
+    conc, best = 0, {}
+    for t, _, d in ev:
+        conc += d
+        day = int(t.timestamp() // 86400)
+        best[day] = max(best.get(day, 0), conc)
+    assert got == best

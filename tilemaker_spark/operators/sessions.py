@@ -186,3 +186,57 @@ def retention_cohorts(events: DataFrame, signup_type: str = "signup",
     ).distinct()
     return cells.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users"))
+
+
+def max_concurrency(events: DataFrame, gap_minutes: float = 30.0,
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    range_days: int = 2) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning gauge,
+    computed as the classic sweep line: every session contributes
+    (+1 at start, -1 at end), sorted by time with starts before ends
+    at ties (closed intervals), and the running sum's per-day maximum
+    is the answer.
+
+    The running sum is a GLOBAL cumsum, which one ORDER BY window
+    would plan as a single sequential partition — so this uses the
+    same distributed prefix-sum shape as pack_blocks/corpus_shuffle:
+    cumsum WITHIN fixed time ranges (``range_days`` buckets of the
+    integer microsecond clock — data-independent boundaries), per-range
+    totals to a tiny table, a window over only that table, broadcast
+    the offsets back.  Sessions spanning a day boundary carry into the
+    next day through the range offsets, so day maxima are exact.
+    Ties between equal (t, side) rows permute equal-signed deltas
+    only, so the daily max is order-invariant.  Output:
+    (day, max_concurrent), day = epoch-us // 86400e6."""
+    s = sessionize(events, user_col=user_col, ts_col=ts_col,
+                   gap_minutes=gap_minutes)
+    # NTZ -> timestamp cast is the identity under the session's pinned
+    # UTC timezone (same convention as _epoch above / DuckDB epoch_us)
+    iv = s.groupBy("session_id").agg(
+        F.unix_micros(F.min(ts_col).cast("timestamp")).alias("t0"),
+        F.unix_micros(F.max(ts_col).cast("timestamp")).alias("t1"))
+    # explode, not union: a union of two selects over iv would plan the
+    # whole sessionize+agg subtree TWICE (Spark duplicates shared
+    # subtrees across union branches); the explode emits both deltas
+    # from one pass
+    deltas = iv.select(F.explode(F.array(
+        F.struct(F.col("t0").alias("t"), F.lit(1).alias("d"),
+                 F.lit(0).alias("tie")),
+        F.struct(F.col("t1").alias("t"), F.lit(-1).alias("d"),
+                 F.lit(1).alias("tie")))).alias("x")).select("x.*")
+    span_us = 86400000000 * range_days
+    deltas = deltas.withColumn("rng", F.floor(F.col("t") / span_us))
+    w_in = (Window.partitionBy("rng").orderBy("t", "tie")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = deltas.withColumn("cum", F.sum("d").over(w_in))
+    tot = local.groupBy("rng").agg(F.sum("d").alias("rtot"))
+    w_rng = (Window.orderBy("rng")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = tot.withColumn(
+        "roff", F.coalesce(F.sum("rtot").over(w_rng), F.lit(0)))
+    j = local.join(F.broadcast(off.select("rng", "roff")), "rng")
+    return (j.select(
+        F.floor(F.col("t") / F.lit(86400000000)).alias("day"),
+        (F.col("roff") + F.col("cum")).alias("conc"))
+        .groupBy("day").agg(F.max("conc").cast("long")
+                            .alias("max_concurrent")))
