@@ -1739,6 +1739,30 @@ FROM c GROUP BY day
 """
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct-count sketch (operators/sketches.py —
+    Bar-Yossef RANDOM'02 / theta-sketch family): per event_type,
+    estimate distinct users from the k=64 smallest 52-bit key hashes.
+    The sketch is a bounded mergeable set, so the plan is ONE
+    mapInPandas partial-sketch pass (<= k hashes per group leave each
+    partition — manual map-side combine) + one shuffle over only the
+    bounded partials; raw rows never shuffle and no COUNT(DISTINCT)
+    materializes.  The estimate ``(k-1)*2^52 div h_k`` is pure int64
+    floor division, so the DuckDB twin (global-window k-min over the
+    same md5-prefix hash) reproduces it bit-for-bit — a sketch whose
+    ESTIMATE is in the cross-engine hash gate, not just its size."""
+    from tilemaker_spark.operators import sketches
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return sketches.kmv_distinct(e, "user_id", ["event_type"],
+                                 k=64, salt=1)
+
+
+def sql_kmv_distinct():
+    from tilemaker_spark.operators import sketches
+    return sketches.kmv_distinct_oracle_sql(
+        "events", "user_id", "event_type", k=64, salt=1)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -3832,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "concurrency": q_concurrency,
+        "kmv_distinct": q_kmv_distinct,
         "heat_grid": q_heat_grid,
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
@@ -3939,6 +3964,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": sql_funnel(),
         "retention": sql_retention(),
         "concurrency": sql_concurrency(),
+        "kmv_distinct": sql_kmv_distinct(),
         "heat_grid": sql_heat_grid(),
         "decontam": sql_decontam(),
         "pii_redact": sql_pii_redact(),

@@ -163,6 +163,10 @@ BUDGETS = {
     # length_median: ONE shuffle on the group key shared by both
     # window passes and the rollup
     "length_median": (1, 0, 0),
+    # kmv_distinct: ONE mapInPandas partial-sketch pass (the manual
+    # map-side combine — <= k hashes per group leave each partition)
+    # + ONE merge shuffle over the bounded partials
+    "kmv_distinct": (1, 0, 1),
     # pii_redact is map-only JVM regex inside one codegen span
     "pii_redact": (0, 0, 0),
     # round-5 image-corpus additions: ar_bucket is a pure-Catalyst

@@ -1,0 +1,149 @@
+"""Mergeable distinct-count sketches (KMV / k-minimum-values).
+
+At 10^12 rows an exact ``COUNT(DISTINCT key)`` per group shuffles every
+distinct (group, key) pair; the classical KMV bottom-k sketch
+(Bar-Yossef et al., RANDOM'02; the theta-sketch family) shuffles at most
+``k`` values per (group, partition) instead: hash every key to a uniform
+integer, keep the ``k`` smallest DISTINCT hashes per group, and estimate
+
+    distinct ~= (k - 1) * H / h_k
+
+where ``h_k`` is the k-th smallest hash and ``H`` the hash-space size.
+The sketch is a bounded SET, so it merges associatively: the k smallest
+of a union are the k smallest of the per-partition k-smallest — exactly
+the map-side-combine shape Spark's partial aggregation wants.
+
+Everything here is integer-exact and engine-neutral so a DuckDB oracle
+reproduces the ESTIMATE bit-for-bit, not just approximately:
+
+* hash = first 13 hex digits of md5(key || ':' || salt) read as int64
+  (52 bits — both engines parse identical md5 hex; 52 bits keeps the
+  estimator numerator ``(k-1) * 2^52`` inside int64 so the final
+  division is pure integer floor division, no doubles anywhere).
+* estimate = ``(k-1) * 2^52 div h_k`` when the group saw >= k distinct
+  hashes, else the sketch holds the whole distinct set and the count is
+  exact.
+
+Plan shape (the 100 TB story): one ``mapInPandas`` pass folds each
+input partition into per-group bounded sketches (at most k hashes per
+group PER PARTITION leave the map side — the manual map-side combine),
+then one shuffle moves only ``<= k * n_partitions`` rows per group to a
+final ``groupBy`` merge.  Raw rows are never shuffled and no distinct
+materializes.  At 52-bit hashes, collision error is ~n^2/2^53 —
+negligible below ~10^8 distinct per group; widen to two int64 lanes for
+more (the estimator then needs decimal(38), noted, not built).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 52
+HASH_SPACE = 1 << HASH_BITS  # 4503599627370496
+
+
+def kmv_hash_col(key_col: str, salt: int) -> F.Column:
+    """52-bit uniform hash of the key, identical in Spark and DuckDB:
+    ``conv(substr(md5(key || ':' || salt), 1, 13), 16, 10)``."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"),
+                           F.lit(f":{salt}"))), 1, 13),
+        16, 10).cast("long")
+
+
+def kmv_hash_sql(key_expr: str, salt: int) -> str:
+    """DuckDB twin of :func:`kmv_hash_col` (CAST('0x'||hex AS BIGINT))."""
+    return (f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) "
+            f"|| ':{salt}'), 1, 13)) AS BIGINT)")
+
+
+def kmv_distinct(df: DataFrame, key_col: str, group_cols: list[str],
+                 k: int = 64, salt: int = 1) -> DataFrame:
+    """Per-group approximate distinct count of ``key_col`` via a KMV
+    bottom-k sketch, with a deterministic integer-exact estimate.
+
+    Returns one row per group: the group columns plus
+    ``est_distinct`` (bigint; exact when the group's distinct count is
+    below k) and ``sketch_size`` (= min(distinct, k), the number of
+    hashes the final sketch holds).
+    """
+    if not 2 <= k <= 4096:
+        raise ValueError(f"k={k} out of range [2, 4096]")
+    hashed = df.select(
+        *[F.col(c) for c in group_cols],
+        kmv_hash_col(key_col, salt).alias("__h"))
+
+    gcols = list(group_cols)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in hashed.schema if f.name in gcols
+    ) + ", __h long"
+
+    def partial_sketch(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+        # Fold the WHOLE partition (all Arrow batches) into one bounded
+        # sketch per group before emitting anything: at most k hashes
+        # per (group, partition) reach the shuffle.
+        acc: dict[tuple, set] = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(gcols, sort=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                s = acc.setdefault(key, set())
+                s.update(sub["__h"].tolist())
+                if len(s) > k:
+                    # keep the k smallest; bounded regardless of input
+                    acc[key] = set(sorted(s)[:k])
+        rows = [(*key, h) for key, s in acc.items() for h in s]
+        cols = gcols + ["__h"]
+        yield pd.DataFrame(rows, columns=cols)
+
+    partials = hashed.mapInPandas(partial_sketch, out_schema)
+
+    # Final merge: k smallest distinct hashes per group.  Input is
+    # <= k * n_partitions rows per group, so the sort_array/collect_set
+    # here is over a BOUNDED set, not the data.
+    merged = (partials.groupBy(*gcols)
+              .agg(F.slice(F.sort_array(F.collect_set("__h")),
+                           1, k).alias("__mins")))
+    n = F.size("__mins")
+    # try_element_at: NULL (not an ANSI error) when the sketch holds
+    # fewer than k hashes — that branch is covered by the WHEN arm
+    est = F.when(n < k, n.cast("long")).otherwise(
+        F.expr(f"{(k - 1) * HASH_SPACE} div try_element_at(__mins, {k})"))
+    return merged.select(
+        *gcols,
+        est.alias("est_distinct"),
+        F.least(n, F.lit(k)).cast("int").alias("sketch_size"))
+
+
+def kmv_distinct_oracle_sql(table: str, key_expr: str, group_cols: str,
+                            k: int = 64, salt: int = 1) -> str:
+    """DuckDB twin: exact same sketch from a global window (the k-min of
+    a union is partitioning-independent, so the one-pass SQL and the
+    distributed merge agree on every bit)."""
+    h = kmv_hash_sql(key_expr, salt)
+    return f"""
+WITH h AS (
+  SELECT DISTINCT {group_cols}, {h} AS h FROM {table}
+), r AS (
+  SELECT {group_cols}, h,
+         row_number() OVER (PARTITION BY {group_cols} ORDER BY h) AS rk,
+         count(*) OVER (PARTITION BY {group_cols}) AS nd
+  FROM h
+)
+SELECT {group_cols},
+       CASE WHEN max(nd) < {k} THEN max(nd)
+            ELSE {(k - 1) * HASH_SPACE}
+                 // max(CASE WHEN rk = {k} THEN h END)
+       END AS est_distinct,
+       CAST(least(max(nd), {k}) AS INTEGER) AS sketch_size
+FROM r
+GROUP BY {group_cols}
+"""
