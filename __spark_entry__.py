@@ -233,6 +233,40 @@ SELECT cell, count(*) AS n FROM hexfin GROUP BY 1
 """
 
 
+def q_s2_cells(spark, sf_dir):
+    """S2-analogue cell index (sql/tile_exprs.py s2_cell_id — the other
+    half of the north star's "H3/S2 cells" alongside hex_cell_id): cube
+    face via dominant sphere axis, gnomonic (u,v), linear st, per-face
+    Hilbert position — all pure Catalyst (trig + one F.aggregate bit
+    fold, zero UDF, whole-stage codegen).  Groups the skewed synthetic
+    order points by level-9 cell AND its level-5 ancestor (the parent
+    relation is pure bit math: hilbert position >> 2*dz, bit-exactness
+    property-tested in tests/test_s2.py), so the oracle checks both the
+    cell id and the subdivision contract cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    lon, lat = synth.geo_point_expr(F.col("o_orderkey"))
+    cell = TE.s2_cell_id(lon, lat, 9)
+    return (
+        o.select(cell.alias("cell"),
+                 TE.s2_cell_parent(cell, 9, 4).alias("parent"))
+        .groupBy("cell", "parent").agg(F.count("*").alias("n"))
+    )
+
+
+def sql_s2_cells():
+    ctes = TE.s2_sql_ctes(ORD_LON, ORD_LAT, "orders", 9)
+    shift = 1 << (2 * 9)
+    pshift = 1 << (2 * 5)
+    return f"""
+WITH RECURSIVE {ctes}
+SELECT cell,
+       (cell // {shift}) * {pshift} + ((cell % {shift}) // {1 << 8})
+         AS parent,
+       count(*) AS n
+FROM s2fin GROUP BY 1, 2
+"""
+
+
 def q_pip_broadcast(spark, sf_dir):
     """Point-in-polygon join, broadcast filter-refine path (reference
     Intersects/FindIntersecting, src/osm_lua_processing.cpp:409-465)."""
@@ -3781,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash": q_geohash,
         "cell_index": q_cell_index,
         "hex_index": q_hex_index,
+        "s2_cells": q_s2_cells,
         "pip_broadcast": q_pip_broadcast,
         "pip_cell": q_pip_cell,
         "zonal_stats": q_zonal_stats,
@@ -3887,6 +3922,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash": sql_geohash(),
         "cell_index": sql_cell_index(),
         "hex_index": sql_hex_index(),
+        "s2_cells": sql_s2_cells(),
         "pip_broadcast": sql_pip(),
         "pip_cell": sql_pip(),
         "zonal_stats": sql_zonal_stats(),

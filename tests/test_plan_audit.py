@@ -167,6 +167,9 @@ BUDGETS = {
     # map-side combine — <= k hashes per group leave each partition)
     # + ONE merge shuffle over the bounded partials
     "kmv_distinct": (1, 0, 1),
+    # s2_cells: pure-Catalyst trig + Hilbert bit fold, ONE groupBy
+    # shuffle on the compact cell key, zero UDF
+    "s2_cells": (1, 0, 0),
     # pii_redact is map-only JVM regex inside one codegen span
     "pii_redact": (0, 0, 0),
     # round-5 image-corpus additions: ar_bucket is a pure-Catalyst

@@ -397,3 +397,146 @@ hrec AS (
   FROM hrec WHERE i >= 0
 ),
 hfin AS (SELECT x0, y0, d AS hilbert FROM hrec WHERE i = -1)"""
+
+
+# ---------------------------------------------------------------------------
+# S2-analogue cell index (cube face + per-face Hilbert).
+#
+# The BASELINE north star keys tables by "H3/S2 cells"; hex_cell_id above is
+# the H3 analogue, this is the S2 one: project the point onto the unit
+# sphere, pick the dominant axis (one of 6 cube faces, S2's face numbering:
+# 0 +x, 1 +y, 2 +z, 3 -x, 4 -y, 5 -z), gnomonic (u, v) in [-1, 1] via the
+# standard XYZ-to-face-UV component ratios, LINEAR st transform (S2's
+# S2_LINEAR_PROJECTION flavor — the quadratic flavor only rebalances cell
+# areas and would obscure the cross-engine float story), integer (i, j) at
+# 2^level, then the SAME public xy2d Hilbert fold as hilbert_d.  Cell id =
+# face * 4^level + hilbert_pos — 3 + 2*level bits, int64 through level 30.
+#
+# Differences from real S2, stated: linear (not quadratic) st transform,
+# and each face carries an UNROTATED Hilbert curve (real S2 orients the
+# curve per face so the space-filling curve is continuous ACROSS faces;
+# here face-major order already gives each face internal locality, which is
+# what partition pruning and range-clustering consume).
+#
+# The parent relation is pure bit math — the xy2d Hilbert walk consumes
+# coordinate bits top-down, so the level-(L-dz) position of a point is
+# exactly its level-L position >> 2*dz (children occupy the contiguous
+# quarter of the parent's range).  tests/test_hex.py proves this bit-exact
+# against recomputation at the coarser level.
+# ---------------------------------------------------------------------------
+
+def _s2_face_uv(lon: Column, lat: Column) -> tuple[Column, Column, Column]:
+    """(face, u, v) for a lon/lat degree point — S2 face numbering and
+    component-ratio UV, pure Catalyst."""
+    lam, phi = F.radians(lon.cast("double")), F.radians(lat.cast("double"))
+    px = F.cos(phi) * F.cos(lam)
+    py = F.cos(phi) * F.sin(lam)
+    pz = F.sin(phi)
+    ax, ay, az = F.abs(px), F.abs(py), F.abs(pz)
+    face = (F.when((ax >= ay) & (ax >= az),
+                   F.when(px >= 0, F.lit(0)).otherwise(F.lit(3)))
+            .when(ay >= az, F.when(py >= 0, F.lit(1)).otherwise(F.lit(4)))
+            .otherwise(F.when(pz >= 0, F.lit(2)).otherwise(F.lit(5))))
+    u = (F.when(face == 0, py / px).when(face == 1, -px / py)
+         .when(face == 2, -px / pz).when(face == 3, pz / px)
+         .when(face == 4, pz / py).otherwise(-py / pz))
+    v = (F.when(face == 0, pz / px).when(face == 1, pz / py)
+         .when(face == 2, -py / pz).when(face == 3, py / px)
+         .when(face == 4, -px / py).otherwise(-px / pz))
+    return face, u, v
+
+
+def s2_cell_id(lon: Column, lat: Column, level: int = 10) -> Column:
+    """S2-analogue cell id of a lon/lat degree point at ``level``:
+    ``face * 4^level + hilbert_d(i, j, level)`` (see block comment)."""
+    if not 0 <= level <= 30:
+        raise ValueError(f"level={level} out of range [0, 30]")
+    n = 1 << level
+    face, u, v = _s2_face_uv(lon, lat)
+    i = F.least(F.lit(n - 1),
+                F.floor((u + F.lit(1.0)) / F.lit(2.0) * F.lit(float(n))))
+    j = F.least(F.lit(n - 1),
+                F.floor((v + F.lit(1.0)) / F.lit(2.0) * F.lit(float(n))))
+    return (face.cast("long") * F.lit(1 << (2 * level))
+            + hilbert_d(i, j, level)).cast("long")
+
+
+def s2_cell_face(cell: Column, level: int) -> Column:
+    """Face (0..5) back out of a packed S2-analogue cell id."""
+    return F.floor(cell / F.lit(1 << (2 * level))).cast("int")
+
+
+def s2_cell_parent(cell: Column, level: int, dz: int = 1) -> Column:
+    """Ancestor cell at ``level - dz``: same face, Hilbert position
+    ``>> 2*dz`` (top-down bit consumption makes children a contiguous
+    quarter of the parent's curve range)."""
+    if not 0 <= dz <= level:
+        raise ValueError(f"dz={dz} out of range [0, {level}]")
+    face = F.floor(cell / F.lit(1 << (2 * level))).cast("long")
+    d = cell - face * F.lit(1 << (2 * level))
+    return (face * F.lit(1 << (2 * (level - dz)))
+            + F.shiftright(d.cast("long"), 2 * dz)).cast("long")
+
+
+def s2_sql_ctes(lon: str, lat: str, source: str, level: int = 10) -> str:
+    """DuckDB twin of :func:`s2_cell_id` as a CTE chain ending in
+    ``s2fin`` (all source columns + ``cell``); mirrors the Spark
+    literals and operation order exactly, with the Hilbert walk as a
+    recursive CTE carrying (face, i, j) through the bit levels."""
+    n = 1 << level
+    rx = "((i >> lvl) & 1)"
+    ry = "((j >> lvl) & 1)"
+    return f"""s2xyz AS (
+  SELECT *,
+         cos(radians({lat})) * cos(radians({lon})) AS px,
+         cos(radians({lat})) * sin(radians({lon})) AS py,
+         sin(radians({lat})) AS pz
+  FROM {source}
+), s2face AS (
+  SELECT *,
+         CASE WHEN abs(px) >= abs(py) AND abs(px) >= abs(pz)
+              THEN CASE WHEN px >= 0 THEN 0 ELSE 3 END
+              WHEN abs(py) >= abs(pz)
+              THEN CASE WHEN py >= 0 THEN 1 ELSE 4 END
+              ELSE CASE WHEN pz >= 0 THEN 2 ELSE 5 END END AS face
+  FROM s2xyz
+), s2uv AS (
+  SELECT *,
+         CASE face WHEN 0 THEN py / px WHEN 1 THEN -px / py
+                   WHEN 2 THEN -px / pz WHEN 3 THEN pz / px
+                   WHEN 4 THEN pz / py ELSE -py / pz END AS uu,
+         CASE face WHEN 0 THEN pz / px WHEN 1 THEN pz / py
+                   WHEN 2 THEN -py / pz WHEN 3 THEN py / px
+                   WHEN 4 THEN -px / py ELSE -px / pz END AS vv
+  FROM s2face
+), s2ij AS (
+  SELECT *,
+         least({n - 1}, CAST(floor((uu + 1.0) / 2.0 * {float(n)!r})
+                             AS BIGINT)) AS i,
+         least({n - 1}, CAST(floor((vv + 1.0) / 2.0 * {float(n)!r})
+                             AS BIGINT)) AS j
+  FROM s2uv
+), s2rec AS (
+  SELECT face, i AS i0, j AS j0, i, j,
+         CAST(0 AS BIGINT) AS d, {level - 1} AS lvl
+  FROM (SELECT DISTINCT face, i, j FROM s2ij)
+  UNION ALL
+  SELECT face, i0, j0,
+         CASE WHEN {ry} = 0
+              THEN CASE WHEN {rx} = 1 THEN {n - 1} - j ELSE j END
+              ELSE i END,
+         CASE WHEN {ry} = 0
+              THEN CASE WHEN {rx} = 1 THEN {n - 1} - i ELSE i END
+              ELSE j END,
+         d + CAST((1::BIGINT << lvl) AS BIGINT) * (1::BIGINT << lvl)
+             * xor(3 * {rx}, {ry}),
+         lvl - 1
+  FROM s2rec WHERE lvl >= 0
+), s2d AS (
+  SELECT face, i0, j0, d FROM s2rec WHERE lvl = -1
+), s2fin AS (
+  SELECT s2ij.*,
+         CAST(s2ij.face AS BIGINT) * {1 << (2 * level)} + s2d.d AS cell
+  FROM s2ij JOIN s2d
+    ON s2ij.face = s2d.face AND s2ij.i = s2d.i0 AND s2ij.j = s2d.j0
+)"""
