@@ -1797,6 +1797,42 @@ def sql_kmv_distinct():
         "events", "user_id", "event_type", k=64, salt=1)
 
 
+def q_hot_ngrams(spark, sf_dir):
+    """Exact corpus heavy hitters (operators/sketches.py heavy_hitters
+    — Misra-Gries '82 candidates + exact recount): every word BIGRAM
+    holding >= 1500 ppm of the corpus, with its exact count.  The
+    tokenize/bigram explode is pure Catalyst (split + transform over an
+    index sequence); the frequent-items pass never shuffles the full
+    distinct-bigram space — one bounded-state mapInPandas candidate
+    pass (<= k counters per partition, candidates a PROVABLE superset
+    of the answer), broadcast semi-join, recount of candidates only,
+    exact integer ppm threshold (n * 1e6 >= total * ppm, no floats).
+    At web scale this is the vocabulary/hot-phrase scan a plain
+    groupBy-count cannot afford over 10^10+ distinct n-grams."""
+    from tilemaker_spark.operators import sketches
+    d = _t(spark, sf_dir, "documents").select(
+        F.split(F.lower(F.col("text")), " ").alias("ws"))
+    bg = d.select(F.explode(F.when(
+        F.size("ws") >= 2,
+        F.expr("transform(sequence(0, size(ws)-2),"
+               " i -> concat(ws[i], ' ', ws[i+1]))")
+    ).otherwise(F.array().cast("array<string>"))).alias("bigram"))
+    return sketches.heavy_hitters(bg, "bigram", share_ppm=1500)
+
+
+def sql_hot_ngrams():
+    from tilemaker_spark.operators import sketches
+    src = """(
+  WITH d AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+  b AS (
+    SELECT ws[i] || ' ' || ws[i+1] AS bigram
+    FROM d, unnest(generate_series(1, len(ws) - 1)) t(i)
+  ) SELECT bigram FROM b
+)"""
+    return sketches.heavy_hitters_oracle_sql(
+        src, "bigram", 1500, out_col="bigram")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -3892,6 +3928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "concurrency": q_concurrency,
         "kmv_distinct": q_kmv_distinct,
+        "hot_ngrams": q_hot_ngrams,
         "heat_grid": q_heat_grid,
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
@@ -4001,6 +4038,7 @@ def oracle_sql() -> dict[str, str]:
         "retention": sql_retention(),
         "concurrency": sql_concurrency(),
         "kmv_distinct": sql_kmv_distinct(),
+        "hot_ngrams": sql_hot_ngrams(),
         "heat_grid": sql_heat_grid(),
         "decontam": sql_decontam(),
         "pii_redact": sql_pii_redact(),

@@ -170,6 +170,10 @@ BUDGETS = {
     # s2_cells: pure-Catalyst trig + Hilbert bit fold, ONE groupBy
     # shuffle on the compact cell key, zero UDF
     "s2_cells": (1, 0, 0),
+    # hot_ngrams: MG candidate pass (1 Arrow node) + candidate
+    # distinct + bounded recount agg + 1-row total = 3 exchanges; the
+    # candidate set and total broadcast back (>=2 of the 4 bcasts)
+    "hot_ngrams": (3, 2, 1),
     # pii_redact is map-only JVM regex inside one codegen span
     "pii_redact": (0, 0, 0),
     # round-5 image-corpus additions: ar_bucket is a pure-Catalyst

@@ -52,3 +52,44 @@ def test_bad_k_rejected(spark):
     df = _rows(spark, {"a": 3})
     with pytest.raises(ValueError):
         sketches.kmv_distinct(df, "user", ["grp"], k=1)
+
+
+def _exact_hh(rows, ppm):
+    from collections import Counter
+    c = Counter(k for k, in rows)
+    total = len(rows)
+    return sorted((k, n) for k, n in c.items()
+                  if n * 1_000_000 >= total * ppm)
+
+
+def test_heavy_hitters_exact_any_partitioning(spark):
+    import random
+    rng = random.Random(7)
+    # adversarial: 3 planted hot keys + a long uniform noise tail far
+    # wider than k, plus near-threshold keys that must resolve EXACTLY
+    rows = ([("hot_a",)] * 900 + [("hot_b",)] * 500 + [("hot_c",)] * 120
+            + [(f"edge_{i}",) for i in range(40) for _ in (0, 1)]
+            + [(f"noise_{rng.randrange(20000)}",) for _ in range(8000)])
+    rng.shuffle(rows)
+    ppm = 10_000  # threshold ~ total/100
+    want = _exact_hh(rows, ppm)
+    df = spark.createDataFrame(rows, "k string")
+    for parts in (1, 7, 32):
+        got = sorted(map(tuple, sketches.heavy_hitters(
+            df.repartition(parts), "k", ppm).collect()))
+        assert got == want
+
+
+def test_heavy_hitters_small_k_still_lossless(spark):
+    # force k far below the distinct count so MG actually decrements
+    rows = [("hh",)] * 300 + [(f"n{i}",) for i in range(900)]
+    df = spark.createDataFrame(rows, "k string").repartition(5)
+    got = sorted(map(tuple, sketches.heavy_hitters(
+        df, "k", 100_000, k=8).collect()))
+    assert got == _exact_hh(rows, 100_000)
+
+
+def test_heavy_hitters_bad_ppm(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        sketches.heavy_hitters(df, "k", 0)

@@ -147,3 +147,83 @@ SELECT {group_cols},
 FROM r
 GROUP BY {group_cols}
 """
+
+
+def heavy_hitters(df: DataFrame, key_col: str, share_ppm: int,
+                  k: int | None = None) -> DataFrame:
+    """EXACT frequent-items: every key whose count clears
+    ``share_ppm`` parts-per-million of the table, with its exact count
+    — without ever shuffling the full distinct-key space.
+
+    The classical lossless two-pass (Misra-Gries '82 candidates +
+    exact recount):
+
+    1. One ``mapInPandas`` pass runs a batched Misra-Gries summary with
+       ``k = ceil(1e6 / share_ppm)`` counters per partition.  MG's
+       guarantee: a key can only lose counter mass when >= k other
+       counter units drop with it, so any key with partition count
+       > n_p / (k+1) survives its partition; a GLOBAL heavy hitter
+       (count >= share_ppm * n / 1e6 >= n_p * share_ppm / 1e6 summed)
+       exceeds that bar in at least one partition by pigeonhole —
+       candidates are a SUPERSET of the answer, never a miss.
+    2. The exact pass recounts ONLY candidate keys: a broadcast
+       semi-join keeps matching rows, the groupBy's map-side combine
+       collapses them to <= |candidates| rows per partition, and the
+       exact integer threshold ``n * 1_000_000 >= total * share_ppm``
+       (pure int64, no ceil, no floats) filters.
+
+    At 10^12 rows with 10^10 distinct keys, a plain
+    ``groupBy(key).count()`` shuffles 10^10 aggregation keys; this
+    shuffles <= k rows per partition in pass 1 and <= |candidates|
+    per partition in pass 2.  Output is EXACT and partitioning-
+    independent (the oracle is a plain GROUP BY ... HAVING), unlike
+    approximate MG counts whose values depend on arrival order.
+    """
+    if not 1 <= share_ppm <= 1_000_000:
+        raise ValueError(f"share_ppm={share_ppm} out of range")
+    if k is None:
+        k = -(-1_000_000 // share_ppm)  # ceil(1e6 / ppm)
+
+    import numpy as np
+
+    keyed = df.select(F.col(key_col).alias("__k"))
+
+    def mg_candidates(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+        d: dict = {}
+        for pdf in batches:
+            for key, cnt in pdf["__k"].value_counts().items():
+                d[key] = d.get(key, 0) + int(cnt)
+            if len(d) > k:
+                vals = np.sort(np.fromiter(d.values(), dtype="int64"))
+                # (len-k)-th smallest: subtracting it everywhere drops
+                # >= len-k entries, keeping <= k — the batched MG
+                # decrement (every unit a survivor loses is matched by
+                # >= k other counters losing the same unit)
+                c = int(vals[len(d) - k - 1])
+                d = {kk: v - c for kk, v in d.items() if v > c}
+        yield pd.DataFrame({"__k": list(d.keys())})
+
+    cands = (keyed.mapInPandas(
+        mg_candidates, f"__k {df.schema[key_col].dataType.simpleString()}")
+        .distinct())
+
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    counts = (keyed.join(F.broadcast(cands), "__k", "left_semi")
+              .groupBy("__k").agg(F.count(F.lit(1)).alias("n")))
+    return (counts.join(F.broadcast(total))
+            .where(F.col("n") * F.lit(1_000_000)
+                   >= F.col("__total") * F.lit(share_ppm))
+            .select(F.col("__k").alias(key_col), "n"))
+
+
+def heavy_hitters_oracle_sql(source: str, key_expr: str,
+                             share_ppm: int, out_col: str = "key") -> str:
+    """DuckDB twin: the answer heavy_hitters is exact against — a plain
+    GROUP BY with the identical integer threshold."""
+    return f"""
+SELECT {key_expr} AS {out_col}, count(*) AS n
+FROM {source}
+GROUP BY 1
+HAVING count(*) * 1000000 >= (SELECT count(*) FROM {source}) * {share_ppm}
+"""
