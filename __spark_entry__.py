@@ -1833,6 +1833,30 @@ def sql_hot_ngrams():
         src, "bigram", 1500, out_col="bigram")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted corpus subsampling (operators/sampling.py
+    weighted_sample — Efraimidis-Spirakis IPL'06 with md5-derived
+    uniforms instead of RNG state): the 500 documents with the largest
+    ln(u)/n_chars keys, i.e. a char-weighted sample that is a pure
+    function of (doc_id, salt) — stable across runs, partitionings,
+    engines, cluster sizes.  Plan is TakeOrderedAndProject (per-
+    partition top-k + driver merge of k rows per partition — no global
+    sort, no single-partition window).  Output keeps only integer/
+    string columns so the cross-engine hash gate is float-free."""
+    from tilemaker_spark.operators.sampling import weighted_sample
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (weighted_sample(d, "doc_id", "n_chars", k=500, salt=2)
+            .select("doc_id", "n_chars"))
+
+
+def sql_weighted_sample():
+    from tilemaker_spark.operators.sampling import weighted_sample_oracle_sql
+    inner = weighted_sample_oracle_sql(
+        "documents", "doc_id", "n_chars", 500, salt=2,
+        cols="doc_id, n_chars")
+    return f"SELECT doc_id, n_chars FROM ({inner}) s"
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -3929,6 +3953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrency": q_concurrency,
         "kmv_distinct": q_kmv_distinct,
         "hot_ngrams": q_hot_ngrams,
+        "weighted_sample": q_weighted_sample,
         "heat_grid": q_heat_grid,
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
@@ -4039,6 +4064,7 @@ def oracle_sql() -> dict[str, str]:
         "concurrency": sql_concurrency(),
         "kmv_distinct": sql_kmv_distinct(),
         "hot_ngrams": sql_hot_ngrams(),
+        "weighted_sample": sql_weighted_sample(),
         "heat_grid": sql_heat_grid(),
         "decontam": sql_decontam(),
         "pii_redact": sql_pii_redact(),

@@ -174,6 +174,8 @@ BUDGETS = {
     # distinct + bounded recount agg + 1-row total = 3 exchanges; the
     # candidate set and total broadcast back (>=2 of the 4 bcasts)
     "hot_ngrams": (3, 2, 1),
+    # weighted_sample: TakeOrderedAndProject — zero exchanges, zero UDF
+    "weighted_sample": (0, 0, 0),
     # pii_redact is map-only JVM regex inside one codegen span
     "pii_redact": (0, 0, 0),
     # round-5 image-corpus additions: ar_bucket is a pure-Catalyst

@@ -324,3 +324,52 @@ def test_tile_load_stats_matches_numpy(spark):
         assert r["max_load"] == n[-1]
         assert r["p50_load"] == n[(len(n) - 1) * 50 // 100]
         assert r["p99_load"] == n[(len(n) - 1) * 99 // 100]
+
+
+def test_weighted_sample_partition_independent_and_formula_exact(spark):
+    import hashlib
+    import math
+    from tilemaker_spark.operators.sampling import weighted_sample
+    rows = [(f"d{i}", 1 + (i * 7) % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "id string, w int")
+
+    def py_key(i, w, salt=0):
+        h = int(hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:13], 16)
+        return math.log((h + 1.0) / float(1 << 52)) / float(w)
+
+    want = sorted(rows, key=lambda r: (-py_key(r[0], r[1]), r[0]))[:25]
+    for parts in (1, 8):
+        got = [(r["id"], r["w"]) for r in weighted_sample(
+            df.repartition(parts), "id", "w", 25).collect()]
+        assert sorted(got) == sorted(want)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from tilemaker_spark.operators.sampling import weighted_sample
+    rows = [(f"h{i}", 1000) for i in range(20)] + \
+           [(f"l{i}", 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id string, w int")
+    hot = 0
+    for salt in range(5):
+        got = weighted_sample(df, "id", "w", 20, salt=salt).collect()
+        hot += sum(r["id"].startswith("h") for r in got)
+    # 20 heavy rows carry 100x the weight mass of all 200 light rows
+    assert hot >= 70  # >= 70% of 100 sampled slots across salts
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from tilemaker_spark.operators.sampling import weighted_sample
+    df = spark.createDataFrame([("a", 1)], "id string, w int")
+    plan = weighted_sample(df, "id", "w", 5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_rejects_bad_k_and_zero_weights(spark):
+    import pytest as _pt
+    from tilemaker_spark.operators.sampling import weighted_sample
+    df = spark.createDataFrame([("a", 0), ("b", 3)], "id string, w int")
+    with _pt.raises(ValueError):
+        weighted_sample(df, "id", "w", 0)
+    got = weighted_sample(df, "id", "w", 10).collect()
+    assert [r["id"] for r in got] == ["b"]

@@ -303,3 +303,51 @@ def domain_cap(df: DataFrame, group_col: str = "source",
         hash_bucket(df, id_col, salt), id_col)
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= cap).drop("_rk"))
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int, salt: int = 0) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the k rows
+    with the largest Efraimidis-Spirakis (IPL'06) keys u_i^(1/w_i),
+    compared in the log domain as ``ln(u_i) / w_i`` (monotone, avoids
+    pow underflow at large weights).
+
+    u_i is NOT an RNG draw — it is the row's 52-bit md5-prefix hash
+    over 2^52 (same trick as the KMV sketch), so the sample is a pure
+    function of (id, salt): stable across runs, partitionings, engines
+    and cluster sizes, and the DuckDB oracle replays it exactly as
+    ``ORDER BY ln(u)/w DESC LIMIT k``.
+
+    Scale shape: ``orderBy(key).limit(k)`` compiles to
+    TakeOrderedAndProject — every partition keeps its local top-k and
+    only k rows per partition reach the driver-side merge; there is no
+    global sort and no single-partition window.  Zero rows with
+    w <= 0 are excluded (E-S keys are undefined there).
+    """
+    if k <= 0:
+        raise ValueError(f"k={k} must be positive")
+    u = (F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                   F.lit(f":{salt}"))), 1, 13),
+        16, 10).cast("double") + F.lit(1.0)) / F.lit(float(1 << 52))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (df.where(F.col(weight_col) > 0)
+            .withColumn("es_key", key)
+            .orderBy(F.desc("es_key"), F.col(id_col))
+            .limit(k))
+
+
+def weighted_sample_oracle_sql(source: str, id_expr: str, weight_expr: str,
+                               k: int, salt: int = 0,
+                               cols: str = "*") -> str:
+    """DuckDB twin of :func:`weighted_sample` — identical key formula,
+    identical tie-break, plain ORDER BY ... LIMIT."""
+    u = (f"(CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR) "
+         f"|| ':{salt}'), 1, 13)) AS BIGINT) + 1.0) / {float(1 << 52)!r}")
+    return f"""
+SELECT {cols}, ln({u}) / CAST({weight_expr} AS DOUBLE) AS es_key
+FROM {source}
+WHERE {weight_expr} > 0
+ORDER BY es_key DESC, {id_expr}
+LIMIT {k}
+"""
