@@ -1857,6 +1857,32 @@ def sql_weighted_sample():
     return f"SELECT doc_id, n_chars FROM ({inner}) s"
 
 
+BPE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "e"),
+              ("e", "r"), ("s", "t"), ("r", "o"), ("a", "n"), ("g", "g")]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLY (operators/text.py bpe_encode_counts — the
+    encode side of Sennrich 2016, closing the train-but-never-apply
+    gap): per document, exact token count after a 9-merge published-
+    tokenizer merge list (chained multi-level merges th->the, in->ine)
+    plus the pre-merge word count.  The encoder is pure Catalyst
+    string algebra — char-split + two literal replaces per merge in
+    rank order (two passes because non-overlapping replace consumes
+    shared boundary spaces in runs; equivalence to the rescan-per-step
+    reference algorithm is property-tested on adversarial runs) —
+    zero UDF, zero shuffles, map-only at any corpus size; the oracle
+    replays the byte-identical replace chain."""
+    from tilemaker_spark.operators.text import bpe_encode_counts
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_encode_counts(d, BPE_MERGES)
+
+
+def sql_bpe_encode():
+    from tilemaker_spark.operators.text import bpe_encode_oracle_sql
+    return bpe_encode_oracle_sql(BPE_MERGES)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -3954,6 +3980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "hot_ngrams": q_hot_ngrams,
         "weighted_sample": q_weighted_sample,
+        "bpe_encode": q_bpe_encode,
         "heat_grid": q_heat_grid,
         "decontam": q_decontam,
         "pii_redact": q_pii_redact,
@@ -4065,6 +4092,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": sql_kmv_distinct(),
         "hot_ngrams": sql_hot_ngrams(),
         "weighted_sample": sql_weighted_sample(),
+        "bpe_encode": sql_bpe_encode(),
         "heat_grid": sql_heat_grid(),
         "decontam": sql_decontam(),
         "pii_redact": sql_pii_redact(),

@@ -282,3 +282,71 @@ def test_tfidf_rare_term_beats_common(spark):
     top1 = {r["doc_id"]: r["term"]
             for r in text.tfidf_top_terms(df, top_k=1).collect()}
     assert top1 == {i: f"uniq{i}" for i in range(6)}
+
+
+def _true_bpe_token_count(word, merges):
+    # reference: Sennrich apply — rescan, lowest-rank pair, merge ALL
+    # its occurrences left-to-right, repeat
+    toks = list(word)
+    rank = {m: i for i, m in enumerate(merges)}
+    while True:
+        pairs = {(toks[i], toks[i + 1]) for i in range(len(toks) - 1)}
+        ranked = [p for p in pairs if p in rank]
+        if not ranked:
+            return len(toks)
+        a, b = min(ranked, key=lambda p: rank[p])
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+
+
+def test_bpe_encode_matches_true_bpe(spark):
+    from tilemaker_spark.operators.text import bpe_encode_counts
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "e"),
+              ("e", "r"), ("s", "t"), ("r", "o"), ("a", "n"), ("g", "g")]
+    # adversarial: runs that trip non-overlapping replace, chained
+    # merges, vocabulary words, repeated merged tokens
+    docs = ["erererer line the window stream",
+            "gggg agg ggg the then there",
+            "ininin thethe ererer st st st",
+            "customer order filter merge vector scan",
+            "a  double  space tail "]
+    df = spark.createDataFrame([(f"d{i}", t) for i, t in enumerate(docs)],
+                               "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in bpe_encode_counts(df, merges).collect()}
+    for i, t in enumerate(docs):
+        words = [w for w in t.lower().split(" ") if w]
+        want = (len(words),
+                sum(_true_bpe_token_count(w, merges) for w in words))
+        assert got[f"d{i}"] == want, (t, got[f"d{i}"], want)
+
+
+def test_bpe_encode_duckdb_twin(spark):
+    import duckdb
+    from tilemaker_spark.operators.text import (bpe_encode_counts,
+                                                bpe_encode_oracle_sql)
+    merges = [("e", "r"), ("er", "e"), ("a", "b")]
+    docs = [("x1", "erere ababab erer"), ("x2", "rerere baba")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = sorted(map(tuple, bpe_encode_counts(df, merges).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    want = sorted(map(tuple,
+                      con.execute(bpe_encode_oracle_sql(merges)).fetchall()))
+    assert got == want
+
+
+def test_bpe_encode_rejects_space_in_merge(spark):
+    import pytest as _pt
+    from tilemaker_spark.operators.text import bpe_encode_counts
+    df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    with _pt.raises(ValueError):
+        bpe_encode_counts(df, [("a b", "c")])

@@ -176,6 +176,9 @@ BUDGETS = {
     "hot_ngrams": (3, 2, 1),
     # weighted_sample: TakeOrderedAndProject — zero exchanges, zero UDF
     "weighted_sample": (0, 0, 0),
+    # bpe_encode: pure-Catalyst replace-chain tokenizer apply —
+    # map-only projection, zero everything
+    "bpe_encode": (0, 0, 0),
     # pii_redact is map-only JVM regex inside one codegen span
     "pii_redact": (0, 0, 0),
     # round-5 image-corpus additions: ar_bucket is a pure-Catalyst

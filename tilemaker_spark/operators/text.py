@@ -683,3 +683,78 @@ SELECT t.id AS {id_col}, t.n_lines,
        md5(coalesce(p.clean, '')) AS clean_fp
 FROM totals t LEFT JOIN per_doc p ON t.id = p.id
 """
+
+
+def bpe_encode_counts(df: DataFrame, merges: list[tuple[str, str]],
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """APPLY a BPE tokenizer (the encode side of :func:`bpe_train` —
+    Sennrich et al. 2016 §3): per document, the exact token count after
+    applying ``merges`` in rank order, plus the pre-merge word count.
+
+    The whole encoder is pure Catalyst string algebra, zero UDF: each
+    word becomes a space-separated char sequence (`` l o w ``), and
+    every merge (a, b) is TWO chained literal ``replace(s, ' a b ',
+    ' ab ')`` calls.  Two calls per merge because left-to-right
+    non-overlapping replace consumes the shared boundary space in runs
+    (`` e r e r `` matches once, not twice); after one pass every
+    still-unmerged pair is flanked by merged neighbors, so the second
+    pass is sufficient (property-tested against a true per-word BPE
+    reference incl. adversarial runs).  Applying merges one-shot in
+    rank order equals the rescan-per-step reference algorithm for any
+    TRAINED merge list: tokens never vanish (they only concatenate),
+    so a later merge cannot create adjacency for an earlier one, and
+    every merge's output token is new, so later merges cannot emit an
+    earlier merge's operands.
+
+    Merges are plan literals (a published tokenizer is a model
+    artifact, applied, not recomputed); the DuckDB oracle replays the
+    byte-identical replace chain.  Map-only: per-doc aggregation runs
+    inside ``F.aggregate`` over the word array — zero shuffles at any
+    corpus size.
+    """
+    for a, b in merges:
+        if " " in a or " " in b or not a or not b:
+            raise ValueError(f"bad merge pair ({a!r}, {b!r})")
+    ws = F.split(F.lower(F.col(text_col)), " ")
+
+    def encode(word):
+        s = F.concat(F.lit(" "),
+                     F.regexp_replace(word, "(.)", "$1 "))
+        for a, b in merges:
+            for _ in range(2):
+                s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+        return s
+
+    n_tokens_word = F.transform(
+        F.filter(ws, lambda w: w != ""),
+        lambda w: F.size(F.split(F.trim(encode(w)), " ")))
+    return df.select(
+        F.col(id_col),
+        F.size(n_tokens_word).alias("n_words"),
+        F.aggregate(n_tokens_word, F.lit(0),
+                    lambda acc, x: acc + x).alias("n_tokens"))
+
+
+def bpe_encode_oracle_sql(merges: list[tuple[str, str]],
+                          table: str = "documents",
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`bpe_encode_counts`: identical char split
+    and double-replace chain, per-word via unnest + GROUP BY."""
+    enc = "(' ' || regexp_replace(word, '(.)', '\\1 ', 'g'))"
+    for a, b in merges:
+        for _ in range(2):
+            enc = f"replace({enc}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+WITH w AS (
+  SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS word
+  FROM {table}
+), e AS (
+  SELECT {id_col}, len(string_split(trim({enc}), ' ')) AS nt
+  FROM w WHERE word <> ''
+)
+SELECT {id_col}, CAST(count(*) AS INTEGER) AS n_words,
+       CAST(sum(nt) AS INTEGER) AS n_tokens
+FROM e GROUP BY 1
+"""
