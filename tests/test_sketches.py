@@ -93,3 +93,51 @@ def test_heavy_hitters_bad_ppm(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError):
         sketches.heavy_hitters(df, "k", 0)
+
+
+def test_streaming_kmv_equals_batch_on_prefix(spark, tmp_path):
+    """The KMV sketch is a merge-associative set, so the streaming
+    state (bounded at k hashes per group) must land on BIT-EQUAL
+    estimates to the batch operator over the same rows, regardless of
+    micro-batch boundaries."""
+    import json as _json
+    from tilemaker_spark.streaming.jobs import streaming_kmv_distinct
+
+    src = tmp_path / "kmv_in"
+    src.mkdir()
+    K = 16
+    rows = [{"event_id": i, "user_id": i % 97 if i % 3 else i % 11,
+             "event_type": "click" if i % 2 else "view",
+             "ts": "2024-01-01 00:00:00"}
+            for i in range(600)]
+    # three micro-batches
+    for b in range(3):
+        with open(src / f"b{b}.json", "w") as f:
+            for r in rows[b * 200:(b + 1) * 200]:
+                f.write(_json.dumps(r) + "\n")
+
+    out = streaming_kmv_distinct(spark, str(src), k=K, salt=5)
+    q = (out.writeStream.format("memory").queryName("kmv_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT * FROM kmv_stream").collect()
+    finally:
+        q.stop()
+    # multiple rows per group (one per micro-batch); keep the largest
+    # sketch (the last state) per group
+    last = {}
+    for r in emitted:
+        cur = last.get(r["event_type"])
+        if cur is None or r["sketch_size"] >= cur["sketch_size"]:
+            last[r["event_type"]] = r
+    got = sorted((g, r["est_distinct"], r["sketch_size"])
+                 for g, r in last.items())
+
+    batch = spark.createDataFrame(
+        [(r["event_type"], r["user_id"]) for r in rows],
+        "event_type string, user_id long")
+    want = sorted(map(tuple, sketches.kmv_distinct(
+        batch, "user_id", ["event_type"], k=K, salt=5).collect()))
+    assert got == want

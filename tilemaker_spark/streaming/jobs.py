@@ -121,3 +121,58 @@ def streaming_first_seen(spark: SparkSession, input_dir: str,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout)
     )
+
+
+def streaming_kmv_distinct(spark: SparkSession, input_dir: str,
+                           key_col: str = "user_id",
+                           group_col: str = "event_type",
+                           k: int = 64, salt: int = 1,
+                           schema: str = "event_id long, user_id long, "
+                                         "event_type string, "
+                                         "ts timestamp") -> DataFrame:
+    """Streaming twin of operators/sketches.kmv_distinct: a running
+    per-group approximate COUNT(DISTINCT) whose state is a BOUNDED KMV
+    bottom-k sketch (<= k int64 hashes per group in the state store —
+    the state never grows with the stream, unlike a streaming
+    dropDuplicates whose seen-set is unbounded without a watermark).
+
+    Because the sketch is a merge-associative SET (k smallest distinct
+    hashes), the running estimate is order- and batching-independent:
+    after any prefix of the stream it equals the batch operator run on
+    that prefix — tests assert bit-equality of the final micro-batch
+    row against batch kmv_distinct on the full input.  Each micro-batch
+    emits one refreshed (group, est_distinct, sketch_size) row per
+    group seen in that batch (append mode: downstream keeps the latest
+    row per group)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    import pandas as pd
+
+    from ..operators import sketches
+
+    src = spark.readStream.schema(schema).json(input_dir)
+    hashed = src.select(
+        F.col(group_col),
+        sketches.kmv_hash_col(key_col, salt).alias("__h"))
+
+    def upd(key, pdfs, state):
+        mins = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            mins.update(int(h) for h in pdf["__h"])
+            if len(mins) > k:
+                mins = set(sorted(mins)[:k])
+        ordered = sorted(mins)
+        state.update((ordered,))
+        n = len(ordered)
+        # same pure-int64 estimator as the batch operator
+        est = n if n < k else (k - 1) * sketches.HASH_SPACE // ordered[k - 1]
+        yield pd.DataFrame({group_col: [key[0]],
+                            "est_distinct": [est],
+                            "sketch_size": [n]})
+
+    return (hashed.groupBy(group_col).applyInPandasWithState(
+        upd,
+        outputStructType=f"{group_col} string, est_distinct long, "
+                         "sketch_size int",
+        stateStructType="mins array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))
