@@ -267,6 +267,32 @@ FROM s2fin GROUP BY 1, 2
 """
 
 
+def q_adaptive_cells(spark, sf_dir):
+    """Adaptive quadtree binning (operators/quadtree.py — the
+    declarative form of the reference's per-zoom tile cost model,
+    src/tilemaker.cpp:463-481, and the BASELINE's skewed-urban-tiles
+    concern): split every cell until it holds <= 100 points or z=9,
+    over the 80/20 urban-skewed synthetic order points.  Cell counts
+    are monotone up the tree, so the iterative split-recount fixpoint
+    collapses to a closed form — leaf z = smallest level whose
+    enclosing count clears the cap — needing the DATA only once (one
+    finest-level count shuffle); coarser counts are rollups of the
+    counts table and broadcast back.  Output: one row per non-empty
+    variable-depth leaf (z, x, y, n), the load-bounded partitioning a
+    skew-free spatial join keys on."""
+    from tilemaker_spark.operators.quadtree import adaptive_cells
+    o = _t(spark, sf_dir, "orders")
+    lon, lat = synth.geo_point_expr(F.col("o_orderkey"))
+    pts = o.select(lon.alias("lon"), lat.alias("lat"))
+    return adaptive_cells(pts, z_coarse=3, z_max=9, cap=100)
+
+
+def sql_adaptive_cells():
+    from tilemaker_spark.operators.quadtree import adaptive_cells_oracle_sql
+    return adaptive_cells_oracle_sql(
+        "orders", ORD_LON, ORD_LAT, z_coarse=3, z_max=9, cap=100)
+
+
 def q_pip_broadcast(spark, sf_dir):
     """Point-in-polygon join, broadcast filter-refine path (reference
     Intersects/FindIntersecting, src/osm_lua_processing.cpp:409-465)."""
@@ -3902,6 +3928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index": q_cell_index,
         "hex_index": q_hex_index,
         "s2_cells": q_s2_cells,
+        "adaptive_cells": q_adaptive_cells,
         "pip_broadcast": q_pip_broadcast,
         "pip_cell": q_pip_cell,
         "zonal_stats": q_zonal_stats,
@@ -4012,6 +4039,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_index": sql_cell_index(),
         "hex_index": sql_hex_index(),
         "s2_cells": sql_s2_cells(),
+        "adaptive_cells": sql_adaptive_cells(),
         "pip_broadcast": sql_pip(),
         "pip_cell": sql_pip(),
         "zonal_stats": sql_zonal_stats(),

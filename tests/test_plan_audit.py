@@ -170,6 +170,11 @@ BUDGETS = {
     # s2_cells: pure-Catalyst trig + Hilbert bit fold, ONE groupBy
     # shuffle on the compact cell key, zero UDF
     "s2_cells": (1, 0, 0),
+    # adaptive_cells: ONE finest-level count shuffle over the data
+    # (checkpointed), then one tiny rollup agg per level over the
+    # counts table (z_max - z_coarse = 6) — 7 exchanges, every coarser
+    # level broadcast back, zero Python
+    "adaptive_cells": (7, 6, 0),
     # hot_ngrams: MG candidate pass (1 Arrow node) + candidate
     # distinct + bounded recount agg + 1-row total = 3 exchanges; the
     # candidate set and total broadcast back (>=2 of the 4 bcasts)

@@ -1,0 +1,82 @@
+"""Adaptive quadtree binning (operators/quadtree.py)."""
+
+import random
+
+import pytest
+
+from tilemaker_spark.operators.quadtree import adaptive_cells
+
+ZC, ZM, CAP = 2, 7, 40
+
+
+def _pts(spark):
+    rng = random.Random(11)
+    # one dense urban cluster + sparse global noise
+    pts = [(8.54 + rng.uniform(-0.02, 0.02),
+            47.37 + rng.uniform(-0.02, 0.02)) for _ in range(600)]
+    pts += [(rng.uniform(-179, 179), rng.uniform(-80, 80))
+            for _ in range(300)]
+    return spark.createDataFrame(pts, "lon double, lat double"), pts
+
+
+def test_invariants(spark):
+    df, pts = _pts(spark)
+    leaves = adaptive_cells(df, z_coarse=ZC, z_max=ZM, cap=CAP).collect()
+    # partition: every point counted exactly once
+    assert sum(r["n"] for r in leaves) == len(pts)
+    # load bound: any leaf above the floor respects the cap
+    assert all(r["n"] <= CAP for r in leaves if r["z"] < ZM)
+    # depth spread: the urban cluster forces splits, the ocean doesn't
+    zs = {r["z"] for r in leaves}
+    assert ZC in zs and max(zs) > ZC
+    # forced splits: a leaf deeper than z_coarse has a parent > cap
+    by_level = {}
+    for r in leaves:
+        by_level.setdefault(r["z"], {})[(r["x"], r["y"])] = r["n"]
+
+    def subtree_n(z, x, y):
+        # count of points in cell (z,x,y) = sum of leaves under it
+        tot = 0
+        for lz, cells in by_level.items():
+            if lz < z:
+                continue
+            for (lx, ly), n in cells.items():
+                if lx >> (lz - z) == x and ly >> (lz - z) == y:
+                    tot += n
+        return tot
+
+    for r in leaves:
+        if r["z"] > ZC:
+            pz, px, py = r["z"] - 1, r["x"] >> 1, r["y"] >> 1
+            assert subtree_n(pz, px, py) > CAP
+
+
+def test_partition_independent(spark):
+    df, _ = _pts(spark)
+    a = sorted(map(tuple, adaptive_cells(
+        df.coalesce(1), z_coarse=ZC, z_max=ZM, cap=CAP).collect()))
+    b = sorted(map(tuple, adaptive_cells(
+        df.repartition(13), z_coarse=ZC, z_max=ZM, cap=CAP).collect()))
+    assert a == b
+
+
+def test_duckdb_twin(spark):
+    import duckdb
+    from tilemaker_spark.operators.quadtree import adaptive_cells_oracle_sql
+    df, pts = _pts(spark)
+    got = sorted(map(tuple, adaptive_cells(
+        df, z_coarse=ZC, z_max=ZM, cap=CAP).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pts)
+    want = sorted(map(tuple, con.execute(adaptive_cells_oracle_sql(
+        "p", "lon", "lat", z_coarse=ZC, z_max=ZM, cap=CAP)).fetchall()))
+    assert got == want
+
+
+def test_bad_params(spark):
+    df = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
+    with pytest.raises(ValueError):
+        adaptive_cells(df, z_coarse=5, z_max=5)
+    with pytest.raises(ValueError):
+        adaptive_cells(df, cap=0)
