@@ -1909,6 +1909,60 @@ def sql_bpe_encode():
     return bpe_encode_oracle_sql(BPE_MERGES)
 
 
+def q_kmv_setops(spark, sf_dir):
+    """Theta-sketch set algebra (operators/sketches.py kmv_set_ops —
+    the DataSketches intersection idea on the KMV bottom-k sketch):
+    estimated distinct |view users|, |purchase users|, their union and
+    intersection, plus the exact integer Jaccard numerator/denominator
+    — from ONE tagged pass, raw rows never shuffled, k=96 so the
+    sketch regime is genuine estimation (150 distinct users per type
+    at sf0.01 > k).  theta = min of the two sketch thresholds; every
+    estimate is pure int64 `cnt * 2^52 div theta`, so the DuckDB twin
+    (window k-min replay of the identical sketches) hash-matches the
+    ESTIMATES bit-for-bit."""
+    from tilemaker_spark.operators import sketches
+    e = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return sketches.kmv_set_ops(e, "user_id", "event_type",
+                                "view", "purchase", k=96, salt=3)
+
+
+def sql_kmv_setops():
+    from tilemaker_spark.operators.sketches import kmv_hash_sql, HASH_SPACE
+    K, SP = 96, HASH_SPACE
+    h = kmv_hash_sql("user_id", 3)
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS t, {h} AS h FROM events
+  WHERE event_type IN ('view', 'purchase')
+), r AS (
+  SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rk,
+         count(*) OVER (PARTITION BY t) AS nd
+  FROM h
+), sk AS (SELECT t, h FROM r WHERE rk <= {K}),
+tstats AS (
+  SELECT t, max(nd) AS nd, max(CASE WHEN rk = {K} THEN h END) AS hk
+  FROM r GROUP BY t
+), thv AS (
+  SELECT min(CASE WHEN nd >= {K} THEN hk ELSE {SP} END) AS th FROM tstats
+), flags AS (
+  SELECT h, bool_or(t = 'view') AS ia, bool_or(t = 'purchase') AS ib
+  FROM sk GROUP BY h
+), c AS (
+  SELECT count(*) FILTER (ia AND h < th) AS ca,
+         count(*) FILTER (ib AND h < th) AS cb,
+         count(*) FILTER (ia AND ib AND h < th) AS ci,
+         count(*) FILTER ((ia OR ib) AND h < th) AS cu,
+         max(th) AS th
+  FROM flags, thv
+)
+SELECT ca * {SP} // th AS est_a, cb * {SP} // th AS est_b,
+       cu * {SP} // th AS est_union, ci * {SP} // th AS est_intersect,
+       CAST(ci AS INTEGER) AS jaccard_num,
+       CAST(cu AS INTEGER) AS jaccard_den
+FROM c
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -4005,6 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "concurrency": q_concurrency,
         "kmv_distinct": q_kmv_distinct,
+        "kmv_setops": q_kmv_setops,
         "hot_ngrams": q_hot_ngrams,
         "weighted_sample": q_weighted_sample,
         "bpe_encode": q_bpe_encode,
@@ -4118,6 +4173,7 @@ def oracle_sql() -> dict[str, str]:
         "retention": sql_retention(),
         "concurrency": sql_concurrency(),
         "kmv_distinct": sql_kmv_distinct(),
+        "kmv_setops": sql_kmv_setops(),
         "hot_ngrams": sql_hot_ngrams(),
         "weighted_sample": sql_weighted_sample(),
         "bpe_encode": sql_bpe_encode(),

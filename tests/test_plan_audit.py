@@ -179,6 +179,9 @@ BUDGETS = {
     # distinct + bounded recount agg + 1-row total = 3 exchanges; the
     # candidate set and total broadcast back (>=2 of the 4 bcasts)
     "hot_ngrams": (3, 2, 1),
+    # kmv_setops: one tagged partial-sketch Arrow pass + bounded merge
+    # shuffle + the 1-row x 1-row cross join of the two sketch rows
+    "kmv_setops": (2, 0, 1),
     # weighted_sample: TakeOrderedAndProject — zero exchanges, zero UDF
     "weighted_sample": (0, 0, 0),
     # bpe_encode: pure-Catalyst replace-chain tokenizer apply —

@@ -141,3 +141,43 @@ def test_streaming_kmv_equals_batch_on_prefix(spark, tmp_path):
     want = sorted(map(tuple, sketches.kmv_distinct(
         batch, "user_id", ["event_type"], k=K, salt=5).collect()))
     assert got == want
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    # both populations under k: theta = SPACE and every output is the
+    # EXACT set algebra
+    rows = ([("a", f"u{i}") for i in range(20)]
+            + [("b", f"u{i}") for i in range(12, 40)])  # overlap 12..19
+    df = spark.createDataFrame(rows * 3, "t string, user string")
+    r = sketches.kmv_set_ops(df, "user", "t", "a", "b", k=64).collect()[0]
+    assert (r.est_a, r.est_b) == (20, 28)
+    assert r.est_intersect == 8 and r.est_union == 40
+    assert (r.jaccard_num, r.jaccard_den) == (8, 40)
+
+
+def test_kmv_set_ops_estimates_above_k(spark):
+    rows = ([("a", f"u{i}") for i in range(1500)]
+            + [("b", f"u{i}") for i in range(1000, 3000)])
+    df = spark.createDataFrame(rows, "t string, user string")
+    r = sketches.kmv_set_ops(df, "user", "t", "a", "b",
+                             k=128, salt=2).collect()[0]
+    # truth: |A|=1500 |B|=2000 |A∩B|=500 |A∪B|=3000
+    assert 1500 * 0.65 <= r.est_a <= 1500 * 1.35
+    assert 2000 * 0.65 <= r.est_b <= 2000 * 1.35
+    assert 3000 * 0.65 <= r.est_union <= 3000 * 1.35
+    assert 500 * 0.4 <= r.est_intersect <= 500 * 1.7
+    # internal consistency: inclusion-exclusion within integer slack
+    assert abs((r.est_a + r.est_b - r.est_intersect) - r.est_union) \
+        <= r.est_union * 0.2
+
+
+def test_kmv_set_ops_partition_independent(spark):
+    rows = ([("a", f"u{i}") for i in range(400)]
+            + [("b", f"u{i}") for i in range(200, 700)])
+    df = spark.createDataFrame(rows, "t string, user string")
+    outs = []
+    for parts in (1, 9):
+        outs.append(tuple(sketches.kmv_set_ops(
+            df.repartition(parts), "user", "t", "a", "b",
+            k=32, salt=7).collect()[0]))
+    assert outs[0] == outs[1]

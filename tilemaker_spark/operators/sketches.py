@@ -227,3 +227,88 @@ FROM {source}
 GROUP BY 1
 HAVING count(*) * 1000000 >= (SELECT count(*) FROM {source}) * {share_ppm}
 """
+
+
+def kmv_set_ops(df: DataFrame, key_col: str, tag_col: str,
+                tag_a: str, tag_b: str, k: int = 64,
+                salt: int = 1) -> DataFrame:
+    """Theta-sketch set algebra over two keyed populations (the
+    DataSketches theta-intersection idea on the KMV bottom-k sketch):
+    estimated distinct |A|, |B|, |A union B|, |A intersect B| — plus the
+    exact integer numerator/denominator of the sketched Jaccard — from
+    ONE pass over the data, never materializing either distinct set.
+
+    theta = min over the two sketches of (h_k if the sketch is full
+    else the full hash space); every hash below theta is a uniform
+    distinct-key sample of BOTH populations, so
+
+        est(|X|) = |{h in sketch_X : h < theta}| * SPACE div theta
+
+    in pure int64 (cnt <= k = 4096 max keeps cnt * 2^52 inside int64).
+    When both populations hold < k distinct keys the sketches ARE the
+    sets, theta = SPACE, and every output is EXACT — the estimator
+    degrades to truth, which the oracle twin exploits.
+
+    Plan: one tagged hash projection, one bounded groupBy (<= k rows
+    per (tag, partition) reach it via the same map-side fold as
+    kmv_distinct... here collect_set over the partials suffices since
+    the final merge input is already bounded), then a 1-row x 1-row
+    join and pure Catalyst array algebra.  Raw rows never shuffle.
+    """
+    if not 2 <= k <= 4096:
+        raise ValueError(f"k={k} out of range [2, 4096]")
+    tagged = (df.where(F.col(tag_col).isin([tag_a, tag_b]))
+              .select(F.col(tag_col).alias("__t"),
+                      kmv_hash_col(key_col, salt).alias("__h")))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[str, set] = {}
+        for pdf in batches:
+            for tag, sub in pdf.groupby("__t", sort=False):
+                s = acc.setdefault(tag, set())
+                s.update(sub["__h"].tolist())
+                if len(s) > k:
+                    acc[tag] = set(sorted(s)[:k])
+        yield pd.DataFrame([(t, h) for t, s in acc.items() for h in s],
+                           columns=["__t", "__h"])
+
+    partials = tagged.mapInPandas(partial, "__t string, __h long")
+    sk = (partials.groupBy("__t")
+          .agg(F.slice(F.sort_array(F.collect_set("__h")), 1, k)
+               .alias("mins")))
+
+    # pivot the <= 2-row sketch table in ONE agg — filtering it twice
+    # and cross-joining would duplicate the whole sketch subplan (two
+    # scans of the data; caught by the plan audit)
+    j = sk.groupBy().agg(
+        F.max(F.when(F.col("__t") == tag_a, F.col("mins"))).alias("ma"),
+        F.max(F.when(F.col("__t") == tag_b, F.col("mins"))).alias("mb"))
+
+    def theta(m):
+        return F.when(F.size(m) < k, F.lit(HASH_SPACE)) \
+            .otherwise(F.element_at(m, k))
+
+    th = F.least(theta(F.col("ma")), theta(F.col("mb")))
+
+    def below(m):
+        return F.filter(m, lambda h: h < th)
+
+    counted = j.select(
+        F.size(below(F.col("ma"))).cast("long").alias("ca"),
+        F.size(below(F.col("mb"))).cast("long").alias("cb"),
+        F.size(below(F.array_intersect("ma", "mb")))
+        .cast("long").alias("ci"),
+        F.size(below(F.array_union("ma", "mb")))
+        .cast("long").alias("cu"),
+        th.cast("long").alias("th"))
+
+    def est(c):
+        # pure int64 floor division — a float-mediated divide would
+        # lose exactness above 2^53
+        return F.expr(f"{c} * {HASH_SPACE} div th")
+
+    return counted.select(
+        est("ca").alias("est_a"), est("cb").alias("est_b"),
+        est("cu").alias("est_union"), est("ci").alias("est_intersect"),
+        F.col("ci").cast("int").alias("jaccard_num"),
+        F.col("cu").cast("int").alias("jaccard_den"))
