@@ -1963,6 +1963,38 @@ FROM c
 """
 
 
+def q_grouped_topk(spark, sf_dir):
+    """Exact per-group top-k with a BOUNDED shuffle (operators/
+    sketches.py grouped_topk — the grouped analogue of Spark's global
+    TakeOrderedAndProject, which has no built-in per-group form): the
+    5 highest-value events per event_type, ties on event_id.  A plain
+    window row_number shuffles every row of every group; here each
+    partition's local top-5 per group is a provable candidate superset
+    (a global top-5 row is beaten by < 5 rows globally, hence by < 5
+    in its own partition), so <= 5 rows per (group, partition) reach
+    the final window.  Output keeps integer/string columns only (rank,
+    ids) so the hash gate is float-free; the oracle is the plain
+    ROW_NUMBER the operator is exact against."""
+    from tilemaker_spark.operators.sketches import grouped_topk
+    e = _t(spark, sf_dir, "events").select("event_type", "event_id",
+                                           "value")
+    top = grouped_topk(e, ["event_type"], "value", 5, "event_id")
+    return top.select("event_type", "event_id", "rk")
+
+
+def sql_grouped_topk():
+    return """
+WITH r AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+)
+SELECT event_type, event_id, CAST(rk AS INTEGER) AS rk
+FROM r WHERE rk <= 5
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -4060,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrency": q_concurrency,
         "kmv_distinct": q_kmv_distinct,
         "kmv_setops": q_kmv_setops,
+        "grouped_topk": q_grouped_topk,
         "hot_ngrams": q_hot_ngrams,
         "weighted_sample": q_weighted_sample,
         "bpe_encode": q_bpe_encode,
@@ -4174,6 +4207,7 @@ def oracle_sql() -> dict[str, str]:
         "concurrency": sql_concurrency(),
         "kmv_distinct": sql_kmv_distinct(),
         "kmv_setops": sql_kmv_setops(),
+        "grouped_topk": sql_grouped_topk(),
         "hot_ngrams": sql_hot_ngrams(),
         "weighted_sample": sql_weighted_sample(),
         "bpe_encode": sql_bpe_encode(),

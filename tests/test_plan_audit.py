@@ -182,6 +182,8 @@ BUDGETS = {
     # kmv_setops: one tagged partial-sketch Arrow pass + bounded merge
     # shuffle + the 1-row x 1-row cross join of the two sketch rows
     "kmv_setops": (2, 0, 1),
+    # grouped_topk: local-top-k Arrow pass + ONE bounded window shuffle
+    "grouped_topk": (1, 0, 1),
     # weighted_sample: TakeOrderedAndProject — zero exchanges, zero UDF
     "weighted_sample": (0, 0, 0),
     # bpe_encode: pure-Catalyst replace-chain tokenizer apply —

@@ -181,3 +181,41 @@ def test_kmv_set_ops_partition_independent(spark):
             df.repartition(parts), "user", "t", "a", "b",
             k=32, salt=7).collect()[0]))
     assert outs[0] == outs[1]
+
+
+def test_grouped_topk_exact_vs_window(spark):
+    import random
+    rng = random.Random(19)
+    rows = [(f"g{i % 6}", f"id{i:04d}", rng.randrange(1000))
+            for i in range(3000)]
+    # force k-boundary ties: duplicate values inside a group
+    rows += [("g0", f"tie{i}", 777) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, id string, v int")
+
+    def want():
+        from collections import defaultdict
+        by = defaultdict(list)
+        for g, i, v in rows:
+            by[g].append((i, v))
+        out = []
+        for g, items in by.items():
+            items.sort(key=lambda t: (-t[1], t[0]))
+            out += [(g, i, v, rk + 1)
+                    for rk, (i, v) in enumerate(items[:7])]
+        return sorted(out)
+
+    for parts in (1, 11):
+        got = sorted(map(tuple, sketches.grouped_topk(
+            df.repartition(parts), ["g"], "v", 7, "id").collect()))
+        assert got == want()
+
+
+def test_grouped_topk_ascending_and_small_groups(spark):
+    rows = [("a", "x", 5), ("a", "y", 3), ("b", "z", 9)]
+    df = spark.createDataFrame(rows, "g string, id string, v int")
+    got = sorted(map(tuple, sketches.grouped_topk(
+        df, ["g"], "v", 2, "id", ascending=True).collect()))
+    assert got == [("a", "x", 5, 2), ("a", "y", 3, 1), ("b", "z", 9, 1)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sketches.grouped_topk(df, ["g"], "v", 0, "id")

@@ -40,7 +40,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_BITS = 52
@@ -312,3 +312,50 @@ def kmv_set_ops(df: DataFrame, key_col: str, tag_col: str,
         est("cu").alias("est_union"), est("ci").alias("est_intersect"),
         F.col("ci").cast("int").alias("jaccard_num"),
         F.col("cu").cast("int").alias("jaccard_den"))
+
+
+def grouped_topk(df: DataFrame, group_cols: list[str], order_col: str,
+                 k: int, tie_col: str, ascending: bool = False
+                 ) -> DataFrame:
+    """EXACT top-k rows per group with a BOUNDED shuffle — the
+    per-group analogue of Spark's global TakeOrderedAndProject, which
+    has no built-in grouped form (a window row_number shuffles and
+    sorts EVERY row of every group; at 10^12 rows that is the whole
+    table through one exchange).
+
+    Pass 1 keeps each partition's local top-k per group (a row in the
+    global top-k is beaten by < k rows globally, hence by < k rows in
+    its own partition, so it survives its partition's cut — candidates
+    are a PROVABLE superset).  Only <= k rows per (group, partition)
+    shuffle; the final window ranks the bounded candidate set.  Ties
+    break on ``tie_col`` ascending, making the result deterministic
+    and partitioning-independent (and the oracle a plain ROW_NUMBER).
+
+    Adds a ``rk`` column (1-based rank within the group).
+    """
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema)
+    gcols = list(group_cols)
+    colnames = [f.name for f in df.schema]
+
+    def local_topk(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat((acc, pdf))
+            # fold each Arrow batch into the running per-group top-k so
+            # partition-local state stays <= k rows per group
+            acc = (acc.sort_values([order_col, tie_col],
+                                   ascending=[ascending, True])
+                   .groupby(gcols, sort=False).head(k))
+        yield acc if acc is not None else pd.DataFrame(
+            {c: [] for c in colnames})
+
+    cands = df.mapInPandas(local_topk, schema)
+    order = (F.col(order_col).asc() if ascending
+             else F.col(order_col).desc())
+    w = Window.partitionBy(*gcols).orderBy(order, F.col(tie_col).asc())
+    return (cands.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k))
