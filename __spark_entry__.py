@@ -293,6 +293,50 @@ def sql_adaptive_cells():
         "orders", ORD_LON, ORD_LAT, z_coarse=3, z_max=9, cap=100)
 
 
+def q_geo_corpus(spark, sf_dir):
+    """The graft composition: geo-partitioned IMAGE corpus rollup.
+    assign_adaptive (operators/quadtree.py) labels every image of the
+    BASELINE-shaped table with its load-bounded adaptive leaf cell
+    (urban clusters split deep, ocean stays coarse — the skew answer),
+    then per-leaf corpus statistics: image count, total pixels, min
+    phash.  Data path: one fine-count shuffle inside the mapping build
+    + a broadcast map-side join + one rollup on the (bounded) leaf key
+    — the skewed lon/lat distribution never hits a hash exchange raw.
+    Metadata-only (6,000 rows, with_bytes=False): this is the layout
+    decision pass, it must not pay for pixels."""
+    from tilemaker_spark.operators.quadtree import assign_adaptive
+    img = synth.images_df(spark, 6000, with_bytes=False, partitions=8)
+    a = assign_adaptive(img, "lon", "lat", z_coarse=3, z_max=8, cap=200)
+    return (a.groupBy("z", "x", "y")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum(F.col("w").cast("long")
+                       * F.col("h").cast("long")).alias("total_px"),
+                 F.min("phash").alias("min_phash")))
+
+
+def sql_geo_corpus():
+    from tilemaker_spark.operators.quadtree import (
+        assign_adaptive_oracle_ctes)
+    lon, lat = synth.geo_point_sql("k")
+    img = f"""(
+  WITH r AS (SELECT unnest(generate_series(0, 5999)) AS k)
+  SELECT k, {lon} AS lon, {lat} AS lat,
+         16 + (k % 5) * 8 AS w, 16 + ((k + 2) % 4) * 8 AS h,
+         ((k * {synth.A2} + {synth.C2}) % {synth.M32}) * 65537
+           % (1::BIGINT << 62) AS phash
+  FROM r
+)"""
+    ctes = assign_adaptive_oracle_ctes(img, "lon", "lat",
+                                       z_coarse=3, z_max=8, cap=200)
+    return f"""
+WITH {ctes}
+SELECT z, x, y, count(*) AS n_images,
+       CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS total_px,
+       min(phash) AS min_phash
+FROM assigned GROUP BY 1, 2, 3
+"""
+
+
 def q_pip_broadcast(spark, sf_dir):
     """Point-in-polygon join, broadcast filter-refine path (reference
     Intersects/FindIntersecting, src/osm_lua_processing.cpp:409-465)."""
@@ -4015,6 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_index": q_hex_index,
         "s2_cells": q_s2_cells,
         "adaptive_cells": q_adaptive_cells,
+        "geo_corpus": q_geo_corpus,
         "pip_broadcast": q_pip_broadcast,
         "pip_cell": q_pip_cell,
         "zonal_stats": q_zonal_stats,
@@ -4128,6 +4173,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_index": sql_hex_index(),
         "s2_cells": sql_s2_cells(),
         "adaptive_cells": sql_adaptive_cells(),
+        "geo_corpus": sql_geo_corpus(),
         "pip_broadcast": sql_pip(),
         "pip_cell": sql_pip(),
         "zonal_stats": sql_zonal_stats(),

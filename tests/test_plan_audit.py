@@ -175,6 +175,10 @@ BUDGETS = {
     # counts table (z_max - z_coarse = 6) — 7 exchanges, every coarser
     # level broadcast back, zero Python
     "adaptive_cells": (7, 6, 0),
+    # geo_corpus: fine-count shuffle (checkpointed) + 5 rollup aggs
+    # over the counts table + ONE leaf-key rollup; the fine->leaf
+    # mapping and every coarser level broadcast back (z_max-z_coarse=5)
+    "geo_corpus": (7, 6, 0),
     # hot_ngrams: MG candidate pass (1 Arrow node) + candidate
     # distinct + bounded recount agg + 1-row total = 3 exchanges; the
     # candidate set and total broadcast back (>=2 of the 4 bcasts)

@@ -80,3 +80,18 @@ def test_bad_params(spark):
         adaptive_cells(df, z_coarse=5, z_max=5)
     with pytest.raises(ValueError):
         adaptive_cells(df, cap=0)
+
+
+def test_assign_adaptive_consistent_with_leaves(spark):
+    from tilemaker_spark.operators.quadtree import assign_adaptive
+    df, pts = _pts(spark)
+    a = assign_adaptive(df, z_coarse=ZC, z_max=ZM, cap=CAP)
+    rows = a.collect()
+    # row-preserving: every point labeled exactly once
+    assert len(rows) == len(pts)
+    # grouping the assignment reproduces adaptive_cells exactly
+    from collections import Counter
+    got = Counter((r["z"], r["x"], r["y"]) for r in rows)
+    leaves = {(r["z"], r["x"], r["y"]): r["n"] for r in adaptive_cells(
+        df, z_coarse=ZC, z_max=ZM, cap=CAP).collect()}
+    assert dict(got) == leaves

@@ -41,12 +41,10 @@ from pyspark.sql import functions as F
 from ..sql import tile_exprs as TE
 
 
-def adaptive_cells(pts: DataFrame, lon_col: str = "lon",
-                   lat_col: str = "lat", z_coarse: int = 3,
-                   z_max: int = 9, cap: int = 1000) -> DataFrame:
-    """Variable-depth quadtree leaves over the points: one row per
-    non-empty leaf cell, columns (z, x, y, n) with n <= cap whenever
-    z < z_max."""
+def _fine_to_leaf(pts: DataFrame, lon_col: str, lat_col: str,
+                  z_coarse: int, z_max: int, cap: int) -> DataFrame:
+    """Internal: one row per non-empty FINEST-level cell with its count
+    and the (z, x, y) of the leaf that owns it."""
     if not 0 <= z_coarse < z_max <= 22:
         raise ValueError(f"bad zoom range [{z_coarse}, {z_max}]")
     if cap < 1:
@@ -83,11 +81,41 @@ def adaptive_cells(pts: DataFrame, lon_col: str = "lon",
     for z in range(z_max - 1, z_coarse - 1, -1):
         leaf_z = F.when(F.col(f"n{z}") <= cap, F.lit(z)).otherwise(leaf_z)
     labeled = (joined.select(leaf_z.alias("z"), "fx", "fy", "n")
-               .select("z",
+               .select("z", "fx", "fy",
                        F.expr(f"shiftright(fx, {z_max} - z)").alias("x"),
                        F.expr(f"shiftright(fy, {z_max} - z)").alias("y"),
                        "n"))
-    return labeled.groupBy("z", "x", "y").agg(F.sum("n").alias("n"))
+    return labeled
+
+
+def adaptive_cells(pts: DataFrame, lon_col: str = "lon",
+                   lat_col: str = "lat", z_coarse: int = 3,
+                   z_max: int = 9, cap: int = 1000) -> DataFrame:
+    """Variable-depth quadtree leaves over the points: one row per
+    non-empty leaf cell, columns (z, x, y, n) with n <= cap whenever
+    z < z_max."""
+    leaves = _fine_to_leaf(pts, lon_col, lat_col, z_coarse, z_max, cap)
+    return leaves.groupBy("z", "x", "y").agg(F.sum("n").alias("n"))
+
+
+def assign_adaptive(pts: DataFrame, lon_col: str = "lon",
+                    lat_col: str = "lat", z_coarse: int = 3,
+                    z_max: int = 9, cap: int = 1000) -> DataFrame:
+    """The partitioner in action: every input row plus the (z, x, y)
+    of its adaptive leaf cell — the load-bounded key downstream joins
+    and rollups group on.  The fine-cell -> leaf mapping is counts-
+    table sized, so it BROADCASTS; the data itself takes one count
+    shuffle (inside the mapping build) and one map-side broadcast
+    join — no skewed exchange ever sees the rows."""
+    mapping = _fine_to_leaf(pts, lon_col, lat_col, z_coarse, z_max,
+                            cap).select("fx", "fy", "z", "x", "y")
+    keyed = pts.withColumn(
+        "__fx", TE.lon2tilex(F.col(lon_col), z_max)).withColumn(
+        "__fy", TE.lat2tiley(F.col(lat_col), z_max))
+    return (keyed.join(F.broadcast(mapping),
+                       (keyed["__fx"] == mapping["fx"])
+                       & (keyed["__fy"] == mapping["fy"]))
+            .drop("__fx", "__fy", "fx", "fy"))
 
 
 def adaptive_cells_oracle_sql(source: str, lon_expr: str, lat_expr: str,
@@ -119,3 +147,36 @@ SELECT z, fx // (1 << ({z_max} - z)) AS x,
        fy // (1 << ({z_max} - z)) AS y, CAST(sum(n) AS BIGINT) AS n
 FROM leaf GROUP BY 1, 2, 3
 """
+
+
+def assign_adaptive_oracle_ctes(source: str, lon_expr: str, lat_expr: str,
+                                z_coarse: int = 3, z_max: int = 9,
+                                cap: int = 1000) -> str:
+    """DuckDB twin of :func:`assign_adaptive` as a CTE chain ending in
+    ``assigned`` (all source columns + z, x, y)."""
+    xe = TE.lon2tilex_sql(lon_expr, z_max)
+    ye = TE.lat2tiley_sql(lat_expr, z_max)
+    anc = ",\n         ".join(
+        f"sum(n) OVER (PARTITION BY fx // {1 << (z_max - z)}, "
+        f"fy // {1 << (z_max - z)}) AS n{z}"
+        for z in range(z_coarse, z_max))
+    case = "CASE " + " ".join(
+        f"WHEN n{z} <= {cap} THEN {z}"
+        for z in range(z_coarse, z_max)) + f" ELSE {z_max} END"
+    return f"""qsrc AS (
+  SELECT *, {xe} AS qfx, {ye} AS qfy FROM {source}
+), fine AS (
+  SELECT qfx AS fx, qfy AS fy, count(*) AS n FROM qsrc GROUP BY 1, 2
+), anc AS (
+  SELECT fx, fy, n,
+         {anc}
+  FROM fine
+), leafmap AS (
+  SELECT ({case}) AS z, fx, fy FROM anc
+), assigned AS (
+  SELECT qsrc.*, leafmap.z,
+         qsrc.qfx // (1 << ({z_max} - leafmap.z)) AS x,
+         qsrc.qfy // (1 << ({z_max} - leafmap.z)) AS y
+  FROM qsrc JOIN leafmap
+    ON qsrc.qfx = leafmap.fx AND qsrc.qfy = leafmap.fy
+)"""
