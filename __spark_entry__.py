@@ -2039,6 +2039,31 @@ FROM r WHERE rk <= 5
 """
 
 
+def q_sel_quantiles(spark, sf_dir):
+    """Exact global quantiles by distributed selection (operators/
+    sketches.py selection_quantiles — histogram-refinement, the
+    textbook distributed k-selection): p50/p90/p99 of document length
+    with ZERO row shuffles — each pass scans once and aggregates a
+    256-row map-side-combined histogram of the surviving value range,
+    converging in ceil(log_256(range)) passes (2 here).  Spark's own
+    exact path is a global sort / one-partition window (the whole
+    table through an exchange at 10^12 rows); approx_percentile avoids
+    that but is approximate.  Ranks are pure-integer
+    q_ppm*(n-1) div 1e6 order statistics, so the oracle is a plain
+    ROW_NUMBER lookup and the hash gate is float-free."""
+    from tilemaker_spark.operators.sketches import selection_quantiles
+    d = _t(spark, sf_dir, "documents").select("n_chars")
+    return selection_quantiles(d, "n_chars",
+                               (500000, 900000, 990000))
+
+
+def sql_sel_quantiles():
+    from tilemaker_spark.operators.sketches import (
+        selection_quantiles_oracle_sql)
+    return selection_quantiles_oracle_sql(
+        "documents", "n_chars", (500000, 900000, 990000))
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -4138,6 +4163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "kmv_setops": q_kmv_setops,
         "grouped_topk": q_grouped_topk,
+        "sel_quantiles": q_sel_quantiles,
         "hot_ngrams": q_hot_ngrams,
         "weighted_sample": q_weighted_sample,
         "bpe_encode": q_bpe_encode,
@@ -4254,6 +4280,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": sql_kmv_distinct(),
         "kmv_setops": sql_kmv_setops(),
         "grouped_topk": sql_grouped_topk(),
+        "sel_quantiles": sql_sel_quantiles(),
         "hot_ngrams": sql_hot_ngrams(),
         "weighted_sample": sql_weighted_sample(),
         "bpe_encode": sql_bpe_encode(),

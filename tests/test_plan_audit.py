@@ -188,6 +188,10 @@ BUDGETS = {
     "kmv_setops": (2, 0, 1),
     # grouped_topk: local-top-k Arrow pass + ONE bounded window shuffle
     "grouped_topk": (1, 0, 1),
+    # sel_quantiles: iterative selection runs its bounded histogram
+    # aggs eagerly (256-row collects, declared); the returned frame is
+    # the driver-assembled 3-row result — zero everything by design
+    "sel_quantiles": (0, 0, 0),
     # weighted_sample: TakeOrderedAndProject — zero exchanges, zero UDF
     "weighted_sample": (0, 0, 0),
     # bpe_encode: pure-Catalyst replace-chain tokenizer apply —

@@ -219,3 +219,35 @@ def test_grouped_topk_ascending_and_small_groups(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         sketches.grouped_topk(df, ["g"], "v", 0, "id")
+
+
+def test_selection_quantiles_exact(spark):
+    import random
+    rng = random.Random(23)
+    vals = [rng.randrange(0, 100000) for _ in range(5000)]
+    vals += [7] * 500 + [99999] * 3  # heavy ties + extreme tail
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    qs = (0, 250000, 500000, 900000, 990000, 1000000)
+    got = {r["q_ppm"]: r["value"] for r in
+           sketches.selection_quantiles(df, "x", qs).collect()}
+    s = sorted(vals)
+    n = len(s)
+    for q in qs:
+        assert got[q] == s[q * (n - 1) // 1_000_000], q
+
+
+def test_selection_quantiles_negative_and_narrow(spark):
+    df = spark.createDataFrame([(v,) for v in (-50, -50, -49, 3, 900)],
+                               "x long")
+    got = {r["q_ppm"]: r["value"] for r in
+           sketches.selection_quantiles(df, "x", (0, 500000, 1000000))
+           .collect()}
+    assert got == {0: -50, 500000: -49, 1000000: 900}
+
+
+def test_selection_quantiles_bad_input(spark):
+    df = spark.createDataFrame([(None,)], "x long")
+    with pytest.raises(ValueError):
+        sketches.selection_quantiles(df, "x", (2_000_000,))
+    with pytest.raises(ValueError):
+        sketches.selection_quantiles(df, "x")

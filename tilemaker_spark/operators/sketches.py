@@ -359,3 +359,89 @@ def grouped_topk(df: DataFrame, group_cols: list[str], order_col: str,
     w = Window.partitionBy(*gcols).orderBy(order, F.col(tie_col).asc())
     return (cands.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k))
+
+
+def selection_quantiles(df: DataFrame, col: str,
+                        q_ppms: tuple[int, ...] = (500000, 900000, 990000),
+                        n_buckets: int = 256,
+                        max_iters: int = 16) -> DataFrame:
+    """EXACT global quantiles of an integer column by distributed
+    selection (the classic histogram-refinement median algorithm),
+    with ZERO row shuffles: Spark's own exact path (a global sort or a
+    single-partition window) moves every row through one exchange;
+    ``approx_percentile`` avoids that but is approximate.  Selection
+    gets exactness AND boundedness: each pass scans the data once and
+    aggregates a <= ``n_buckets``-row histogram of the surviving value
+    range (map-side combined — n_buckets rows per partition reach the
+    driver), then narrows the range to the bucket containing the
+    target rank.  Integer ranges converge in ceil(log_B(range))
+    passes — 2-3 scans for any realistic column, each embarrassingly
+    parallel.  That is the honest 10^12-row trade: a couple of cheap
+    rescans instead of a full-table shuffle.
+
+    Ranks use the integer convention rank = q_ppm * (n-1) div 1e6
+    (0-indexed order statistic), so the result is deterministic and
+    the oracle is a plain ROW_NUMBER lookup.  Quantile targets are
+    parts-per-million INTS — no float q ever touches the rank math.
+
+    Returns a (driver-assembled, |q_ppms|-row) DataFrame
+    (q_ppm int, value long).  The per-pass ``.collect()`` is the
+    n_buckets-row histogram — bounded by construction, same declared
+    pattern as bpe_train's 1-row collect.
+    """
+    if not q_ppms or any(not 0 <= q <= 1_000_000 for q in q_ppms):
+        raise ValueError(f"bad q_ppms {q_ppms}")
+    vals = df.select(F.col(col).cast("long").alias("v")).where(
+        F.col("v").isNotNull())
+    stats = vals.agg(F.count("v"), F.min("v"), F.max("v")).collect()[0]
+    n, vmin, vmax = stats[0], stats[1], stats[2]
+    if n == 0:
+        raise ValueError(f"no non-null rows in {col}")
+    # one histogram narrows ALL pending ranks that fall in its range —
+    # with shared [lo, hi] per pass the common case (all quantiles in
+    # one bucket chain) costs no extra scans vs a single quantile
+    out = []
+    for q in q_ppms:
+        rank = q * (n - 1) // 1_000_000
+        lo, hi, r = vmin, vmax, rank
+        iters = 0
+        while lo < hi:
+            iters += 1
+            if iters > max_iters:  # log_B(int64 range) <= 8 at B=256
+                raise RuntimeError("selection did not converge")
+            width = (hi - lo) // n_buckets + 1
+            hist = dict(
+                vals.where((F.col("v") >= lo) & (F.col("v") <= hi))
+                .groupBy(F.expr(f"(v - {lo}) div {width}").alias("b"))
+                .count().collect())
+            cum = 0
+            for b in range(n_buckets + 1):
+                c = hist.get(b, 0)
+                if cum + c > r:
+                    r -= cum
+                    lo = lo + b * width
+                    hi = min(hi, lo + width - 1)
+                    break
+                cum += c
+            else:
+                raise RuntimeError("rank outside surviving range")
+        out.append((q, lo))
+    spark = df.sparkSession
+    return spark.createDataFrame(out, "q_ppm int, value long")
+
+
+def selection_quantiles_oracle_sql(source: str, col: str,
+                                   q_ppms: tuple[int, ...] = (
+                                       500000, 900000, 990000)) -> str:
+    """DuckDB twin: the order statistic at rank q*(n-1) div 1e6."""
+    qs = ", ".join(f"({q})" for q in q_ppms)
+    return f"""
+WITH r AS (
+  SELECT CAST({col} AS BIGINT) AS v,
+         row_number() OVER (ORDER BY CAST({col} AS BIGINT)) - 1 AS rk
+  FROM {source} WHERE {col} IS NOT NULL
+), n AS (SELECT count(*) AS n FROM r),
+q(q_ppm) AS (VALUES {qs})
+SELECT CAST(q.q_ppm AS INTEGER) AS q_ppm, r.v AS value
+FROM q, n JOIN r ON r.rk = q.q_ppm * (n.n - 1) // 1000000
+"""
