@@ -62,7 +62,8 @@ def make_session(app_name: str = "tilemaker_spark_build") -> SparkSession:
     )
 
 
-def read_features(spark: SparkSession, paths: list[str] | str):
+def read_features(spark: SparkSession, paths: list[str] | str,
+                  skip_integrity: bool = True):
     """Dispatch on extension: .pbf -> decode + assemble + the
     openmaptiles-lite profile (returning ITS Config, which carries the
     layer definitions); .geojson/.json -> GeoJSON features; anything
@@ -84,7 +85,8 @@ def read_features(spark: SparkSession, paths: list[str] | str):
         from tilemaker_spark.plans.profile import openmaptiles_lite
         from tilemaker_spark.sources import pbf as pbf_src
         nodes, ways, rels = pbf_src.read_pbf_multi(spark, pbfs)
-        wg = assemble_way_geometries(ways, nodes, skip_integrity=True)
+        wg = assemble_way_geometries(ways, nodes,
+                                     skip_integrity=skip_integrity)
         rg = assemble_relation_multipolygons(
             rels.filter("tags['type'] = 'multipolygon'"), wg)
         prof, cfg = openmaptiles_lite()
@@ -122,14 +124,44 @@ def main(argv=None) -> int:
                          "(written next to the output as .raster.mbtiles)")
     ap.add_argument("--checkpoint", default=None,
                     help="lineage/checkpoint root for idempotent resume")
+    # reference CLI parity (src/options_parser.cpp): --config overrides
+    # tile settings from the reference's JSON shape; --skip-integrity
+    # tolerates ways referencing missing nodes; --threads caps shuffle
+    # parallelism (executor count itself is spark-submit's domain);
+    # --quiet/--verbose set driver log level.  The reference's memory-
+    # backend flags (--store/--compact/--shard-stores/
+    # --materialize-geometries/--no-compress-*) have no Spark analogue:
+    # executor storage is Spark-managed.
+    ap.add_argument("--config", default=None,
+                    help="reference-style JSON config; its settings "
+                         "(minzoom/maxzoom/hires/compress/name) apply "
+                         "unless overridden by the flags above")
+    ap.add_argument("--skip-integrity", action="store_true",
+                    help="don't check that all way nodes are present")
+    ap.add_argument("--threads", type=int, default=None,
+                    help="shuffle-partition cap (0/None = Spark default)")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
 
     spark = make_session()
+    if args.quiet:
+        spark.sparkContext.setLogLevel("ERROR")
+    elif args.verbose:
+        spark.sparkContext.setLogLevel("INFO")
+    if args.threads:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.threads))
     from tilemaker_spark.config import Config, LayerDef
     from tilemaker_spark.operators.tiling import generate_tiles
     from tilemaker_spark.sinks import mbtiles as MB
 
-    features, cfg = read_features(spark, args.input)
+    features, cfg = read_features(spark, args.input,
+                                  skip_integrity=args.skip_integrity)
+    if args.config:
+        file_cfg = Config.from_json(args.config)
+        if cfg is not None and cfg.layers and not file_cfg.layers:
+            file_cfg.layers = cfg.layers
+        cfg = file_cfg
     if cfg is None:
         cfg = Config()
     cfg.minzoom = args.minzoom
@@ -160,7 +192,15 @@ def main(argv=None) -> int:
         tiles = sink.read(spark).select("z", "x", "y", "tile")
 
     if args.output.endswith(".mbtiles"):
-        n = MB.write_mbtiles(tiles, args.output, merge=args.merge)
+        # metadata block per the reference (src/shared_data.cpp:21-36):
+        # name/minzoom/maxzoom/bounds alongside the sink's format/type
+        bounds = cfg.clip_bbox or (-180.0, -85.0511, 180.0, 85.0511)
+        n = MB.write_mbtiles(
+            tiles, args.output, merge=args.merge,
+            metadata={"name": cfg.name,
+                      "minzoom": str(cfg.minzoom),
+                      "maxzoom": str(cfg.maxzoom),
+                      "bounds": ",".join(f"{v:.6f}" for v in bounds)})
     elif args.output.endswith(".pmtiles"):
         from tilemaker_spark.sinks.pmtiles import write_pmtiles
         n = write_pmtiles(tiles, args.output)

@@ -240,3 +240,42 @@ def test_dedup_corpus_job_end_to_end(spark, tmp_path):
         <= {"train", "val", "test"}
     pos = sorted(r["pos"] for r in back.select("pos").collect())
     assert pos == list(range(n))  # dense 0..n-1 order positions
+
+
+def test_job_cli_parity_flags(spark, tmp_path, capsys):
+    """Reference CLI parity (src/options_parser.cpp): --config applies
+    the reference-shape JSON settings, --threads caps shuffle
+    partitions, --skip-integrity / --quiet parse; a --config maxzoom
+    coarser than the default changes the tile set."""
+    import json as _json
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import build_tiles_job as J
+
+    rows = [(i, "poi", 0, 0, 0, {},
+             [float(-150 + i * 10), float(-60 + (i % 13) * 9)], [1], [])
+            for i in range(30)]
+    feats = spark.createDataFrame(
+        rows,
+        "feature_id long, layer string, kind tinyint, minzoom int, "
+        "zorder long, attrs map<string,string>, coords array<double>, "
+        "ring_sizes array<int>, poly_ring_counts array<int>")
+    src = str(tmp_path / "feats.parquet")
+    feats.write.parquet(src)
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_json.dumps(
+        {"layers": {}, "settings": {"name": "parity", "compress": "true"}}))
+
+    out = str(tmp_path / "p.mbtiles")
+    rc = J.main(["--input", src, "--output", out, "--maxzoom", "4",
+                 "--config", str(cfg_path), "--skip-integrity",
+                 "--threads", "4", "--quiet"])
+    assert rc == 0 and os.path.exists(out)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    import sqlite3
+    con = sqlite3.connect(out)
+    meta = dict(con.execute("SELECT name, value FROM metadata").fetchall())
+    con.close()
+    assert meta["name"] == "parity"
+    assert int(meta["maxzoom"]) == 4  # CLI flag overrides config file
