@@ -2064,6 +2064,64 @@ def sql_sel_quantiles():
         "documents", "n_chars", (500000, 900000, 990000))
 
 
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-filter semi-join pruning (operators/sketches.py
+    bloom_prune — the runtime-filter optimization as an explicit,
+    deterministic, cross-engine-checkable operator): prune lineitem
+    against the high-value-orders key set before any join shuffle.
+    Build side: one bit_or rollup per 64-bit word (<= m/64 rows ever
+    aggregate), bounded collect assembles a 2^14-bit literal bitset;
+    probe side: membership is pure Catalyst bit math inside codegen —
+    ZERO shuffle, ZERO Python, zero fact rows moved.  m is sized SMALL
+    on purpose so false positives exist and the hash gate covers them:
+    positions are salted md5 prefixes, so the surviving set (true
+    matches + FPs) is a pure function of the data, and the oracle
+    replays the identical membership in SQL.  Output: exact pass /
+    true-match / false-positive counts plus the distinct surviving
+    keys' sum (an order-free integer digest of WHICH rows survived)."""
+    from tilemaker_spark.operators.sketches import bloom_prune
+    dim = (_t(spark, sf_dir, "orders")
+           .where(F.col("o_totalprice") > 400000)
+           .select("o_orderkey"))
+    fact = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    kept = bloom_prune(fact, dim, "l_orderkey", "o_orderkey",
+                       m_bits=1 << 14, k_hashes=3, salt=6)
+    truth = dim.withColumnRenamed("o_orderkey", "l_orderkey")         .withColumn("__true", F.lit(1))
+    j = kept.join(F.broadcast(truth), "l_orderkey", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pass"),
+        F.sum(F.when(F.col("__true").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_true"),
+        F.sum(F.when(F.col("__true").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_false_pos"),
+        F.sum(F.col("l_orderkey")).alias("key_sum"))
+
+
+def sql_bloom_prune():
+    from tilemaker_spark.operators.sketches import _bloom_positions_sql
+    M, K, SALT = 1 << 14, 3, 6
+    dpos = _bloom_positions_sql("k", M, K, SALT)
+    fpos = _bloom_positions_sql("l_orderkey", M, K, SALT)
+    dbits = " UNION ALL ".join(
+        f"SELECT {p} AS p FROM dimk" for p in dpos)
+    passes = " AND ".join(f"{p} IN (SELECT p FROM dbits)" for p in fpos)
+    return f"""
+WITH dimk AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > 400000
+), dbits AS (SELECT DISTINCT p FROM ({dbits})),
+kept AS (
+  SELECT l_orderkey FROM lineitem WHERE {passes}
+)
+SELECT count(*) AS n_pass,
+       CAST(count(*) FILTER (l_orderkey IN (SELECT k FROM dimk))
+            AS BIGINT) AS n_true,
+       CAST(count(*) FILTER (l_orderkey NOT IN (SELECT k FROM dimk))
+            AS BIGINT) AS n_false_pos,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+FROM kept
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -4164,6 +4222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_setops": q_kmv_setops,
         "grouped_topk": q_grouped_topk,
         "sel_quantiles": q_sel_quantiles,
+        "bloom_prune": q_bloom_prune,
         "hot_ngrams": q_hot_ngrams,
         "weighted_sample": q_weighted_sample,
         "bpe_encode": q_bpe_encode,
@@ -4281,6 +4340,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_setops": sql_kmv_setops(),
         "grouped_topk": sql_grouped_topk(),
         "sel_quantiles": sql_sel_quantiles(),
+        "bloom_prune": sql_bloom_prune(),
         "hot_ngrams": sql_hot_ngrams(),
         "weighted_sample": sql_weighted_sample(),
         "bpe_encode": sql_bpe_encode(),

@@ -192,6 +192,11 @@ BUDGETS = {
     # aggs eagerly (256-row collects, declared); the returned frame is
     # the driver-assembled 3-row result — zero everything by design
     "sel_quantiles": (0, 0, 0),
+    # bloom_prune: the filter build runs eagerly (bounded word-rollup
+    # collect); the returned plan is scan+bit-math filter + the truth
+    # verify join (dim broadcast) + 1-row agg — zero fact shuffles
+    # beyond the final single-row aggregate
+    "bloom_prune": (1, 1, 0),
     # weighted_sample: TakeOrderedAndProject — zero exchanges, zero UDF
     "weighted_sample": (0, 0, 0),
     # bpe_encode: pure-Catalyst replace-chain tokenizer apply —

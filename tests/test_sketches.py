@@ -251,3 +251,48 @@ def test_selection_quantiles_bad_input(spark):
         sketches.selection_quantiles(df, "x", (2_000_000,))
     with pytest.raises(ValueError):
         sketches.selection_quantiles(df, "x")
+
+
+def _py_bloom_positions(key, m, k, salt):
+    import hashlib
+    return [int(hashlib.md5(f"{key}:{salt}:{i}".encode())
+                .hexdigest()[:13], 16) % m for i in range(k)]
+
+
+def test_bloom_prune_no_false_negatives_and_exact_fp(spark):
+    M, K, SALT = 1 << 10, 3, 4  # tiny filter -> real false positives
+    dim_keys = [f"d{i}" for i in range(80)]
+    fact_keys = dim_keys * 2 + [f"f{i}" for i in range(2000)]
+    dim = spark.createDataFrame([(v,) for v in dim_keys], "dk string")
+    fact = spark.createDataFrame([(v,) for v in fact_keys], "fk string")
+    got = sorted(r["fk"] for r in sketches.bloom_prune(
+        fact, dim, "fk", "dk", m_bits=M, k_hashes=K, salt=SALT).collect())
+
+    bits = set()
+    for v in dim_keys:
+        bits.update(_py_bloom_positions(v, M, K, SALT))
+    want = sorted(v for v in fact_keys
+                  if all(p in bits for p in
+                         _py_bloom_positions(v, M, K, SALT)))
+    assert got == want                       # bit-exact incl. FPs
+    assert set(dim_keys) <= set(got)         # no false negatives
+    fps = [v for v in got if v.startswith("f")]
+    assert fps, "tiny filter should produce false positives"
+    # fp rate sanity: ~ (1 - e^-kn/m)^k ~ 1.1% here; allow wide band
+    assert len(set(fps)) < 200
+
+
+def test_bloom_prune_probe_plan_is_shuffle_free(spark):
+    dim = spark.createDataFrame([("a",)], "dk string")
+    fact = spark.createDataFrame([("a",), ("b",)], "fk string")
+    out = sketches.bloom_prune(fact, dim, "fk", "dk", m_bits=1 << 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_prune_bad_params(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        sketches.bloom_prune(df, df, "k", "k", m_bits=100)
+    with pytest.raises(ValueError):
+        sketches.bloom_prune(df, df, "k", "k", k_hashes=0)

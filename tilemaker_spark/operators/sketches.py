@@ -445,3 +445,78 @@ q(q_ppm) AS (VALUES {qs})
 SELECT CAST(q.q_ppm AS INTEGER) AS q_ppm, r.v AS value
 FROM q, n JOIN r ON r.rk = q.q_ppm * (n.n - 1) // 1000000
 """
+
+
+def _bloom_positions(key: F.Column, m_bits: int, k_hashes: int,
+                     salt: int) -> list[F.Column]:
+    """k deterministic bit positions of a key — md5-prefix hashes with
+    per-probe salts (same engine-neutral trick as kmv_hash_col)."""
+    return [
+        F.conv(F.substring(
+            F.md5(F.concat(key.cast("string"),
+                           F.lit(f":{salt}:{i}"))), 1, 13),
+            16, 10).cast("long") % m_bits
+        for i in range(k_hashes)]
+
+
+def _bloom_positions_sql(key: str, m_bits: int, k_hashes: int,
+                         salt: int) -> list[str]:
+    return [
+        f"(CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) "
+        f"|| ':{salt}:{i}'), 1, 13)) AS BIGINT) % {m_bits})"
+        for i in range(k_hashes)]
+
+
+def bloom_prune(fact: DataFrame, dim: DataFrame, fact_key: str,
+                dim_key: str, m_bits: int = 1 << 16, k_hashes: int = 3,
+                salt: int = 1) -> DataFrame:
+    """Bloom-filter semi-join pruning — the runtime-filter optimization
+    made an explicit, deterministic operator: when the dim key set is
+    too large to broadcast as a hash set (10^8 keys) but the fact table
+    is far larger still (10^12 rows), ship a ``m_bits``-bit Bloom
+    filter instead and drop non-matching fact rows BEFORE any join
+    shuffle.
+
+    Build side: dim keys map to k bit positions, one bit_or rollup per
+    64-bit word (<= m_bits/64 rows ever aggregate — map-side combined),
+    and the <= m_bits/64-row collect assembles the bitset (bounded by
+    construction; 2^20 bits = 16K longs = 128 KB).  Probe side: the
+    bitset is a plan LITERAL array<long>, membership is pure Catalyst
+    bit math (element_at + shiftleft + AND across the k probes) inside
+    whole-stage codegen — ZERO shuffle, ZERO Python, zero rows moved.
+
+    Determinism: positions come from salted md5 prefixes, so the
+    surviving set (true matches + the filter's false positives) is a
+    pure function of the data — bit-for-bit reproducible across
+    engines, which makes even the FALSE POSITIVES oracle-checkable.
+
+    Returns the fact rows that pass the filter (true matches + the
+    deterministic false positives).  No false NEGATIVES are possible —
+    every true match survives — so the exact join downstream sees a
+    strictly smaller input with identical results.
+    """
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits={m_bits} must be a power of two >= 64")
+    if not 1 <= k_hashes <= 8:
+        raise ValueError(f"k_hashes={k_hashes} out of range")
+    pos = _bloom_positions(F.col(dim_key), m_bits, k_hashes, salt)
+    bits_rows = (dim.select(F.explode(F.array(*pos)).alias("p"))
+                 .groupBy((F.col("p") / 64).cast("long").alias("w"))
+                 .agg(F.bit_or(F.call_function(
+                     "shiftleft", F.lit(1).cast("long"),
+                     (F.col("p") % 64).cast("int"))).alias("bits"))
+                 .collect())
+    words = [0] * (m_bits // 64)
+    for r in bits_rows:
+        words[r["w"]] = r["bits"]
+    bitset = F.lit(words)  # literal array<long>, 128 KB at 2^20 bits
+
+    probe = _bloom_positions(F.col(fact_key), m_bits, k_hashes, salt)
+    hit = None
+    for p in probe:
+        one = (F.element_at(bitset, (p / 64).cast("int") + 1)
+               .bitwiseAND(F.call_function(
+                   "shiftleft", F.lit(1).cast("long"),
+                   (p % 64).cast("int"))) != 0)
+        hit = one if hit is None else (hit & one)
+    return fact.where(hit)
