@@ -2122,6 +2122,58 @@ FROM kept
 """
 
 
+def q_cm_counts(spark, sf_dir):
+    """Count-Min point-frequency estimates (operators/sketches.py
+    cm_estimate — Cormode & Muthukrishnan '05) for every distinct word
+    of the corpus against a deliberately narrow 4x256 sketch, so real
+    collisions exist and the hash gate covers the OVERESTIMATES, not
+    just the happy path.  Build = one groupBy bounded at depth*width
+    rows (map-side combined; raw words never shuffle), probe = join
+    against the broadcast counter grid, estimate = min over depth.
+    Complements heavy_hitters (exact above a share threshold): CM
+    answers point queries for ANY key in bounded space with one-sided
+    error — est >= true always, oracle-replayed bit-for-bit."""
+    from tilemaker_spark.operators.sketches import cm_estimate
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(F.explode(
+        F.split(F.lower(F.col("text")), " ")).alias("word")) \
+        .where(F.col("word") != "")
+    probes = words.distinct()
+    return cm_estimate(words, "word", probes,
+                       width=256, depth=4, salt=8)
+
+
+def sql_cm_counts():
+    W, D, SALT = 256, 4, 8
+    pos = ("(CAST(('0x' || substr(md5(CAST(__k AS VARCHAR) "
+           f"|| ':{SALT}:' || CAST(l AS VARCHAR)), 1, 13)) AS BIGINT) "
+           f"% {W})")
+    lvls = ", ".join(f"({i})" for i in range(D))
+    return f"""
+WITH w AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS __k FROM documents
+), wf AS (SELECT __k FROM w WHERE __k <> ''),
+lv(l) AS (VALUES {lvls}),
+counters AS (
+  SELECT l, {pos} AS b, count(*) AS c
+  FROM wf, lv GROUP BY 1, 2
+), probes AS (SELECT DISTINCT __k FROM wf),
+pl AS (
+  SELECT __k, l,
+         (CAST(('0x' || substr(md5(CAST(__k AS VARCHAR)
+          || ':{SALT}:' || CAST(l AS VARCHAR)), 1, 13))
+          AS BIGINT) % {W}) AS b
+  FROM probes, lv
+), pj AS (
+  SELECT pl.__k, counters.c
+  FROM pl LEFT JOIN counters
+    ON counters.l = pl.l AND counters.b = pl.b
+)
+SELECT __k AS word, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+FROM pj GROUP BY 1
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -4223,6 +4275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk": q_grouped_topk,
         "sel_quantiles": q_sel_quantiles,
         "bloom_prune": q_bloom_prune,
+        "cm_counts": q_cm_counts,
         "hot_ngrams": q_hot_ngrams,
         "weighted_sample": q_weighted_sample,
         "bpe_encode": q_bpe_encode,
@@ -4341,6 +4394,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_topk": sql_grouped_topk(),
         "sel_quantiles": sql_sel_quantiles(),
         "bloom_prune": sql_bloom_prune(),
+        "cm_counts": sql_cm_counts(),
         "hot_ngrams": sql_hot_ngrams(),
         "weighted_sample": sql_weighted_sample(),
         "bpe_encode": sql_bpe_encode(),

@@ -197,6 +197,9 @@ BUDGETS = {
     # verify join (dim broadcast) + 1-row agg — zero fact shuffles
     # beyond the final single-row aggregate
     "bloom_prune": (1, 1, 0),
+    # cm_counts: counter-grid agg (bounded depth*width) + probe
+    # distinct + 1 broadcast probe join + per-probe min agg
+    "cm_counts": (3, 1, 0),
     # weighted_sample: TakeOrderedAndProject — zero exchanges, zero UDF
     "weighted_sample": (0, 0, 0),
     # bpe_encode: pure-Catalyst replace-chain tokenizer apply —

@@ -296,3 +296,45 @@ def test_bloom_prune_bad_params(spark):
         sketches.bloom_prune(df, df, "k", "k", m_bits=100)
     with pytest.raises(ValueError):
         sketches.bloom_prune(df, df, "k", "k", k_hashes=0)
+
+
+def test_cm_estimate_one_sided_and_deterministic(spark):
+    import random
+    from collections import Counter
+    rng = random.Random(31)
+    keys = ([f"hot{i % 3}" for i in range(600)]
+            + [f"cold{rng.randrange(500)}" for _ in range(2000)])
+    truth = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    probes = spark.createDataFrame(
+        [(k,) for k in ["hot0", "hot1", "cold1", "never_seen"]],
+        "k string")
+    outs = []
+    for parts in (1, 8):
+        got = {r["k"]: r["est"] for r in sketches.cm_estimate(
+            df.repartition(parts), "k", probes,
+            width=1 << 8, depth=4, salt=9).collect()}
+        outs.append(got)
+        n = len(keys)
+        for k, est in got.items():
+            assert est >= truth.get(k, 0)          # one-sided, always
+            assert est - truth.get(k, 0) <= 4 * n // (1 << 8) + 200
+    assert outs[0] == outs[1]                      # partitioning-free
+
+
+def test_cm_estimate_exact_when_wide(spark):
+    # width >> distinct keys: collisions vanish, estimates are exact
+    keys = [f"k{i % 10}" for i in range(100)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    probes = df.distinct()
+    got = {r["k"]: r["est"] for r in sketches.cm_estimate(
+        df, "k", probes, width=1 << 14, depth=4).collect()}
+    assert got == {f"k{i}": 10 for i in range(10)}
+
+
+def test_cm_estimate_bad_params(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        sketches.cm_estimate(df, "k", df, width=1)
+    with pytest.raises(ValueError):
+        sketches.cm_estimate(df, "k", df, depth=9)

@@ -520,3 +520,49 @@ def bloom_prune(fact: DataFrame, dim: DataFrame, fact_key: str,
                    (p % 64).cast("int"))) != 0)
         hit = one if hit is None else (hit & one)
     return fact.where(hit)
+
+
+def cm_estimate(df: DataFrame, key_col: str, probes: DataFrame,
+                width: int = 1 << 12, depth: int = 4,
+                salt: int = 1) -> DataFrame:
+    """Count-Min frequency estimates (Cormode & Muthukrishnan '05) for
+    a set of probe keys, with the guarantee columns the paper promises:
+    ``est >= true`` always, ``est - true <= 2n/width`` w.h.p.
+
+    The sketch is a depth x width counter grid: every row increments
+    one counter per depth level (position = salted md5 hash mod width);
+    an estimate is the MIN over its depth counters.  The build is ONE
+    groupBy over (level, bucket) — at most depth*width rows exist, the
+    shuffle is map-side combined to that bound, raw keys never move.
+    Probes join the (bounded, broadcastable) counter table.
+
+    Like every sketch in this module, positions are salted md5
+    prefixes, so the ESTIMATES are pure functions of the data and the
+    DuckDB oracle reproduces them bit-for-bit — overestimates
+    included.  Complements heavy_hitters (exact, but only for keys
+    above a share threshold): CM answers point frequency queries for
+    ANY key in bounded space, at the price of one-sided error.
+    """
+    if width < 2 or depth < 1 or depth > 8:
+        raise ValueError(f"bad width={width}/depth={depth}")
+    lvl = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("l")
+    keyed = df.select(F.col(key_col).alias("__k")).select("__k", lvl)
+    pos = F.conv(F.substring(
+        F.md5(F.concat(F.col("__k").cast("string"), F.lit(f":{salt}:"),
+                       F.col("l").cast("string"))), 1, 13),
+        16, 10).cast("long") % width
+    counters = (keyed.select("l", pos.alias("b"))
+                .groupBy("l", "b").agg(F.count(F.lit(1)).alias("c")))
+
+    plvl = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("l")
+    p = probes.select(F.col(key_col).alias("__k")).select("__k", plvl)
+    ppos = F.conv(F.substring(
+        F.md5(F.concat(F.col("__k").cast("string"), F.lit(f":{salt}:"),
+                       F.col("l").cast("string"))), 1, 13),
+        16, 10).cast("long") % width
+    joined = (p.select("__k", "l", ppos.alias("b"))
+              .join(F.broadcast(counters), ["l", "b"], "left")
+              .fillna(0, subset=["c"]))
+    return (joined.groupBy("__k")
+            .agg(F.min("c").alias("est"))
+            .select(F.col("__k").alias(key_col), F.col("est")))
