@@ -129,3 +129,35 @@ def test_merge_upsert_semantics(spark):
     got = sorted((r["id"], r["v"]) for r in
                  merge_upsert(tgt, upd, key_col="id").collect())
     assert got == [(1, "a"), (2, "B"), (3, "c"), (4, "D")]
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg add-column semantics: a later snapshot writes an extra
+    column; the latest read surfaces it with NULL backfill on old rows,
+    while an as-of read of the earlier snapshot projects to the schema
+    that existed then (the new column is invisible, not null-filled)."""
+    root = str(tmp_path / "ckpt_evo")
+    sink = CheckpointedSink(root)
+    v1 = spark.range(20).withColumn("part", (F.col("id") % 4).cast("long")) \
+        .withColumn("a", F.col("id") * 2)
+    sink.write_partitioned(v1.filter(F.col("part") < 2), "part",
+                           run_id="v1")
+    v2 = spark.range(20).withColumn("part", (F.col("id") % 4).cast("long")) \
+        .withColumn("a", F.col("id") * 2) \
+        .withColumn("b", F.lit("new"))
+    sink.write_partitioned(v2, "part", run_id="v2")
+
+    latest = sink.read(spark)
+    assert "b" in latest.columns
+    rows = latest.collect()
+    assert len(rows) == 20
+    # old partitions (0,1) read b as NULL; new partitions carry it
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["pk"], set()).add(r["b"])
+    assert by_part[0] == {None} and by_part[1] == {None}
+    assert by_part[2] == {"new"} and by_part[3] == {"new"}
+
+    old_view = sink.read(spark, as_of=1)
+    assert "b" not in old_view.columns
+    assert old_view.count() == 10

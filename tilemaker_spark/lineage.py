@@ -95,8 +95,12 @@ class CheckpointedSink:
 
         tmp = os.path.join(self.root, "_manifest", f".{snap}.json.tmp")
         with open(tmp, "w") as fh:
+            # the snapshot records ITS schema (Iceberg tracks schema per
+            # snapshot): as-of readers project to the columns that
+            # existed when the snapshot committed
             json.dump({"snapshot_id": snap, "run_id": run_id,
                        "keys": [int(k) for k in todo],
+                       "schema": [c for c in sub.columns if c != "pk"],
                        "committed_at": time.time()}, fh)
         os.replace(tmp, os.path.join(self.root, "_manifest", f"{snap}.json"))
         return {"written_keys": todo, "skipped_keys": sorted(done),
@@ -127,8 +131,25 @@ class CheckpointedSink:
                 continue
             with open(os.path.join(self.root, "_manifest", f)) as fh:
                 done.update(json.load(fh)["keys"])
-        df = spark.read.parquet(os.path.join(self.root, "data"))
-        return df.filter(F.col("pk").isin([int(k) for k in done]))
+        # schema evolution (Iceberg add-column semantics): later
+        # snapshots may carry extra columns; mergeSchema surfaces the
+        # union and older rows read the new columns as NULL.  An as-of
+        # read projects to the SNAPSHOT's recorded schema, so time
+        # travel shows the table exactly as that snapshot's readers saw
+        # it — columns added later are invisible, not null-filled.
+        df = (spark.read.option("mergeSchema", "true")
+              .parquet(os.path.join(self.root, "data")))
+        out = df.filter(F.col("pk").isin([int(k) for k in done]))
+        if as_of is not None and as_of != 0:
+            snap_schema = None
+            with open(os.path.join(self.root, "_manifest",
+                                   f"{as_of}.json")) as fh:
+                snap_schema = json.load(fh).get("schema")
+            if snap_schema:
+                keep = [c for c in out.columns
+                        if c in snap_schema or c == "pk"]
+                out = out.select(*keep)
+        return out
 
     def snapshot_log(self) -> list[dict]:
         """The snapshot history (id, run_id, committed key count, commit
