@@ -147,3 +147,28 @@ def test_hilbert_bijection_and_unit_steps(spark):
     for d in range(1, n * n):
         (x1, y1), (x2, y2) = by_d[d - 1], by_d[d]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the same key join with ZERO Exchange on
+    either side (the storage carries the co-partitioning), vs the
+    unbucketed plan which shuffles both."""
+    from tilemaker_spark.operators.layout import write_bucketed
+    a = spark.range(2000).withColumn("v", F.col("id") * 3)
+    b = spark.range(1500).withColumn("w", F.col("id") + 7)
+    write_bucketed(a, "t_bkt_a", "id", n_buckets=8, sorted_by="id")
+    write_bucketed(b, "t_bkt_b", "id", n_buckets=8, sorted_by="id")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert j.count() == 1500
+        # control: the same join off plain (unbucketed) frames shuffles
+        plain = a.join(b, "id")
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in pplan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")

@@ -99,3 +99,26 @@ def partition_extents(df: DataFrame, lon_col: str = "lon",
                 F.max(lat_col).alias("max_lat"),
                 F.count(F.lit(1)).alias("n")))
     return [r.asDict() for r in ext.collect()]
+
+
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 16,
+                   sorted_by: str | None = None) -> None:
+    """Persist a table hash-BUCKETED on its join key (Spark's
+    ``bucketBy`` — the Hive-compatible sort-merge-bucket layout): every
+    future equi-join or aggregation on ``key`` between tables bucketed
+    the same way runs with ZERO exchange on either side, because the
+    co-partitioning is a property of the STORAGE, not of one query's
+    shuffle.  At 100 TB this is the difference between re-shuffling a
+    fact table for every join against it and shuffling it once at
+    write time — `bucketed_join_is_shuffle_free` in tests/test_layout
+    asserts the no-Exchange plan.
+
+    ``sorted_by`` additionally sorts within buckets (sortBy), letting
+    the join skip its sort too (full SMB).  Overwrites the table."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets={n_buckets} must be >= 1")
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sorted_by:
+        w = w.sortBy(sorted_by)
+    w.saveAsTable(table)
