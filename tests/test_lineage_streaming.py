@@ -161,3 +161,39 @@ def test_schema_evolution_add_column(spark, tmp_path):
     old_view = sink.read(spark, as_of=1)
     assert "b" not in old_view.columns
     assert old_view.count() == 10
+
+
+def test_compaction_atomic_and_time_travel_safe(spark, tmp_path):
+    """compact() rewrites multi-file partitions into one file via a
+    REPLACE snapshot: the live read sees one file per partition with
+    identical rows, while as-of reads BEFORE the compaction still
+    resolve the original small files (they stay on disk)."""
+    root = str(tmp_path / "ckpt_cmp")
+    sink = CheckpointedSink(root)
+    df = (spark.range(400)
+          .withColumn("part", (F.col("id") % 3).cast("long"))
+          .repartition(6))  # several files per partition dir
+    sink.write_partitioned(df, "part", run_id="bulk")
+
+    pre_files = sink._files_as_of(None)
+    assert any(len([f for f in pre_files if f.startswith(d)]) > 1
+               for d in {f.split("/")[0] for f in pre_files})
+    before_rows = sorted(r["id"] for r in sink.read(spark).collect())
+
+    r = sink.compact(spark)
+    assert r["compacted_partitions"] == 3
+    post_files = sink._files_as_of(None)
+    per_dir = {}
+    for f in post_files:
+        per_dir.setdefault(f.split("/")[0], []).append(f)
+    assert all(len(v) == 1 for v in per_dir.values())
+
+    after_rows = sorted(r_["id"] for r_ in sink.read(spark).collect())
+    assert after_rows == before_rows
+    # time travel to the pre-compaction snapshot resolves the OLD files
+    old_view = sink.read(spark, as_of=1)
+    assert sorted(r_["id"] for r_ in old_view.collect()) == before_rows
+    assert sink._files_as_of(1) == pre_files
+    # idempotent: nothing left to compact
+    r2 = sink.compact(spark)
+    assert r2["compacted_partitions"] == 0

@@ -59,6 +59,83 @@ class CheckpointedSink:
         snaps = self._snapshots()
         return int(snaps[-1].split(".")[0]) if snaps else 0
 
+    def _list_data_files(self) -> set[str]:
+        """Relative paths of every parquet data file under data/."""
+        data = os.path.join(self.root, "data")
+        out = set()
+        for dirpath, _dirs, files in os.walk(data):
+            rel = os.path.relpath(dirpath, data)
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.add(os.path.join(rel, f))
+        return out
+
+    def _files_as_of(self, as_of: int | None) -> list[str] | None:
+        """Replay the manifest log to the live file set AS OF a
+        snapshot (Iceberg manifest semantics: each snapshot adds and/or
+        removes files; compaction snapshots replace many small files
+        with one).  Returns None when any contributing manifest
+        predates file tracking (pre-evolution layout) — the reader
+        then falls back to directory listing."""
+        files: set[str] = set()
+        for f in self._snapshots():
+            sid = int(f.split(".")[0])
+            if as_of is not None and sid > as_of:
+                continue
+            with open(os.path.join(self.root, "_manifest", f)) as fh:
+                m = json.load(fh)
+            if "added_files" not in m:
+                return None
+            files.update(m["added_files"])
+            files.difference_update(m.get("removed_files", []))
+        return sorted(files)
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Atomic small-file compaction (the Iceberg rewrite-data-files
+        maintenance op): rewrite every multi-file partition into one
+        file, then commit a REPLACE snapshot whose manifest swaps the
+        small files for the compacted ones.  Readers at any earlier
+        ``as_of`` still resolve the old files (they stay on disk until
+        a vacuum); the commit itself is one atomic rename, so a crash
+        mid-compaction leaves the table readable and un-switched.
+        Single-writer, like every maintenance op here."""
+        live = self._files_as_of(None)
+        if live is None:
+            raise ValueError("table predates file tracking; rewrite it "
+                             "with a current write_partitioned first")
+        data = os.path.join(self.root, "data")
+        by_pk: dict[str, list[str]] = {}
+        for rel in live:
+            by_pk.setdefault(os.path.dirname(rel), []).append(rel)
+        added: list[str] = []
+        removed: list[str] = []
+        for pk_dir, rels in sorted(by_pk.items()):
+            if len(rels) < 2:
+                continue
+            paths = [os.path.join(data, r) for r in rels]
+            before = self._list_data_files()
+            (spark.read.parquet(*paths).coalesce(1)
+             .write.mode("append")
+             .parquet(os.path.join(data, pk_dir)))
+            added += sorted(self._list_data_files()
+                            - before - set(live))
+            removed += rels
+        if not removed:
+            return {"snapshot_id": self.last_snapshot_id(),
+                    "compacted_partitions": 0}
+        snap = self.last_snapshot_id() + 1
+        tmp = os.path.join(self.root, "_manifest", f".{snap}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot_id": snap, "run_id": "compact",
+                       "keys": [], "operation": "replace",
+                       "added_files": added, "removed_files": removed,
+                       "committed_at": time.time()}, fh)
+        os.replace(tmp,
+                   os.path.join(self.root, "_manifest", f"{snap}.json"))
+        return {"snapshot_id": snap,
+                "compacted_partitions": len(set(map(os.path.dirname,
+                                                    removed)))}
+
     # -- the checkpointed write -----------------------------------------
     def write_partitioned(self, df: DataFrame, pk_col: str,
                           run_id: str = "run") -> dict:
@@ -79,7 +156,9 @@ class CheckpointedSink:
                     "snapshot_id": self.last_snapshot_id()}
         sub = pending.filter(F.col("pk").isin([int(k) for k in todo]))
         data_dir = os.path.join(self.root, "data")
+        before = self._list_data_files()
         sub.write.mode("append").partitionBy("pk").parquet(data_dir)
+        added = sorted(self._list_data_files() - before)
         counts = {r["pk"]: r["n"] for r in
                   sub.groupBy("pk").agg(F.count("*").alias("n")).collect()}
 
@@ -101,6 +180,7 @@ class CheckpointedSink:
             json.dump({"snapshot_id": snap, "run_id": run_id,
                        "keys": [int(k) for k in todo],
                        "schema": [c for c in sub.columns if c != "pk"],
+                       "added_files": added, "removed_files": [],
                        "committed_at": time.time()}, fh)
         os.replace(tmp, os.path.join(self.root, "_manifest", f"{snap}.json"))
         return {"written_keys": todo, "skipped_keys": sorted(done),
@@ -137,8 +217,15 @@ class CheckpointedSink:
         # read projects to the SNAPSHOT's recorded schema, so time
         # travel shows the table exactly as that snapshot's readers saw
         # it — columns added later are invisible, not null-filled.
-        df = (spark.read.option("mergeSchema", "true")
-              .parquet(os.path.join(self.root, "data")))
+        files = self._files_as_of(as_of)
+        data = os.path.join(self.root, "data")
+        if files is not None and files:
+            df = (spark.read.option("mergeSchema", "true")
+                  .option("basePath", data)
+                  .parquet(*[os.path.join(data, f) for f in files]))
+        else:
+            df = (spark.read.option("mergeSchema", "true")
+                  .parquet(data))
         out = df.filter(F.col("pk").isin([int(k) for k in done]))
         if as_of is not None and as_of != 0:
             snap_schema = None
