@@ -197,3 +197,28 @@ def test_compaction_atomic_and_time_travel_safe(spark, tmp_path):
     # idempotent: nothing left to compact
     r2 = sink.compact(spark)
     assert r2["compacted_partitions"] == 0
+
+
+def test_vacuum_reclaims_compacted_files_and_sets_horizon(spark, tmp_path):
+    root = str(tmp_path / "ckpt_vac")
+    sink = CheckpointedSink(root)
+    df = (spark.range(300)
+          .withColumn("part", (F.col("id") % 2).cast("long"))
+          .repartition(5))
+    sink.write_partitioned(df, "part", run_id="bulk")
+    sink.compact(spark)
+    rows_before = sorted(r["id"] for r in sink.read(spark).collect())
+    n_files_before = len(sink._list_data_files())
+
+    r = sink.vacuum()
+    assert r["deleted_files"] > 0
+    assert len(sink._list_data_files()) == n_files_before \
+        - r["deleted_files"]
+    # live view identical after reclaim
+    assert sorted(x["id"] for x in sink.read(spark).collect()) \
+        == rows_before
+    # time travel below the horizon is an explicit error now
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        sink.read(spark, as_of=1)
+    # and at/after the horizon still works
+    assert sink.read(spark, as_of=2).count() == 300

@@ -136,6 +136,44 @@ class CheckpointedSink:
                 "compacted_partitions": len(set(map(os.path.dirname,
                                                     removed)))}
 
+    def vacuum(self, before_snapshot: int | None = None) -> dict:
+        """Delete data files no snapshot >= ``before_snapshot`` can
+        resolve (Iceberg's expire-snapshots + remove-orphans pair):
+        files REPLACED by compaction stay on disk only to serve
+        time travel; vacuuming gives that up below the horizon and
+        reclaims the space.  Defaults to the latest snapshot (keep only
+        the live view).  read(as_of < horizon) raises afterwards."""
+        if before_snapshot is None:
+            before_snapshot = self.last_snapshot_id()
+        live_after = set()
+        for f in self._snapshots():
+            sid = int(f.split(".")[0])
+            if sid < before_snapshot:
+                continue
+            got = self._files_as_of(sid)
+            if got is None:
+                raise ValueError("table predates file tracking")
+            live_after.update(got)
+        all_files = self._list_data_files()
+        doomed = sorted(all_files - live_after)
+        data = os.path.join(self.root, "data")
+        for rel in doomed:
+            os.remove(os.path.join(data, rel))
+        horizon_path = os.path.join(self.root, "_manifest", "_horizon")
+        tmp = horizon_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"min_as_of": before_snapshot}, fh)
+        os.replace(tmp, horizon_path)
+        return {"deleted_files": len(doomed),
+                "min_as_of": before_snapshot}
+
+    def _horizon(self) -> int:
+        p = os.path.join(self.root, "_manifest", "_horizon")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as fh:
+            return json.load(fh)["min_as_of"]
+
     # -- the checkpointed write -----------------------------------------
     def write_partitioned(self, df: DataFrame, pk_col: str,
                           run_id: str = "run") -> dict:
@@ -204,6 +242,10 @@ class CheckpointedSink:
             raise ValueError(
                 f"unknown snapshot as_of={as_of}; latest committed is "
                 f"{max(snaps) if snaps else 'none'}")
+        if as_of is not None and as_of != 0 and as_of < self._horizon():
+            raise ValueError(
+                f"as_of={as_of} is below the vacuum horizon "
+                f"{self._horizon()}: its files were reclaimed")
         done: set[int] = set()
         for f in self._snapshots():
             sid = int(f.split(".")[0])
