@@ -338,3 +338,43 @@ def test_cm_estimate_bad_params(spark):
         sketches.cm_estimate(df, "k", df, width=1)
     with pytest.raises(ValueError):
         sketches.cm_estimate(df, "k", df, depth=9)
+
+
+def test_streaming_heavy_hitters_superset_invariant(spark, tmp_path):
+    """After every micro-batch, each key holding > 1/(k+1) of the
+    stream so far must be in the MG state (candidates are a superset);
+    with the planted distribution the hot keys also dominate the
+    reported lower bounds."""
+    import json as _json
+    from collections import Counter
+    from tilemaker_spark.streaming.jobs import streaming_heavy_hitters
+
+    src = tmp_path / "hh_in"
+    src.mkdir()
+    K = 8
+    batches = [
+        ["hot"] * 60 + [f"n{i}" for i in range(100)],
+        ["hot"] * 40 + ["warm"] * 50 + [f"m{i}" for i in range(80)],
+        ["hot"] * 30 + ["warm"] * 40 + [f"p{i}" for i in range(60)],
+    ]
+    out = streaming_heavy_hitters(spark, str(src), k=K)
+    q = (out.writeStream.format("memory").queryName("hh_stream")
+         .outputMode("append").start())
+    try:
+        seen: list[str] = []
+        for bi, keys in enumerate(batches):
+            with open(src / f"b{bi}.json", "w") as f:
+                for j, kk in enumerate(keys):
+                    f.write(_json.dumps(
+                        {"doc_id": j, "user_id": 0, "fp": kk,
+                         "ts": "2024-01-01 00:00:00"}) + "\n")
+            q.processAllAvailable()
+            seen += keys
+            counts = Counter(seen)
+            state_keys = {r["key"] for r in spark.sql(
+                "SELECT * FROM hh_stream").collect()}
+            for kk, c in counts.items():
+                if c > len(seen) / (K + 1):
+                    assert kk in state_keys, (bi, kk, c, len(seen))
+    finally:
+        q.stop()

@@ -176,3 +176,53 @@ def streaming_kmv_distinct(spark: SparkSession, input_dir: str,
         stateStructType="mins array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_heavy_hitters(spark: SparkSession, input_dir: str,
+                            key_col: str = "fp", k: int = 64,
+                            schema: str = "doc_id long, user_id long, "
+                                          "fp string, ts timestamp"
+                            ) -> DataFrame:
+    """Streaming Misra-Gries candidates: a BOUNDED (<= k counters)
+    running summary of the hottest keys across the whole stream —
+    state never grows with distinct-key cardinality, unlike a
+    streaming groupBy-count whose state is one row per key ever seen.
+
+    The MG guarantee carries over unchanged: a key's counter only
+    loses mass when >= k other units drop with it, so any key holding
+    > 1/(k+1) of the stream SO FAR is guaranteed present in the state
+    (superset invariant, pytest-checked against an exact recount after
+    every batch).  Counter VALUES are summary lower bounds, not exact
+    counts — callers recount candidates exactly, same as the batch
+    operator's second pass.  Each micro-batch emits the refreshed
+    candidate set (append mode; downstream keeps the latest rows)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    import numpy as np
+    import pandas as pd
+
+    src = spark.readStream.schema(schema).json(input_dir)
+    keyed = src.select(F.lit(0).alias("__g"), F.col(key_col).alias("__k"))
+
+    def upd(key, pdfs, state):
+        if state.exists:
+            ks, vs = state.get
+            d = dict(zip(ks, vs))
+        else:
+            d = {}
+        for pdf in pdfs:
+            for kk, cnt in pdf["__k"].value_counts().items():
+                d[kk] = d.get(kk, 0) + int(cnt)
+            if len(d) > k:
+                vals = np.sort(np.fromiter(d.values(), dtype="int64"))
+                c = int(vals[len(d) - k - 1])
+                d = {kk: v - c for kk, v in d.items() if v > c}
+        state.update((list(d.keys()), [int(v) for v in d.values()]))
+        yield pd.DataFrame({"key": list(d.keys()),
+                            "lower_bound": [int(v) for v in d.values()]})
+
+    return (keyed.groupBy("__g").applyInPandasWithState(
+        upd,
+        outputStructType="key string, lower_bound long",
+        stateStructType="ks array<string>, vs array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))
