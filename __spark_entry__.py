@@ -245,10 +245,11 @@ def q_s2_cells(spark, sf_dir):
     cell id and the subdivision contract cross-engine."""
     o = _t(spark, sf_dir, "orders")
     lon, lat = synth.geo_point_expr(F.col("o_orderkey"))
-    cell = TE.s2_cell_id(lon, lat, 9)
+    pts = o.select(lon.alias("lon"), lat.alias("lat"))
+    cells = TE.with_s2_cell(pts, "lon", "lat", 9, out="cell")
     return (
-        o.select(cell.alias("cell"),
-                 TE.s2_cell_parent(cell, 9, 4).alias("parent"))
+        cells.select("cell",
+                     TE.s2_cell_parent(F.col("cell"), 9, 4).alias("parent"))
         .groupBy("cell", "parent").agg(F.count("*").alias("n"))
     )
 

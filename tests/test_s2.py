@@ -135,3 +135,12 @@ def test_duckdb_twin_bit_exact(spark):
         f"WITH RECURSIVE {ctes} SELECT cell FROM s2fin ORDER BY rn"
     ).fetchall()]
     assert got == want
+
+
+def test_with_s2_cell_matches_column_form(spark):
+    pts = _pts()
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    staged = [r["cell"] for r in
+              TE.with_s2_cell(df, "lon", "lat", LEVEL).collect()]
+    fused = _spark_cells(spark, pts, LEVEL)
+    assert staged == fused

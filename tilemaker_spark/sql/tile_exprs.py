@@ -540,3 +540,54 @@ def s2_sql_ctes(lon: str, lat: str, source: str, level: int = 10) -> str:
   FROM s2ij JOIN s2d
     ON s2ij.face = s2d.face AND s2ij.i = s2d.i0 AND s2ij.j = s2d.j0
 )"""
+
+
+def with_s2_cell(df, lon_col: str, lat_col: str, level: int = 10,
+                 out: str = "cell"):
+    """DataFrame-staged :func:`s2_cell_id`: identical math, but each
+    stage (xyz -> face -> uv -> ij -> hilbert) lands in its own
+    projection with NAMED intermediate columns, so no expression is
+    inlined twice and the generated code stays inside whole-stage
+    codegen's method-size limit.  The fully-fused Column form blows
+    past it (the face CASE replicates into every u/v branch) and falls
+    back to interpreted evaluation — ~6x slower at sf0.1; caught by
+    the bench, kept here as the fast path for DataFrame callers.
+    Appends ``out`` (the cell id) and drops the intermediates."""
+    if not 0 <= level <= 30:
+        raise ValueError(f"level={level} out of range [0, 30]")
+    n = 1 << level
+    lon, lat = F.col(lon_col).cast("double"), F.col(lat_col).cast("double")
+    lam, phi = F.radians(lon), F.radians(lat)
+    st = df.withColumns({
+        "__px": F.cos(phi) * F.cos(lam),
+        "__py": F.cos(phi) * F.sin(lam),
+        "__pz": F.sin(phi)})
+    px, py, pz = F.col("__px"), F.col("__py"), F.col("__pz")
+    ax, ay, az = F.abs(px), F.abs(py), F.abs(pz)
+    st = st.withColumn(
+        "__face",
+        F.when((ax >= ay) & (ax >= az),
+               F.when(px >= 0, F.lit(0)).otherwise(F.lit(3)))
+        .when(ay >= az, F.when(py >= 0, F.lit(1)).otherwise(F.lit(4)))
+        .otherwise(F.when(pz >= 0, F.lit(2)).otherwise(F.lit(5))))
+    face = F.col("__face")
+    st = st.withColumns({
+        "__u": (F.when(face == 0, py / px).when(face == 1, -px / py)
+                .when(face == 2, -px / pz).when(face == 3, pz / px)
+                .when(face == 4, pz / py).otherwise(-py / pz)),
+        "__v": (F.when(face == 0, pz / px).when(face == 1, pz / py)
+                .when(face == 2, -py / pz).when(face == 3, py / px)
+                .when(face == 4, -px / py).otherwise(-px / pz))})
+    st = st.withColumns({
+        "__i": F.least(F.lit(n - 1),
+                       F.floor((F.col("__u") + F.lit(1.0)) / F.lit(2.0)
+                               * F.lit(float(n)))),
+        "__j": F.least(F.lit(n - 1),
+                       F.floor((F.col("__v") + F.lit(1.0)) / F.lit(2.0)
+                               * F.lit(float(n))))})
+    st = st.withColumn(
+        out,
+        (face.cast("long") * F.lit(1 << (2 * level))
+         + hilbert_d(F.col("__i"), F.col("__j"), level)).cast("long"))
+    return st.drop("__px", "__py", "__pz", "__face", "__u", "__v",
+                   "__i", "__j")
