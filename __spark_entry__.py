@@ -2400,6 +2400,67 @@ FROM px GROUP BY k
 """
 
 
+def q_orientation_check(spark, sf_dir):
+    """EXIF-orientation normalization verified end to end (operators/
+    images.orient_images + kernels/jpeg apply_orientation, TIFF tag
+    274): 320 closed-form gradient images each planted with
+    orientation k%8+1 -> upright transform (all 8 cases: identity,
+    mirrors, transposes, rot90/180/270) -> re-encode PNG -> decode ->
+    position-weighted exact-integer checksum.  The oracle remaps the
+    pixel formula through the INVERSE index map of each orientation
+    analytically, so a fault in any of the 8 transforms, the dim swap
+    bookkeeping, or the codec round-trip breaks the hash.  The EXIF
+    APP1 parse itself (segment walk, both TIFF byte orders) is
+    property-tested in pytest on real kernel JPEGs; this query locks
+    the rotation semantics cross-engine.  Map-only: zero shuffles."""
+    from tilemaker_spark.operators import images as image_ops
+    img = synth.gradient_images_df(spark, 320, partitions=16)
+    k = F.substring_index(F.col("image_id"), "_", -1).cast("long")
+    tagged = img.withColumn("orientation", (k % 8 + 1).cast("int"))
+    up = image_ops.orient_images(tagged)
+    return image_ops.pixel_checksum(
+        up, passthrough=("orientation", "w", "h"))
+
+
+def sql_orientation_check():
+    # source pixel (sx, sy) feeding upright pixel (j=col i=row), per
+    # TIFF 274; orientations 5..8 swap the output dims
+    return """
+WITH imgs AS (SELECT unnest(generate_series(0, 319)) AS k),
+dims AS (SELECT k, k % 8 + 1 AS o, 8 + (k % 5) * 4 AS w,
+                8 + ((k + 2) % 4) * 6 AS h
+         FROM imgs),
+geo AS (SELECT k, o, w, h,
+               CASE WHEN o >= 5 THEN h ELSE w END AS ow,
+               CASE WHEN o >= 5 THEN w ELSE h END AS oh
+        FROM dims),
+gi AS (SELECT unnest(generate_series(0, 25)) AS i),
+gj AS (SELECT unnest(generate_series(0, 25)) AS j),
+gc AS (SELECT unnest(generate_series(0, 2)) AS c),
+px AS (
+  SELECT g.k, g.o, g.ow, g.oh, gi.i, gj.j, gc.c,
+         CASE g.o
+           WHEN 1 THEN (gj.j) * 7 + (gi.i) * 13
+           WHEN 2 THEN (g.w - 1 - gj.j) * 7 + (gi.i) * 13
+           WHEN 3 THEN (g.w - 1 - gj.j) * 7 + (g.h - 1 - gi.i) * 13
+           WHEN 4 THEN (gj.j) * 7 + (g.h - 1 - gi.i) * 13
+           WHEN 5 THEN (gi.i) * 7 + (gj.j) * 13
+           WHEN 6 THEN (gi.i) * 7 + (g.h - 1 - gj.j) * 13
+           WHEN 7 THEN (g.w - 1 - gi.i) * 7 + (g.h - 1 - gj.j) * 13
+           ELSE (g.w - 1 - gi.i) * 7 + (gj.j) * 13
+         END AS base
+  FROM geo g, gi, gj, gc
+  WHERE gi.i < g.oh AND gj.j < g.ow
+)
+SELECT printf('grad_%09d', k) AS image_id,
+       CAST(max(o) AS int) AS orientation,
+       CAST(max(ow) AS int) AS w, CAST(max(oh) AS int) AS h,
+       CAST(sum(((base + c * 29 + k * 31) % 256)
+                * (i * ow * 3 + j * 3 + c + 1)) AS BIGINT) AS checksum
+FROM px GROUP BY k
+"""
+
+
 def q_augment_check(spark, sf_dir):
     """Geometric augmentation verified end to end: decode -> flip_h /
     flip_v / rot90(cw) -> re-encode PNG -> decode -> position-weighted
@@ -4260,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality": q_image_quality,
         "resize_check": q_resize_check,
         "letterbox_check": q_letterbox_check,
+        "orientation_check": q_orientation_check,
         "augment_check": q_augment_check,
         "grayscale_check": q_grayscale_check,
         "patchify_check": q_patchify_check,
@@ -4379,6 +4441,7 @@ def oracle_sql() -> dict[str, str]:
         "image_quality": sql_image_quality(),
         "resize_check": sql_resize_check(),
         "letterbox_check": sql_letterbox_check(),
+        "orientation_check": sql_orientation_check(),
         "augment_check": sql_augment_check(),
         "grayscale_check": sql_grayscale_check(),
         "patchify_check": sql_patchify_check(),

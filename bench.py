@@ -56,7 +56,7 @@ def main():
         # exact ground-truth baseline (oracle-checked at sf0.01); at
         # sf0.1 its 12.5M-pair broadcast loop costs ~12s by design and
         # would read as a headline regression rather than a baseline
-        "upsert", "letterbox_check", "cube_stats", "funnel", "heat_grid", "retention", "concurrency",
+        "upsert", "letterbox_check", "orientation_check", "cube_stats", "funnel", "heat_grid", "retention", "concurrency",
         "cover_large", "poly_union",
         "area_intersect",
         "rel_members", "pip_line", "covered_by", "line_clip",

@@ -132,3 +132,47 @@ def test_decode_image_dispatch():
     assert (P.decode_image(P.encode_png(px), "png") == px).all()
     got = P.decode_image(P.encode_jpeg(px), "jpeg")
     assert P.psnr_db(px, got) >= 40.0
+
+
+def test_exif_orientation_roundtrip_and_parse():
+    import numpy as np
+    import struct
+    from tilemaker_spark.kernels import jpeg as J
+    px = (np.arange(16 * 24 * 3, dtype=np.uint8)
+          .reshape(16, 24, 3) * 7) % 256
+    blob = J.encode_jpeg(px)
+    assert J.parse_exif_orientation(blob) is None  # plain JFIF: no tag
+    for o in range(1, 9):
+        tagged = J.insert_exif_orientation(blob, o)
+        assert J.parse_exif_orientation(tagged) == o
+        # the decoder must skip the APP1 like any unknown segment
+        assert J.decode_jpeg(tagged).shape == px.shape
+    # big-endian TIFF variant parses too (cameras emit both orders)
+    seg = J.exif_app1_segment(6)
+    be_tiff = (b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+               + struct.pack(">H", 1)
+               + struct.pack(">HHI", 0x0112, 3, 1)
+               + struct.pack(">HH", 6, 0) + struct.pack(">I", 0))
+    be_payload = b"Exif\x00\x00" + be_tiff
+    be_seg = b"\xff\xe1" + struct.pack(">H", len(be_payload) + 2) \
+        + be_payload
+    assert len(be_seg) == len(seg)
+    be_blob = blob[:2] + be_seg + blob[2:]
+    assert J.parse_exif_orientation(be_blob) == 6
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        J.exif_app1_segment(9)
+    with _pt.raises(ValueError):
+        J.apply_orientation(px, 0)
+
+
+def test_apply_orientation_involution_pairs():
+    import numpy as np
+    from tilemaker_spark.kernels import jpeg as J
+    px = np.arange(5 * 8 * 3, dtype=np.int64).reshape(5, 8, 3)
+    # 2,3,4,5,7 are involutions; 6 and 8 are mutual inverses
+    for o in (2, 3, 4, 5, 7):
+        assert np.array_equal(
+            J.apply_orientation(J.apply_orientation(px, o), o), px)
+    assert np.array_equal(
+        J.apply_orientation(J.apply_orientation(px, 6), 8), px)

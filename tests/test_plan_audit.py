@@ -108,6 +108,9 @@ BUDGETS = {
     "augment_check": (0, 0, 3),
     "patchify_check": (0, 0, 3),
     "letterbox_check": (0, 0, 3),
+    # orientation_check: gradient-encode UDF + orient mapInPandas +
+    # checksum mapInPandas, map-only like the other transform chains
+    "orientation_check": (0, 0, 3),
     "grayscale_check": (0, 0, 3),
     # round-5 training-corpus additions: channel_stats folds per-batch
     # partials in Arrow (encode + fold = 2 nodes) and shuffles only the

@@ -783,3 +783,37 @@ def filter_funnel(images: DataFrame, min_side: int = 32,
         .otherwise(F.lit("ok")))
     return (images.select(reason.alias("reason"))
             .groupBy("reason").agg(F.count(F.lit(1)).alias("n")))
+
+
+def orient_images(images: DataFrame,
+                  orient_col: str = "orientation") -> DataFrame:
+    """EXIF-orientation normalization — the preprocessing stage real
+    photo corpora need before any pixel op (cameras store rotation as
+    TIFF tag 274, not as rotated pixels; a pipeline that skips this
+    trains on sideways images).  Applies the upright transform
+    (kernels/jpeg.apply_orientation — rot90/flip per the 8 TIFF
+    values) to each decoded image and re-encodes PNG.  Map-only, zero
+    shuffles.  Output: image_id, bytes, w/h (post-rotation), fmt,
+    orientation (passed through)."""
+    schema = ("image_id string, bytes binary, w int, h int, fmt string, "
+              "orientation int")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import jpeg as J
+        for pdf in batches:
+            ids, blobs, ws, hs, os_ = [], [], [], [], []
+            for img_id, blob, fmt, o in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"],
+                    pdf[orient_col]):
+                px = P.decode_image(bytes(blob), fmt)
+                up = J.apply_orientation(px, int(o))
+                ids.append(img_id)
+                blobs.append(P.encode_png(np.ascontiguousarray(up)))
+                hs.append(up.shape[0])
+                ws.append(up.shape[1])
+                os_.append(int(o))
+            yield pd.DataFrame({
+                "image_id": ids, "bytes": blobs, "w": ws, "h": hs,
+                "fmt": ["png"] * len(ids), "orientation": os_})
+
+    return images.mapInPandas(run, schema)
