@@ -222,3 +222,15 @@ def test_vacuum_reclaims_compacted_files_and_sets_horizon(spark, tmp_path):
         sink.read(spark, as_of=1)
     # and at/after the horizon still works
     assert sink.read(spark, as_of=2).count() == 300
+
+
+def test_vacuum_refuses_horizon_beyond_log(spark, tmp_path):
+    """A horizon past the last snapshot would mark every file
+    unreferenced and delete the table — it must refuse instead."""
+    root = str(tmp_path / "ckpt_vg")
+    sink = CheckpointedSink(root)
+    df = spark.range(10).withColumn("part", (F.col("id") % 2).cast("long"))
+    sink.write_partitioned(df, "part")
+    with pytest.raises(ValueError, match="outside committed range"):
+        sink.vacuum(before_snapshot=99)
+    assert sink.read(spark).count() == 10

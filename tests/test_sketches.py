@@ -378,3 +378,21 @@ def test_streaming_heavy_hitters_superset_invariant(spark, tmp_path):
                     assert kk in state_keys, (bi, kk, c, len(seen))
     finally:
         q.stop()
+
+
+def test_kmv_set_ops_missing_tag_is_empty_not_negative(spark):
+    rows = [("a", f"u{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "t string, user string")
+    r = sketches.kmv_set_ops(df, "user", "t", "a", "ghost", k=64) \
+        .collect()[0]
+    # 30 distinct < k: exact regime; the ghost side must read as the
+    # EMPTY set (not null -> size -1 -> negative estimates)
+    assert r.est_a == 30 and r.est_b == 0
+    assert r.est_intersect == 0 and r.est_union == 30
+    assert (r.jaccard_num, r.jaccard_den) == (0, 30)
+
+
+def test_bloom_prune_rejects_giant_bitset(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="2\\^24"):
+        sketches.bloom_prune(df, df, "k", "k", m_bits=1 << 25)

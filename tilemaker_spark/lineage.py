@@ -143,8 +143,16 @@ class CheckpointedSink:
         time travel; vacuuming gives that up below the horizon and
         reclaims the space.  Defaults to the latest snapshot (keep only
         the live view).  read(as_of < horizon) raises afterwards."""
+        last = self.last_snapshot_id()
         if before_snapshot is None:
-            before_snapshot = self.last_snapshot_id()
+            before_snapshot = last
+        if not 1 <= before_snapshot <= last:
+            # a horizon beyond the log would make every file unreferenced
+            # and DELETE THE TABLE — refuse, like read() refuses an
+            # unknown as_of
+            raise ValueError(
+                f"before_snapshot={before_snapshot} outside committed "
+                f"range [1, {last}]")
         live_after = set()
         for f in self._snapshots():
             sid = int(f.split(".")[0])

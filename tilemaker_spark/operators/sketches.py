@@ -280,9 +280,12 @@ def kmv_set_ops(df: DataFrame, key_col: str, tag_col: str,
     # pivot the <= 2-row sketch table in ONE agg — filtering it twice
     # and cross-joining would duplicate the whole sketch subplan (two
     # scans of the data; caught by the plan audit)
+    empty = F.array().cast("array<long>")
     j = sk.groupBy().agg(
-        F.max(F.when(F.col("__t") == tag_a, F.col("mins"))).alias("ma"),
-        F.max(F.when(F.col("__t") == tag_b, F.col("mins"))).alias("mb"))
+        F.coalesce(F.max(F.when(F.col("__t") == tag_a, F.col("mins"))),
+                   empty).alias("ma"),
+        F.coalesce(F.max(F.when(F.col("__t") == tag_b, F.col("mins"))),
+                   empty).alias("mb"))
 
     def theta(m):
         return F.when(F.size(m) < k, F.lit(HASH_SPACE)) \
@@ -495,8 +498,11 @@ def bloom_prune(fact: DataFrame, dim: DataFrame, fact_key: str,
     every true match survives — so the exact join downstream sees a
     strictly smaller input with identical results.
     """
-    if m_bits < 64 or m_bits & (m_bits - 1):
-        raise ValueError(f"m_bits={m_bits} must be a power of two >= 64")
+    if m_bits < 64 or m_bits & (m_bits - 1) or m_bits > (1 << 24):
+        raise ValueError(
+            f"m_bits={m_bits} must be a power of two in [64, 2^24] "
+            "(the bitset ships as a plan literal — 2^24 bits = 2 MB; "
+            "beyond that use a second bloom level or a join)")
     if not 1 <= k_hashes <= 8:
         raise ValueError(f"k_hashes={k_hashes} out of range")
     pos = _bloom_positions(F.col(dim_key), m_bits, k_hashes, salt)
