@@ -1929,7 +1929,7 @@ def sql_weighted_sample():
 
 
 BPE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "e"),
-              ("e", "r"), ("s", "t"), ("r", "o"), ("a", "n"), ("g", "g")]
+              ("e", "r"), ("s", "t"), ("r", "o"), ("a", "n"), ("o", "w")]
 
 
 def q_bpe_encode(spark, sf_dir):

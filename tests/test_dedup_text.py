@@ -309,7 +309,7 @@ def _true_bpe_token_count(word, merges):
 def test_bpe_encode_matches_true_bpe(spark):
     from tilemaker_spark.operators.text import bpe_encode_counts
     merges = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "e"),
-              ("e", "r"), ("s", "t"), ("r", "o"), ("a", "n"), ("g", "g")]
+              ("e", "r"), ("s", "t"), ("r", "o"), ("a", "n"), ("o", "w")]
     # adversarial: runs that trip non-overlapping replace, chained
     # merges, vocabulary words, repeated merged tokens
     docs = ["erererer line the window stream",
@@ -350,3 +350,76 @@ def test_bpe_encode_rejects_space_in_merge(spark):
     df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
     with _pt.raises(ValueError):
         bpe_encode_counts(df, [("a b", "c")])
+    with _pt.raises(ValueError, match="self-pair"):
+        bpe_encode_counts(df, [("g", "g")])
+
+
+def _py_train_bpe(corpus_words, n_merges):
+    # reference Sennrich trainer on (word, freq) pairs — guarantees the
+    # merge list is VALID (every output token new), the precondition
+    # the one-shot rank-order apply relies on
+    from collections import Counter
+    vocab = Counter(tuple(w) for w in corpus_words)
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for toks, f in vocab.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), _f = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        merges.append((a, b))
+        newv = Counter()
+        for toks, f in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            newv[tuple(out)] += f
+        vocab = newv
+    return merges
+
+
+def _replace_chain_count(word, merges):
+    # EXACT python mirror of the Catalyst/DuckDB double-replace chain
+    # (str.replace is the same literal non-overlapping left-to-right
+    # semantics as Spark's replace() and DuckDB's replace())
+    s = " " + " ".join(word) + " "
+    for a, b in merges:
+        for _ in range(2):
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    return len(s.split())
+
+
+def test_bpe_replace_chain_equals_rescan_property():
+    """Property (hypothesis): for any trained merge list WITHOUT
+    self-pairs and any word over the same alphabet, the double-replace
+    chain in rank order yields the SAME token count as the
+    rescan-per-step reference — the restricted equivalence
+    bpe_encode_counts enforces (an earlier unrestricted version of
+    this property FOUND the self-pair divergence: 'bbbbba' under
+    [(b,b),(bb,a)] -> 3 vs 4 tokens)."""
+    from hypothesis import given, settings, strategies as st
+
+    alpha = st.sampled_from("ab")
+    word = st.text(alphabet=alpha, min_size=1, max_size=24)
+
+    @settings(max_examples=200, deadline=None)
+    @given(corpus=st.lists(word, min_size=2, max_size=8),
+           probe=word,
+           n_merges=st.integers(min_value=1, max_value=6))
+    def check(corpus, probe, n_merges):
+        # the operator REJECTS self-pair merges (a == b) — the property
+        # test is what found the divergence; see bpe_encode_counts
+        merges = [(a, b) for a, b in _py_train_bpe(corpus, n_merges)
+                  if a != b]
+        want = _true_bpe_token_count(probe, merges)
+        got = _replace_chain_count(probe, merges)
+        assert got == want, (probe, merges)
+
+    check()

@@ -696,16 +696,20 @@ def bpe_encode_counts(df: DataFrame, merges: list[tuple[str, str]],
     word becomes a space-separated char sequence (`` l o w ``), and
     every merge (a, b) is TWO chained literal ``replace(s, ' a b ',
     ' ab ')`` calls.  Two calls per merge because left-to-right
-    non-overlapping replace consumes the shared boundary space in runs
-    (`` e r e r `` matches once, not twice); after one pass every
-    still-unmerged pair is flanked by merged neighbors, so the second
-    pass is sufficient (property-tested against a true per-word BPE
-    reference incl. adversarial runs).  Applying merges one-shot in
-    rank order equals the rescan-per-step reference algorithm for any
-    TRAINED merge list: tokens never vanish (they only concatenate),
-    so a later merge cannot create adjacency for an earlier one, and
-    every merge's output token is new, so later merges cannot emit an
-    earlier merge's operands.
+    non-overlapping replace consumes the shared boundary space between
+    adjacent occurrences; with a != b the occurrences are
+    token-disjoint, so after one pass every unmerged occurrence is
+    flanked by merged neighbors and the second pass finishes — the
+    chain is then EXACTLY the rescan-per-step reference (hypothesis
+    property test over genuinely TRAINED merge lists).  Self-pair
+    merges (a == b) are rejected: there the replace chain pairs run
+    positions differently than the reference and downstream merges can
+    diverge (found by the property test; see the ValueError).  Merges
+    one-shot in rank order equal the reference for trained lists:
+    tokens never vanish (they only concatenate), so a later merge
+    cannot create adjacency for an earlier one, and every merge's
+    output token is new, so later merges cannot emit an earlier
+    merge's operands.
 
     Merges are plan literals (a published tokenizer is a model
     artifact, applied, not recomputed); the DuckDB oracle replays the
@@ -716,6 +720,21 @@ def bpe_encode_counts(df: DataFrame, merges: list[tuple[str, str]],
     for a, b in merges:
         if " " in a or " " in b or not a or not b:
             raise ValueError(f"bad merge pair ({a!r}, {b!r})")
+        if a == b:
+            # self-pair merges are OUT OF SCOPE: for a run of >= 5
+            # identical tokens, non-overlapping replace pairs
+            # (0,1),(3,4),... while the rescan reference pairs
+            # (0,1),(2,3),... — same count per merge, different
+            # TOKENIZATION, and a later merge can then diverge
+            # (hypothesis counterexample: 'bbbbba' under
+            # [(b,b),(bb,a)] -> 3 vs 4 tokens).  For a != b the
+            # occurrences are token-disjoint, no rescan of the same
+            # merge can create new ones, and the two-pass chain is
+            # EXACT (property-tested over trained merge lists).
+            raise ValueError(
+                f"self-pair merge ({a!r}, {b!r}) unsupported: "
+                "replace-chain tokenization diverges from the rescan "
+                "reference on odd runs >= 5")
     ws = F.split(F.lower(F.col(text_col)), " ")
 
     def encode(word):
