@@ -95,3 +95,59 @@ def test_assign_adaptive_consistent_with_leaves(spark):
     leaves = {(r["z"], r["x"], r["y"]): r["n"] for r in adaptive_cells(
         df, z_coarse=ZC, z_max=ZM, cap=CAP).collect()}
     assert dict(got) == leaves
+
+
+def test_closed_form_equals_iterative_fixpoint_property():
+    """Property (hypothesis): the closed-form leaf rule (smallest z
+    whose enclosing count <= cap) equals the classic ITERATIVE
+    split-recount fixpoint, for any point multiset — the monotonicity
+    argument adaptive_cells stakes its one-shuffle plan on.  Pure
+    integer grid coordinates: the claim is about the count math, not
+    the projection."""
+    from collections import Counter
+    from hypothesis import given, settings, strategies as st
+
+    ZC_, ZM_ = 1, 5
+    coord = st.integers(min_value=0, max_value=(1 << ZM_) - 1)
+
+    @settings(max_examples=150, deadline=None)
+    @given(pts=st.lists(st.tuples(coord, coord), min_size=1,
+                        max_size=120),
+           cap=st.integers(min_value=1, max_value=20))
+    def check(pts, cap):
+        # closed form
+        fine = Counter(pts)
+
+        def cnt(z, x, y):
+            dz = ZM_ - z
+            return sum(n for (fx, fy), n in fine.items()
+                       if fx >> dz == x and fy >> dz == y)
+
+        closed = Counter()
+        for (fx, fy), n in fine.items():
+            leaf = ZM_
+            for z in range(ZC_, ZM_):
+                if cnt(z, fx >> (ZM_ - z), fy >> (ZM_ - z)) <= cap:
+                    leaf = z
+                    break
+            closed[(leaf, fx >> (ZM_ - leaf), fy >> (ZM_ - leaf))] += n
+
+        # iterative reference: start at ZC_, split any cell > cap
+        iterative = Counter()
+        frontier = Counter()
+        for (fx, fy), n in fine.items():
+            frontier[(ZC_, fx >> (ZM_ - ZC_), fy >> (ZM_ - ZC_))] += n
+        while frontier:
+            nxt = Counter()
+            for (z, x, y), n in frontier.items():
+                if n <= cap or z == ZM_:
+                    iterative[(z, x, y)] += n
+                else:
+                    for (fx, fy), m in fine.items():
+                        if fx >> (ZM_ - z) == x and fy >> (ZM_ - z) == y:
+                            nxt[(z + 1, fx >> (ZM_ - z - 1),
+                                 fy >> (ZM_ - z - 1))] += m
+            frontier = nxt
+        assert closed == iterative
+
+    check()

@@ -396,3 +396,38 @@ def test_bloom_prune_rejects_giant_bitset(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError, match="2\\^24"):
         sketches.bloom_prune(df, df, "k", "k", m_bits=1 << 25)
+
+
+def test_batched_mg_survival_guarantee_property():
+    """Property (hypothesis): the BATCHED Misra-Gries decrement used in
+    heavy_hitters / streaming_heavy_hitters (subtract the (len-k)-th
+    smallest count from all, drop <= 0) preserves the classical MG
+    guarantee — any key with total count > n/(k+1) survives with a
+    positive counter, for any batch split of any stream."""
+    from collections import Counter
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+
+    key = st.sampled_from([f"k{i}" for i in range(12)])
+
+    @settings(max_examples=200, deadline=None)
+    @given(stream=st.lists(key, min_size=1, max_size=300),
+           k=st.integers(min_value=2, max_value=6),
+           n_batches=st.integers(min_value=1, max_value=5))
+    def check(stream, k, n_batches):
+        d = {}
+        bs = max(1, len(stream) // n_batches)
+        for s in range(0, len(stream), bs):
+            for kk, c in Counter(stream[s:s + bs]).items():
+                d[kk] = d.get(kk, 0) + c
+            if len(d) > k:
+                vals = np.sort(np.fromiter(d.values(), dtype="int64"))
+                cut = int(vals[len(d) - k - 1])
+                d = {kk: v - cut for kk, v in d.items() if v > cut}
+        n = len(stream)
+        truth = Counter(stream)
+        for kk, c in truth.items():
+            if c > n / (k + 1):
+                assert kk in d and d[kk] > 0, (kk, c, n, k, d)
+
+    check()
