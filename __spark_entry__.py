@@ -2175,6 +2175,28 @@ FROM pj GROUP BY 1
 """
 
 
+def q_analyze(spark, sf_dir):
+    """ANALYZE-style table statistics in one pass (operators/
+    sketches.py analyze_table): per lineitem column, exact row/null
+    counts plus a KMV NDV estimate — every column's sketch folds
+    through the SAME mapInPandas pass and ONE bounded merge shuffle,
+    instead of one COUNT(DISTINCT) shuffle per column (at 10^12 rows
+    x 16 columns that is 16 full-table distinct shuffles saved).
+    k=256 < the key columns' cardinality, so the gate covers the
+    genuine estimation regime; all-integer output."""
+    from tilemaker_spark.operators.sketches import analyze_table
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+    return analyze_table(li, k=256, salt=4)
+
+
+def sql_analyze():
+    from tilemaker_spark.operators.sketches import analyze_table_oracle_sql
+    return analyze_table_oracle_sql(
+        "lineitem", ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_returnflag"], k=256, salt=4)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -4339,6 +4361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sel_quantiles": q_sel_quantiles,
         "bloom_prune": q_bloom_prune,
         "cm_counts": q_cm_counts,
+        "analyze": q_analyze,
         "hot_ngrams": q_hot_ngrams,
         "weighted_sample": q_weighted_sample,
         "bpe_encode": q_bpe_encode,
@@ -4459,6 +4482,7 @@ def oracle_sql() -> dict[str, str]:
         "sel_quantiles": sql_sel_quantiles(),
         "bloom_prune": sql_bloom_prune(),
         "cm_counts": sql_cm_counts(),
+        "analyze": sql_analyze(),
         "hot_ngrams": sql_hot_ngrams(),
         "weighted_sample": sql_weighted_sample(),
         "bpe_encode": sql_bpe_encode(),

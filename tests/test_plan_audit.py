@@ -203,6 +203,9 @@ BUDGETS = {
     # cm_counts: counter-grid agg (bounded depth*width) + probe
     # distinct + 1 broadcast probe join + per-probe min agg
     "cm_counts": (3, 1, 0),
+    # analyze: one column-parallel partial-sketch Arrow pass + ONE
+    # bounded merge shuffle for ALL columns' stats together
+    "analyze": (1, 0, 1),
     # weighted_sample: TakeOrderedAndProject — zero exchanges, zero UDF
     "weighted_sample": (0, 0, 0),
     # bpe_encode: pure-Catalyst replace-chain tokenizer apply —

@@ -431,3 +431,19 @@ def test_batched_mg_survival_guarantee_property():
                 assert kk in d and d[kk] > 0, (kk, c, n, k, d)
 
     check()
+
+
+def test_analyze_table_counts_and_ndv(spark):
+    rows = [(i % 40, f"s{i % 7}" if i % 5 else None)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "a long, b string")
+    got = {r["column"]: r for r in
+           sketches.analyze_table(df, k=64).collect()}
+    assert got["a"]["n_rows"] == 1000 and got["a"]["n_nulls"] == 0
+    assert got["a"]["ndv_est"] == 40          # < k: exact
+    assert got["b"]["n_rows"] == 1000 and got["b"]["n_nulls"] == 200
+    assert got["b"]["ndv_est"] == 7
+    # partitioning-independent
+    again = {r["column"]: tuple(r) for r in sketches.analyze_table(
+        df.repartition(9), k=64).collect()}
+    assert again == {c: tuple(r) for c, r in got.items()}

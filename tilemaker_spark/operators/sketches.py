@@ -572,3 +572,87 @@ def cm_estimate(df: DataFrame, key_col: str, probes: DataFrame,
     return (joined.groupBy("__k")
             .agg(F.min("c").alias("est"))
             .select(F.col("__k").alias(key_col), F.col("est")))
+
+
+def analyze_table(df: DataFrame, cols: list[str] | None = None,
+                  k: int = 256, salt: int = 1) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE pass: row count,
+    null count, and a KMV distinct-count estimate per column — the
+    stats a cost-based optimizer (or a human sizing a join) needs,
+    without one COUNT(DISTINCT) shuffle per column.
+
+    Plan: every column's (hash, null) pair is computed in the same
+    projection, the per-column sketches fold through ONE mapInPandas
+    pass + ONE bounded merge shuffle (<= k hashes per (column,
+    partition)), exactly the kmv_distinct shape but column-parallel.
+    All-integer output, so the estimates are cross-engine exact.
+    """
+    cols = list(cols or df.columns)
+    if not cols:
+        raise ValueError("no columns to analyze")
+    # long format: (column_name, hash_or_null) — one row per (col, row)
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.when(F.col(c).isNull(), F.lit(None)).otherwise(
+                     kmv_hash_col(c, salt)).alias("h"))
+        for c in cols])).alias("e")).select("e.col", "e.h")
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mins: dict[str, set] = {}
+        n: dict[str, int] = {}
+        nulls: dict[str, int] = {}
+        for pdf in batches:
+            for c, sub in pdf.groupby("col", sort=False):
+                n[c] = n.get(c, 0) + len(sub)
+                isnull = sub["h"].isna()
+                nulls[c] = nulls.get(c, 0) + int(isnull.sum())
+                s = mins.setdefault(c, set())
+                s.update(int(v) for v in sub["h"][~isnull])
+                if len(s) > k:
+                    mins[c] = set(sorted(s)[:k])
+        rows = [(c, int(h), 0, 0) for c, s in mins.items() for h in s]
+        rows += [(c, None, n.get(c, 0), nulls.get(c, 0)) for c in n]
+        yield pd.DataFrame(rows, columns=["col", "h", "n", "nulls"])
+
+    partials = pairs.mapInPandas(
+        partial, "col string, h long, n long, nulls long")
+    merged = (partials.groupBy("col").agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("mins"),
+        F.sum("n").alias("n_rows"),
+        F.sum("nulls").alias("n_nulls")))
+    nn = F.size("mins")
+    est = F.when(nn < k, nn.cast("long")).otherwise(
+        F.expr(f"{(k - 1) * HASH_SPACE} div try_element_at(mins, {k})"))
+    return merged.select(
+        F.col("col").alias("column"), "n_rows", "n_nulls",
+        est.alias("ndv_est"))
+
+
+def analyze_table_oracle_sql(table: str, cols: list[str],
+                             k: int = 256, salt: int = 1) -> str:
+    """DuckDB twin of :func:`analyze_table`: per column, the identical
+    KMV estimate from a window k-min, plus exact row/null counts."""
+    parts = []
+    for c in cols:
+        h = kmv_hash_sql(c, salt)
+        parts.append(f"""(
+WITH hh AS (
+  SELECT DISTINCT {h} AS h FROM {table} WHERE {c} IS NOT NULL
+), r AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rk,
+         count(*) OVER () AS nd
+  FROM hh
+), cnts AS (
+  SELECT count(*) AS n_rows,
+         count(*) FILTER ({c} IS NULL) AS n_nulls
+  FROM {table}
+)
+SELECT '{c}' AS "column", cnts.n_rows, cnts.n_nulls,
+       CASE WHEN coalesce(max(nd), 0) < {k} THEN coalesce(max(nd), 0)
+            ELSE {(k - 1) * HASH_SPACE}
+                 // max(CASE WHEN rk = {k} THEN h END)
+       END AS ndv_est
+FROM cnts LEFT JOIN r ON true
+GROUP BY cnts.n_rows, cnts.n_nulls
+)""")
+    return "\nUNION ALL\n".join(parts)
