@@ -73,8 +73,12 @@ def kmv_distinct(df: DataFrame, key_col: str, group_cols: list[str],
     below k) and ``sketch_size`` (= min(distinct, k), the number of
     hashes the final sketch holds).
     """
-    if not 2 <= k <= 4096:
-        raise ValueError(f"k={k} out of range [2, 4096]")
+    if not 2 <= k <= 2048:
+        # (k-1) * 2^52 must stay inside int64 for the pure-integer
+        # estimator: 2047 * 2^52 < 2^63, 4095 * 2^52 overflows (the
+        # literal would silently become a decimal and the div
+        # semantics — and the DuckDB twin — diverge)
+        raise ValueError(f"k={k} out of range [2, 2048]")
     hashed = df.select(
         *[F.col(c) for c in group_cols],
         kmv_hash_col(key_col, salt).alias("__h"))
@@ -244,7 +248,7 @@ def kmv_set_ops(df: DataFrame, key_col: str, tag_col: str,
 
         est(|X|) = |{h in sketch_X : h < theta}| * SPACE div theta
 
-    in pure int64 (cnt <= k = 4096 max keeps cnt * 2^52 inside int64).
+    in pure int64 (k <= 2048 keeps cnt * 2^52 inside int64).
     When both populations hold < k distinct keys the sketches ARE the
     sets, theta = SPACE, and every output is EXACT — the estimator
     degrades to truth, which the oracle twin exploits.
@@ -255,8 +259,8 @@ def kmv_set_ops(df: DataFrame, key_col: str, tag_col: str,
     the final merge input is already bounded), then a 1-row x 1-row
     join and pure Catalyst array algebra.  Raw rows never shuffle.
     """
-    if not 2 <= k <= 4096:
-        raise ValueError(f"k={k} out of range [2, 4096]")
+    if not 2 <= k <= 2048:
+        raise ValueError(f"k={k} out of range [2, 2048]")  # int64 bound
     tagged = (df.where(F.col(tag_col).isin([tag_a, tag_b]))
               .select(F.col(tag_col).alias("__t"),
                       kmv_hash_col(key_col, salt).alias("__h")))
