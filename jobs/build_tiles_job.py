@@ -124,6 +124,14 @@ def main(argv=None) -> int:
                          "(written next to the output as .raster.mbtiles)")
     ap.add_argument("--checkpoint", default=None,
                     help="lineage/checkpoint root for idempotent resume")
+    ap.add_argument("--compact-checkpoint", action="store_true",
+                    help="after the run, rewrite multi-file checkpoint "
+                         "partitions into one file each (atomic REPLACE "
+                         "snapshot; earlier as-of reads keep working)")
+    ap.add_argument("--vacuum-checkpoint", action="store_true",
+                    help="after the run (and any compaction), reclaim "
+                         "data files no current snapshot references — "
+                         "gives up time travel below the new horizon")
     # reference CLI parity (src/options_parser.cpp): --config overrides
     # tile settings from the reference's JSON shape; --skip-integrity
     # tolerates ways referencing missing nodes; --threads caps shuffle
@@ -189,6 +197,14 @@ def main(argv=None) -> int:
             F.expr("shiftright(x, z - 6) * 64 + shiftright(y, z - 6)"),
         ).otherwise(F.lit(-1)).cast("long")
         sink.write_partitioned(tiles.withColumn("pk", pk), "pk")
+        if args.compact_checkpoint:
+            c = sink.compact(spark)
+            print(f"compacted {c['compacted_partitions']} checkpoint "
+                  f"partitions (snapshot {c['snapshot_id']})")
+        if args.vacuum_checkpoint:
+            v = sink.vacuum()
+            print(f"vacuumed {v['deleted_files']} checkpoint files "
+                  f"(horizon {v['min_as_of']})")
         tiles = sink.read(spark).select("z", "x", "y", "tile")
 
     if args.output.endswith(".mbtiles"):

@@ -279,3 +279,44 @@ def test_job_cli_parity_flags(spark, tmp_path, capsys):
     con.close()
     assert meta["name"] == "parity"
     assert int(meta["maxzoom"]) == 4  # CLI flag overrides config file
+
+
+def test_job_checkpoint_maintenance_flags(spark, tmp_path):
+    """--compact-checkpoint / --vacuum-checkpoint run the maintenance
+    ops after the write; the exported tiles are identical to a plain
+    checkpointed run."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import build_tiles_job as J
+
+    rows = [(i, "poi", 0, 0, 0, {},
+             [float(-150 + i * 10), float(-60 + (i % 13) * 9)], [1], [])
+            for i in range(30)]
+    feats = spark.createDataFrame(
+        rows,
+        "feature_id long, layer string, kind tinyint, minzoom int, "
+        "zorder long, attrs map<string,string>, coords array<double>, "
+        "ring_sizes array<int>, poly_ring_counts array<int>")
+    src = str(tmp_path / "feats.parquet")
+    feats.write.parquet(src)
+
+    out1 = str(tmp_path / "plain.mbtiles")
+    out2 = str(tmp_path / "maint.mbtiles")
+    assert J.main(["--input", src, "--output", out1, "--maxzoom", "4",
+                   "--checkpoint", str(tmp_path / "ck1"),
+                   "--quiet"]) == 0
+    assert J.main(["--input", src, "--output", out2, "--maxzoom", "4",
+                   "--checkpoint", str(tmp_path / "ck2"),
+                   "--compact-checkpoint", "--vacuum-checkpoint",
+                   "--quiet"]) == 0
+    import sqlite3
+
+    def tiles(p):
+        con = sqlite3.connect(p)
+        rows = con.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_data "
+            "FROM tiles ORDER BY 1, 2, 3").fetchall()
+        con.close()
+        return rows
+
+    assert tiles(out1) == tiles(out2)
