@@ -594,31 +594,33 @@ def analyze_table(df: DataFrame, cols: list[str] | None = None,
     cols = list(cols or df.columns)
     if not cols:
         raise ValueError("no columns to analyze")
-    # long format: (column_name, hash_or_null) — one row per (col, row)
-    pairs = df.select(F.explode(F.array(*[
-        F.struct(F.lit(c).alias("col"),
-                 F.when(F.col(c).isNull(), F.lit(None)).otherwise(
-                     kmv_hash_col(c, salt)).alias("h"))
-        for c in cols])).alias("e")).select("e.col", "e.h")
+    # WIDE format: one JVM-hashed column per analyzed column, same row
+    # count — a column-exploded long format would push n_cols x rows
+    # through Arrow (x16 the I/O at a 16-column table) for no benefit
+    hashed = df.select(*[
+        F.when(F.col(c).isNull(), F.lit(None)).otherwise(
+            kmv_hash_col(c, salt)).alias(f"__h{i}")
+        for i, c in enumerate(cols)])
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mins: dict[str, set] = {}
         n: dict[str, int] = {}
         nulls: dict[str, int] = {}
         for pdf in batches:
-            for c, sub in pdf.groupby("col", sort=False):
-                n[c] = n.get(c, 0) + len(sub)
-                isnull = sub["h"].isna()
+            for i, c in enumerate(cols):
+                col = pdf[f"__h{i}"]
+                n[c] = n.get(c, 0) + len(col)
+                isnull = col.isna()
                 nulls[c] = nulls.get(c, 0) + int(isnull.sum())
                 s = mins.setdefault(c, set())
-                s.update(int(v) for v in sub["h"][~isnull])
+                s.update(int(v) for v in col[~isnull])
                 if len(s) > k:
                     mins[c] = set(sorted(s)[:k])
         rows = [(c, int(h), 0, 0) for c, s in mins.items() for h in s]
         rows += [(c, None, n.get(c, 0), nulls.get(c, 0)) for c in n]
         yield pd.DataFrame(rows, columns=["col", "h", "n", "nulls"])
 
-    partials = pairs.mapInPandas(
+    partials = hashed.mapInPandas(
         partial, "col string, h long, n long, nulls long")
     merged = (partials.groupBy("col").agg(
         F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("mins"),
