@@ -2197,6 +2197,40 @@ def sql_analyze():
                      "l_returnflag"], k=256, salt=4)
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Edit-distance fuzzy self-join (operators/dedup.py
+    edit_distance_join — the record-linkage primitive): every pair of
+    distinct corpus WORDS within 2 Levenshtein edits.  Blocking is
+    LOSSLESS (an edit moves length by <= 1, so one side explodes to
+    its d+1 upward length buckets and each unordered pair meets
+    exactly once in the longer string's bucket); verification is
+    Spark's built-in JVM levenshtein — zero Python.  The oracle is the
+    O(n^2) cross join with DuckDB's independent levenshtein
+    implementation, so the DISTANCES themselves are cross-checked
+    between two engines' editions of the algorithm."""
+    from tilemaker_spark.operators.dedup import edit_distance_join
+    words = (_t(spark, sf_dir, "documents")
+             .select(F.explode(F.split(F.lower(F.col("text")), " "))
+                     .alias("w"))
+             .where(F.col("w") != "").distinct()
+             .select(F.col("w").alias("id"), F.col("w").alias("s")))
+    out = edit_distance_join(words, "id", "s", max_dist=2)
+    return out.select("id_a", "id_b", "dist")
+
+
+def sql_fuzzy_join():
+    return """
+WITH w AS (
+  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS s
+  FROM documents
+), ww AS (SELECT s FROM w WHERE s <> '')
+SELECT least(a.s, b.s) AS id_a, greatest(a.s, b.s) AS id_b,
+       CAST(levenshtein(a.s, b.s) AS int) AS dist
+FROM ww a JOIN ww b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) <= 2
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): lag-mark +
     running-sum session numbering over one shuffle on the user key,
@@ -4362,6 +4396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "cm_counts": q_cm_counts,
         "analyze": q_analyze,
+        "fuzzy_join": q_fuzzy_join,
         "hot_ngrams": q_hot_ngrams,
         "weighted_sample": q_weighted_sample,
         "bpe_encode": q_bpe_encode,
@@ -4483,6 +4518,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prune": sql_bloom_prune(),
         "cm_counts": sql_cm_counts(),
         "analyze": sql_analyze(),
+        "fuzzy_join": sql_fuzzy_join(),
         "hot_ngrams": sql_hot_ngrams(),
         "weighted_sample": sql_weighted_sample(),
         "bpe_encode": sql_bpe_encode(),

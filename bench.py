@@ -36,7 +36,7 @@ def main():
     qs = E.queries()
     headline = [
         "tile_assign", "quadkey", "geohash", "hilbert", "cell_index",
-        "hex_index", "s2_cells", "adaptive_cells", "geo_corpus", "kmv_distinct", "kmv_setops", "grouped_topk", "sel_quantiles", "bloom_prune", "cm_counts", "analyze", "hot_ngrams", "weighted_sample", "bpe_encode", "pip_broadcast",
+        "hex_index", "s2_cells", "adaptive_cells", "geo_corpus", "kmv_distinct", "kmv_setops", "grouped_topk", "sel_quantiles", "bloom_prune", "cm_counts", "analyze", "fuzzy_join", "hot_ngrams", "weighted_sample", "bpe_encode", "pip_broadcast",
         "pip_cell", "pip_anti", "knn", "radius_join", "salt_plan", "wkb_points",
         "wkb_pip", "dirty_tiles",
         "way_assembly", "zorder_topk", "tiles_rollup", "pricing_summary",

@@ -423,3 +423,41 @@ def test_bpe_replace_chain_equals_rescan_property():
         assert got == want, (probe, merges)
 
     check()
+
+
+def test_edit_distance_join_exact_vs_bruteforce(spark):
+    import itertools
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = min(dp[j] + 1, dp[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, dp[j] = dp[j], cur
+        return dp[n]
+
+    from tilemaker_spark.operators.dedup import edit_distance_join
+    words = ["spark", "spahk", "spork", "sprk", "sparkle", "quartz",
+             "quart", "quarts", "a", "ab", "abc", "xyz", "spark"]
+    rows = [(f"w{i}", w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "id string, s string")
+    got = sorted((r["id_a"], r["id_b"], r["dist"]) for r in
+                 edit_distance_join(df, "id", "s", max_dist=2).collect())
+    want = sorted(
+        (min(a_id, b_id), max(a_id, b_id), lev(a, b))
+        for (a_id, a), (b_id, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 2)
+    assert got == want
+    # every pair exactly once (incl. the identical-string pair w0/w12)
+    assert len(got) == len({(a, b) for a, b, _ in got})
+
+
+def test_edit_distance_join_bad_dist(spark):
+    from tilemaker_spark.operators.dedup import edit_distance_join
+    df = spark.createDataFrame([("a", "x")], "id string, s string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        edit_distance_join(df, "id", "s", max_dist=0)

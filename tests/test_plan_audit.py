@@ -206,6 +206,10 @@ BUDGETS = {
     # analyze: one column-parallel partial-sketch Arrow pass + ONE
     # bounded merge shuffle for ALL columns' stats together
     "analyze": (1, 0, 1),
+    # fuzzy_join: word distinct + the length-bucket equi-join (both
+    # tiny sides broadcast at test scale) — zero Python, JVM
+    # levenshtein verify
+    "fuzzy_join": (2, 1, 0),
     # weighted_sample: TakeOrderedAndProject — zero exchanges, zero UDF
     "weighted_sample": (0, 0, 0),
     # bpe_encode: pure-Catalyst replace-chain tokenizer apply —
