@@ -30,6 +30,7 @@ from tilemaker_spark.operators import (
     similarity as sim_ops,
     spatial_join,
     substrings as substrings_ops,
+    temporal as temporal_ops,
     text as text_ops,
 )
 
@@ -4303,6 +4304,118 @@ FROM documents"""
     return text_ops2.remove_boilerplate_oracle_sql(source_cte=plant)
 
 
+def q_scd2(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build
+    (operators/temporal.scd2_history): the events log as a change log
+    of each user's event_type attribute — consecutive identical values
+    collapse, each kept version carries [valid_from_us, valid_to_us)
+    in exact epoch microseconds plus version/is_current.  ONE shuffle:
+    the lag pass, the change filter, and the lead/row_number pass all
+    share the user_id partitioning.  The oracle replays the identical
+    lag -> filter -> lead chain."""
+    return temporal_ops.scd2_history(_t(spark, sf_dir, "events"))
+
+
+def sql_scd2():
+    return """
+WITH log AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS timestamp)) AS t_us, event_id
+  FROM events
+),
+lagged AS (
+  SELECT user_id, event_type, t_us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY t_us, event_id) AS prev
+  FROM log
+),
+changes AS (
+  SELECT user_id, event_type, t_us AS valid_from_us, event_id
+  FROM lagged WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, valid_from_us,
+       lead(valid_from_us) OVER w AS valid_to_us,
+       CAST(row_number() OVER w AS INT) AS version,
+       (lead(valid_from_us) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+"""
+
+
+def q_chunk_docs(spark, sf_dir):
+    """RAG-style overlapping token-window chunking
+    (operators/text.chunk_docs): 32-token chunks advancing by 24, md5
+    of each re-joined chunk so the oracle verifies the slicing itself.
+    Pure Catalyst split/posexplode/slice — zero shuffles, zero
+    Python."""
+    return text_ops.chunk_docs(_t(spark, sf_dir, "documents"),
+                               size=32, stride=24)
+
+
+def sql_chunk_docs(size: int = 32, stride: int = 24):
+    toks = (r"string_split(trim(regexp_replace(lower(text), '\s+', ' ',"
+            r" 'g')), ' ')")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+nc AS (
+  SELECT doc_id, t,
+         1 + (greatest(0, len(t) - {size}) + {stride - 1}) // {stride}
+           AS n_chunks
+  FROM base
+)
+SELECT doc_id, CAST(g.i AS INT) AS chunk_id,
+       CAST(g.i * {stride} AS INT) AS start_tok,
+       CAST(len(t[g.i * {stride} + 1 : g.i * {stride} + {size}]) AS INT)
+         AS n_tok,
+       md5(array_to_string(
+           t[g.i * {stride} + 1 : g.i * {stride} + {size}], ' '))
+         AS chunk_md5
+FROM nc, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+"""
+
+
+def q_lm_surprise(spark, sf_dir):
+    """Corpus-LM quality score (operators/text.bigram_surprise): every
+    document scored by the scaled-integer reciprocal of its bigrams'
+    conditional probability under the corpus bigram model — the CCNet
+    perplexity-filter shape with zero floating point, so the sums hash
+    identically cross-engine.  Corpus text explodes once per side
+    (model + scoring), the model is vocabulary-sized, never a
+    self-join."""
+    return text_ops.bigram_surprise(_t(spark, sf_dir, "documents"))
+
+
+def sql_lm_surprise(scale: int = 1_000_000):
+    toks = (r"string_split(trim(regexp_replace(lower(text), '\s+', ' ',"
+            r" 'g')), ' ')")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+occ AS (
+  SELECT doc_id, t[g.i] AS pfx, t[g.i] || ' ' || t[g.i + 1] AS bg
+  FROM base, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+),
+counts AS (
+  SELECT pfx, bg, count(*) AS c_bg FROM occ GROUP BY pfx, bg
+),
+model AS (
+  SELECT bg, c_bg,
+         sum(c_bg) OVER (PARTITION BY pfx) AS c_pfx
+  FROM counts
+)
+SELECT o.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(({scale} * m.c_pfx) // m.c_bg) AS BIGINT) AS surprise_sum,
+       CAST(CAST(sum(({scale} * m.c_pfx) // m.c_bg) AS BIGINT)
+            // count(*) AS BIGINT) AS score
+FROM occ o JOIN model m USING (bg)
+GROUP BY o.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -4336,6 +4449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "fingerprint": q_fingerprint,
         "tfidf_terms": q_tfidf_terms,
+        "scd2": q_scd2,
+        "chunk_docs": q_chunk_docs,
+        "lm_surprise": q_lm_surprise,
         "retrieval_eval": q_retrieval_eval,
         "repetition": q_repetition,
         "bpe_pairs": q_bpe_pairs,
@@ -4460,6 +4576,9 @@ def oracle_sql() -> dict[str, str]:
             substrings_ops.substring_dup_pairs_oracle_sql(length=20),
         "fingerprint": sql_fingerprint(),
         "tfidf_terms": text_ops.tfidf_top_terms_oracle_sql(),
+        "scd2": sql_scd2(),
+        "chunk_docs": sql_chunk_docs(),
+        "lm_surprise": sql_lm_surprise(),
         "retrieval_eval": sql_retrieval_eval(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "jaccard_prefix": sql_ngram_jaccard(threshold=0.7),

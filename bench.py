@@ -48,6 +48,7 @@ def main():
         "repetition", "bpe_pairs", "substring_dups", "boilerplate",
         "tfidf_terms",
         "decontam", "stratified", "pii_redact", "pack_blocks", "length_median",
+        "scd2", "chunk_docs", "lm_surprise",
         "ann_topk", "ann_ivf", "retrieval_eval",
         "channel_stats", "mixup_check", "shard_roundtrip", "grayscale_check",
         "ar_bucket", "filter_funnel", "corrupt_scan", "image_canonical", "multimodal_dups",

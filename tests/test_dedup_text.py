@@ -461,3 +461,81 @@ def test_edit_distance_join_bad_dist(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         edit_distance_join(df, "id", "s", max_dist=0)
+
+
+# ---------------------------------------------------------------------------
+# chunk_docs / bigram_surprise
+# ---------------------------------------------------------------------------
+
+def test_chunk_docs_hand_checked(spark):
+    import hashlib
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b")], "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_id): r for r in text.chunk_docs(
+        df, size=4, stride=3).collect()}
+    # doc 1: n=10 -> n_chunks = 1 + ceil((10-4)/3) = 3; starts 0,3,6
+    starts = {0: words[0:4], 1: words[3:7], 2: words[6:10]}
+    assert {k for k in out if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    for cid, toks in starts.items():
+        r = out[(1, cid)]
+        assert r.start_tok == cid * 3 and r.n_tok == len(toks)
+        assert r.chunk_md5 == hashlib.md5(
+            " ".join(toks).encode()).hexdigest()
+    # doc 2 fits one chunk (shorter than size)
+    r = out[(2, 0)]
+    assert r.n_tok == 2 and r.chunk_md5 == hashlib.md5(b"a b").hexdigest()
+    assert {k for k in out if k[0] == 2} == {(2, 0)}
+
+
+def test_chunk_docs_covers_every_token(spark):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    rows = [(i, " ".join(rng.choice(list("abcdef"), rng.integers(1, 90))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.chunk_docs(df, size=16, stride=12).collect()
+    for i, t in rows:
+        n = len(t.split(" "))
+        chunks = sorted((r.start_tok, r.n_tok) for r in out
+                        if r.doc_id == i)
+        # first chunk starts at 0, consecutive chunks overlap or touch,
+        # last chunk reaches the document end
+        assert chunks[0][0] == 0
+        assert all(chunks[j + 1][0] <= chunks[j][0] + chunks[j][1]
+                   for j in range(len(chunks) - 1))
+        assert chunks[-1][0] + chunks[-1][1] == n
+        # no chunk is a pure suffix of its predecessor: every
+        # non-first chunk adds at least one new token
+        assert all(chunks[j + 1][0] + chunks[j + 1][1]
+                   > chunks[j][0] + chunks[j][1]
+                   for j in range(len(chunks) - 1))
+
+
+def test_bigram_surprise_matches_bruteforce(spark):
+    from collections import Counter
+    texts = {1: "a b a b c", 2: "a b a b a b", 3: "c c c a", 4: "solo"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in text.bigram_surprise(
+        df, scale=1000).collect()}
+    # corpus model over all docs with >= 2 tokens
+    bg = Counter()
+    for t in texts.values():
+        w = t.split(" ")
+        for i in range(len(w) - 1):
+            bg[(w[i], w[i + 1])] += 1
+    pfx = Counter()
+    for (a, _), c in bg.items():
+        pfx[a] += c
+    for did, t in texts.items():
+        w = t.split(" ")
+        if len(w) < 2:
+            assert did not in out  # one-token docs are unscored
+            continue
+        surp = [1000 * pfx[w[i]] // bg[(w[i], w[i + 1])]
+                for i in range(len(w) - 1)]
+        r = out[did]
+        assert r.n_bigrams == len(surp)
+        assert r.surprise_sum == sum(surp)
+        assert r.score == sum(surp) // len(surp)

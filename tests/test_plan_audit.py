@@ -129,6 +129,14 @@ BUDGETS = {
     # + top-k window + label joins on the tiny top-k result (both
     # label lookups broadcast), zero Python nodes in either
     "tfidf_terms": (4, 0, 0),
+    # scd2: lag pass, change filter, lead/row_number all share ONE
+    # user_id exchange; pure JVM window code
+    "scd2": (1, 0, 0),
+    # chunk_docs: map-only split/posexplode/slice/md5 — zero shuffles
+    "chunk_docs": (0, 0, 0),
+    # lm_surprise: (pfx,bg) count agg + pfx window + per-doc sum = 3
+    # exchanges; the vocabulary-sized model broadcasts at test scale
+    "lm_surprise": (3, 0, 0),
     "retrieval_eval": (2, 3, 0),
     # decontam: benchmark gram set + overlap counts broadcast (>=2
     # BroadcastExchanges), corpus side = distinct + per-doc re-agg +

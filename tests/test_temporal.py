@@ -177,3 +177,71 @@ def test_column_collision_raises(spark):
         "k": [1], "ts": [_ts(0)], "v": [1.0]}))
     with pytest.raises(ValueError):
         temporal.asof_join(df, df, keys=["k"])
+
+
+# ---------------------------------------------------------------------------
+# scd2_history
+# ---------------------------------------------------------------------------
+
+def _scd2_log(spark):
+    rows = [
+        # user 1: x, x (no-op), y, x — 3 versions
+        (1, 1, "x", _ts(10)), (2, 1, "x", _ts(20)),
+        (3, 1, "y", _ts(30)), (4, 1, "x", _ts(40)),
+        # user 2: single row — 1 current version
+        (5, 2, "z", _ts(15)),
+        # user 3: same-timestamp tie broken by event_id
+        (6, 3, "a", _ts(50)), (7, 3, "b", _ts(50)),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+
+
+def test_scd2_collapses_noop_changes(spark):
+    out = (temporal.scd2_history(_scd2_log(spark))
+           .orderBy("user_id", "version").collect())
+    u1 = [r for r in out if r.user_id == 1]
+    assert [r.event_type for r in u1] == ["x", "y", "x"]
+    assert [r.version for r in u1] == [1, 2, 3]
+    # intervals chain exactly: valid_to == next version's valid_from
+    assert u1[0].valid_to_us == u1[1].valid_from_us
+    assert u1[1].valid_to_us == u1[2].valid_from_us
+    assert u1[2].valid_to_us is None and u1[2].is_current
+    assert not u1[0].is_current and not u1[1].is_current
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current and u2[0].version == 1
+    # tie at the same timestamp resolves by event_id: a then b
+    u3 = [r for r in out if r.user_id == 3]
+    assert [r.event_type for r in u3] == ["a", "b"]
+    assert u3[0].valid_to_us == u3[1].valid_from_us
+
+
+def test_scd2_random_matches_pandas(spark):
+    rng = np.random.default_rng(7)
+    n = 600
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 20, n),
+        "event_type": rng.choice(list("pqr"), n),
+        "ts": [_ts(s) for s in rng.integers(0, 3000, n)],
+    })
+    out = temporal.scd2_history(
+        spark.createDataFrame(pdf)).toPandas()
+    # pandas reference: sort, drop consecutive dups per user, shift
+    ref_rows = []
+    for uid, g in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        vals = g["event_type"].tolist()
+        ts_us = (g["ts"].astype("int64") // 1000).tolist()
+        kept = [i for i in range(len(vals))
+                if i == 0 or vals[i] != vals[i - 1]]
+        for v, i in enumerate(kept):
+            nxt = ts_us[kept[v + 1]] if v + 1 < len(kept) else None
+            ref_rows.append((uid, vals[i], ts_us[i], nxt, v + 1))
+    ref = pd.DataFrame(ref_rows, columns=[
+        "user_id", "event_type", "valid_from_us", "valid_to_us", "version"])
+    got = (out.sort_values(["user_id", "version"])
+           .reset_index(drop=True)[ref.columns])
+    ref = ref.sort_values(["user_id", "version"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"valid_to_us": "float64"}),
+        ref.astype({"valid_to_us": "float64"}), check_dtype=False)

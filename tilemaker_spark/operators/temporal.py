@@ -156,3 +156,52 @@ def interval_join(points: DataFrame, intervals: DataFrame,
         out = out.drop(iv[k])
     return (out.withColumnRenamed("__ivs", start_col)
             .withColumnRenamed("__ive", end_col))
+
+
+def scd2_history(df: DataFrame, key_col: str = "user_id",
+                 attr_col: str = "event_type", ts_col: str = "ts",
+                 tiebreak_col: str = "event_id") -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log
+    (the Kimball SCD2 build every warehouse load runs).
+
+    Input: an append-only log where each row sets ``attr_col`` for
+    ``key_col`` at ``ts_col``.  Output: one row per VERSION — runs of
+    consecutive identical values collapse (the no-op-change rule), and
+    each version carries its validity interval:
+
+      (key, attr, valid_from_us, valid_to_us, version, is_current)
+
+    ``valid_from_us``/``valid_to_us`` are epoch microseconds (bigint,
+    cross-engine exact); ``valid_to_us`` is NULL on the current
+    version (the half-open convention: a version is live on
+    [valid_from, valid_to)).  Row order within a key is
+    (ts, tiebreak) so same-timestamp changes resolve deterministically.
+
+    Plan (ONE exchange): both windows partition on ``key_col``, so
+    Catalyst plans a single shuffle; the change-point filter runs
+    between the lag pass and the lead/row_number pass as a no-shuffle
+    re-sort of the same partitioning.  At 10^12 rows this is the same
+    single-shuffle shape as sessionize — per-key timelines stream
+    through each window sorted once.
+
+    Reference parity: tilemaker has no temporal dimension; this is a
+    training-data/lakehouse-tier operator (user-metadata history for
+    point-in-time-correct joins against the event log).
+    """
+    w1 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    changes = (
+        df.select(
+            F.col(key_col), F.col(attr_col),
+            t_us.alias("valid_from_us"), F.col(tiebreak_col).alias("__tb"),
+            F.lag(attr_col).over(w1).alias("__prev"))
+        .where(F.col("__prev").isNull()
+               | (F.col("__prev") != F.col(attr_col))))
+    w2 = Window.partitionBy(key_col).orderBy("valid_from_us", "__tb")
+    return (
+        changes
+        .select(
+            key_col, attr_col, "valid_from_us",
+            F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+            F.row_number().over(w2).alias("version"))
+        .withColumn("is_current", F.col("valid_to_us").isNull()))

@@ -777,3 +777,115 @@ SELECT {id_col}, CAST(count(*) AS INTEGER) AS n_words,
        CAST(sum(nt) AS INTEGER) AS n_tokens
 FROM e GROUP BY 1
 """
+
+
+def chunk_docs(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", size: int = 32,
+               stride: int = 24) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / context-window
+    prep step: split every document into ``size``-token chunks that
+    advance by ``stride`` tokens, so consecutive chunks share
+    ``size - stride`` tokens of overlap).
+
+    Chunk starts are 0, stride, 2·stride, …; the last chunk is the
+    first whose end reaches the document end, so every token lands in
+    at least one chunk and no chunk is a pure suffix of its
+    predecessor: ``n_chunks = 1 + (max(0, n-size) + stride - 1) div
+    stride`` — integer arithmetic only, identical cross-engine.
+
+    Output: (doc_id, chunk_id, start_tok, n_tok, chunk_md5) — the md5
+    of the re-joined chunk text verifies the SLICING itself against
+    the oracle, not just the bookkeeping.
+
+    Plan: pure Catalyst — split, ``posexplode(sequence(...))``, slice,
+    array_join, md5, all inside one whole-stage-codegen span; zero
+    shuffles, zero Python at any corpus size (the classic map-only
+    expansion: output rows ≈ input tokens / stride).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = (F.lit(1)
+                + F.floor((F.greatest(F.lit(0), n - F.lit(size))
+                           + F.lit(stride - 1)) / F.lit(stride))
+                .cast("int"))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     toks.alias("__toks"), n_chunks.alias("__nc"))
+    exp = base.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias(
+            "chunk_id", "__i"),
+        F.col("__toks"))
+    chunk = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, size)
+    return exp.select(
+        "doc_id", "chunk_id",
+        (F.col("chunk_id") * stride).alias("start_tok"),
+        F.size(chunk).alias("n_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
+
+
+def bigram_surprise(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    scale: int = 1_000_000) -> DataFrame:
+    """Statistical-LM quality score (the CCNet / Wenzek et al. 2020
+    perplexity-filter shape, with the LM trained on the corpus
+    itself): score every document by how surprising its bigrams are
+    under the corpus bigram model.
+
+    INTEGER-EXACT scoring: per bigram occurrence,
+    ``surprise = (count(prefix) * scale) div count(bigram)`` — the
+    scaled reciprocal of the conditional probability
+    P(w2|w1) = c(w1 w2)/c(w1·), order-isomorphic to -log P per
+    occurrence, so document ranking by mean surprise matches ranking
+    by cross-entropy term-by-term while the sums (and the cross-engine
+    hash) involve no floating point.  Output: (doc_id, n_bigrams,
+    surprise_sum, score) with ``score = surprise_sum div n_bigrams``;
+    high score = unusual word continuations (noise, boilerplate,
+    wrong-language spans), the rows a perplexity filter drops.
+
+    Plan shape at 100 TB: the corpus collapses once to (prefix,
+    bigram, count) — one shuffle with map-side combine; prefix totals
+    are a window over that vocabulary-sized table partitioned by
+    prefix (no second corpus pass); occurrences re-join the model on
+    the bigram key (vocabulary-sized dim — AQE picks broadcast vs
+    shuffle-hash); the per-doc sum is one final map-side-combined
+    shuffle on doc_id.  The corpus TEXT is read and exploded exactly
+    once per side (model + scoring) and never self-joined.
+    Documents with fewer than two tokens have no bigrams and are
+    absent from the output (nothing to score).
+
+    ``scale * max(count(prefix))`` must stay inside int64: the default
+    scale=1e6 is safe while no single prefix token exceeds ~9e12
+    corpus occurrences; drop scale for corpora beyond that.
+    """
+    toks = tokens(F.col(text_col))
+    # the >=2-token guard matters: Spark's sequence(1, n-1) DESCENDS
+    # when n-1 < 1 (sequence(1,0) = [1,0]), which would fabricate
+    # bigrams on one-token docs instead of skipping them
+    base = (df.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+            .where(F.size("__t") >= 2))
+    # one row per bigram occurrence: (doc, prefix, bigram)
+    occ = base.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(__t) - 1), "
+            "i -> struct(element_at(__t, i) AS pfx, "
+            "concat(element_at(__t, i), ' ', element_at(__t, i + 1)) "
+            "AS bg))")).alias("o")
+    ).select("doc_id", "o.pfx", "o.bg")
+    counts = occ.groupBy("pfx", "bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w_pfx = Window.partitionBy("pfx")
+    model = counts.select(
+        "bg",
+        F.expr(f"CAST({int(scale)} AS BIGINT)") .alias("__s"),
+        F.col("c_bg"),
+        F.sum("c_bg").over(w_pfx).alias("c_pfx"))
+    scored = occ.join(model, "bg").select(
+        "doc_id",
+        F.expr("__s * c_pfx div c_bg").alias("surprise"))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("surprise").alias("surprise_sum"))
+            .select("doc_id", "n_bigrams", "surprise_sum",
+                    F.expr("surprise_sum div n_bigrams").alias("score")))
