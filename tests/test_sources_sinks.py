@@ -433,3 +433,21 @@ def test_wkb_polygon_rejects_malformed(spark):
     df2 = spark.createDataFrame([(1, pt)], "poly_id long, wkb binary")
     with _pytest.raises(Exception):
         W.polygons_from_wkb(df2).collect()
+
+
+def test_geojson_jsonl_fallback_ids_unique_across_partitions(spark, tmp_path):
+    """Features without an "id" must get globally unique fallback ids
+    even when the file splits into several read partitions (a per-batch
+    counter would collide between chunks)."""
+    feats = [{"type": "Feature", "properties": {"i": str(i)},
+              "geometry": {"type": "Point", "coordinates": [0.0, 0.0]}}
+             for i in range(50)]
+    paths = []
+    for part in range(4):  # several files -> several partitions
+        p = tmp_path / f"part{part}.jsonl"
+        p.write_text("\n".join(json.dumps(f) for f in feats))
+        paths.append(str(p))
+    df = geojson.read_geojson(spark, str(tmp_path / "*.jsonl"), layer="x")
+    ids = [r["feature_id"] for r in df.select("feature_id").collect()]
+    assert len(ids) == 200
+    assert len(set(ids)) == 200

@@ -81,7 +81,11 @@ def read_geojson(spark: SparkSession, path: str, layer: str = "geojson",
         from ..operators.tiling import FEATURE_SCHEMA
         return spark.createDataFrame(rows, FEATURE_SCHEMA)
 
-    lines = spark.read.text(path)
+    # the id fallback must be unique ACROSS partitions — a per-batch
+    # counter would collide between chunks of a big file, so ship a
+    # globally-unique line id (partition-offset encoded) with each line
+    lines = spark.read.text(path).withColumn(
+        "__lid", F.monotonically_increasing_id())
 
     def parse(batches):
         from ..operators.tiling import FEATURE_SCHEMA  # noqa: F401
@@ -89,7 +93,7 @@ def read_geojson(spark: SparkSession, path: str, layer: str = "geojson",
             out = {k: [] for k in ("feature_id", "layer", "kind", "minzoom",
                                    "zorder", "attrs", "coords", "ring_sizes",
                                    "poly_ring_counts")}
-            for line in pdf["value"]:
+            for line, lid in zip(pdf["value"], pdf["__lid"]):
                 line = line.strip().rstrip(",")
                 if not line or line in ("[", "]"):
                     continue
@@ -101,8 +105,7 @@ def read_geojson(spark: SparkSession, path: str, layer: str = "geojson",
                 props, fmz = apply_attribute_function(
                     ft.get("properties") or {}, layer, minzoom,
                     attribute_function)
-                out["feature_id"].append(
-                    int(ft.get("id", len(out["feature_id"]))))
+                out["feature_id"].append(int(ft.get("id", lid)))
                 out["layer"].append(layer)
                 out["kind"].append(kind)
                 out["minzoom"].append(fmz)
