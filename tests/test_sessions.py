@@ -226,3 +226,65 @@ def test_max_concurrency_matches_bruteforce(spark):
         day = int(t.timestamp() // 86400)
         best[day] = max(best.get(day, 0), conc)
     assert got == best
+
+
+def test_streaming_scd2_matches_batch_on_inorder_stream(spark, tmp_path):
+    """streaming_scd2 across two micro-batches equals the batch
+    scd2_history change rows (minus valid_to, which append mode cannot
+    retract) when events arrive in per-user timestamp order; state
+    carries the current attr across batches so an unchanged value
+    arriving in a later batch does NOT open a new version."""
+    import pandas as pd
+
+    src = tmp_path / "scd2_in"
+    src.mkdir()
+    b0 = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:10", "user_id": 1,
+         "event_type": "x"},
+        {"event_id": 2, "ts": "2024-01-01 00:00:20", "user_id": 1,
+         "event_type": "y"},
+        {"event_id": 3, "ts": "2024-01-01 00:00:15", "user_id": 2,
+         "event_type": "z"},
+    ]
+    b1 = [
+        # same value as user 1's current -> suppressed
+        {"event_id": 4, "ts": "2024-01-01 00:01:00", "user_id": 1,
+         "event_type": "y"},
+        # change -> version 3
+        {"event_id": 5, "ts": "2024-01-01 00:02:00", "user_id": 1,
+         "event_type": "x"},
+        # same value for user 2 -> suppressed
+        {"event_id": 6, "ts": "2024-01-01 00:02:30", "user_id": 2,
+         "event_type": "z"},
+    ]
+    with open(src / "b0.json", "w") as f:
+        for r in b0:
+            f.write(json.dumps(r) + "\n")
+    from tilemaker_spark.streaming import jobs
+    out = jobs.streaming_scd2(spark, str(src))
+    q = (out.writeStream.format("memory").queryName("scd2_stream")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        with open(src / "b1.json", "w") as f:
+            for r in b1:
+                f.write(json.dumps(r) + "\n")
+        q.processAllAvailable()
+        got = sorted(
+            (r["user_id"], r["version"], r["event_type"],
+             r["valid_from_us"])
+            for r in spark.sql("SELECT * FROM scd2_stream").collect())
+    finally:
+        q.stop()
+
+    # batch twin over the full log
+    from tilemaker_spark.operators import temporal
+    pdf = pd.DataFrame(b0 + b1)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    batch = sorted(
+        (r["user_id"], r["version"], r["event_type"], r["valid_from_us"])
+        for r in temporal.scd2_history(spark.createDataFrame(pdf))
+        .collect())
+    assert got == batch
+    assert [g[:3] for g in got] == [
+        (1, 1, "x"), (1, 2, "y"), (1, 3, "x"), (2, 1, "z")]

@@ -17,6 +17,10 @@ Two entry points:
   twin of operators/sessions.sessionize: same gap semantics, state
   bounded by the watermark horizon.
 
+* :func:`streaming_scd2` — constant-state type-2 dimension maintenance
+  (applyInPandasWithState), the streaming twin of
+  operators/temporal.scd2_history: emits one row per version open.
+
 All return the unstarted ``DataStreamWriter``-ready DataFrame so callers
 pick sink and trigger; tests drive them with file sources + memory sinks.
 """
@@ -226,3 +230,60 @@ def streaming_heavy_hitters(spark: SparkSession, input_dir: str,
         stateStructType="ks array<string>, vs array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_scd2(spark: SparkSession, input_dir: str,
+                   schema: str = "event_id long, ts timestamp, "
+                                 "user_id long, event_type string") \
+        -> DataFrame:
+    """Streaming twin of operators/temporal.scd2_history: maintain each
+    user's type-2 dimension ACROSS micro-batches and emit one row per
+    version OPEN — (user_id, event_type, valid_from_us, version).  The
+    previous version's valid_to is derivable downstream as the next
+    version's valid_from (append mode cannot retract the open row to
+    close it — the standard streaming-SCD2 contract).
+
+    State per user is constant-size: (current attr, version counter) —
+    unlike a seen-set it never grows with the stream, so the state
+    store stays bounded at any key cardinality.
+
+    Ordering contract: rows are applied in (ts, event_id) order WITHIN
+    each micro-batch, and batches are applied in arrival order — so the
+    emitted history equals the batch scd2_history change rows whenever
+    each user's events arrive in timestamp order across batches (the
+    usual CDC-log guarantee).  Late cross-batch reordering needs a
+    watermark-bounded reorder buffer upstream; this operator states the
+    in-order contract rather than hiding the divergence.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    src = spark.readStream.schema(schema).json(input_dir)
+
+    def scd2_fn(key, pdfs, state: GroupState):
+        cur, version = state.get if state.exists else (None, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].astype("int64") // 1000
+            for attr, t in zip(pdf["event_type"], ts_us):
+                if attr != cur:
+                    cur = attr
+                    version += 1
+                    out.append((key[0], attr, int(t), version))
+        state.update((cur, version))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "event_type", "valid_from_us", "version"])
+
+    return (
+        src.groupBy("user_id")
+        .applyInPandasWithState(
+            scd2_fn,
+            outputStructType="user_id long, event_type string, "
+                             "valid_from_us long, version int",
+            stateStructType="cur string, version int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
