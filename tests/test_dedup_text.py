@@ -539,3 +539,35 @@ def test_bigram_surprise_matches_bruteforce(spark):
         assert r.n_bigrams == len(surp)
         assert r.surprise_sum == sum(surp)
         assert r.score == sum(surp) // len(surp)
+
+
+@pytest.mark.parametrize("size,stride", [
+    (1, 1), (4, 4), (4, 3), (16, 12), (32, 24), (7, 2)])
+def test_chunk_docs_matches_python_reference(spark, size, stride):
+    """Every (size, stride) contract detail vs a direct python
+    reference: chunk count, starts, lengths, and md5s — across doc
+    lengths 1..120 covering n < size, n == size, and the tail-chunk
+    boundary cases."""
+    import hashlib
+    rows = [(n, " ".join(f"t{n}_{i}" for i in range(n)))
+            for n in range(1, 121)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in text.chunk_docs(df, size=size, stride=stride).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.start_tok, r.n_tok, r.chunk_md5))
+    for n, t in rows:
+        toks = t.split(" ")
+        n_chunks = 1 + (max(0, n - size) + stride - 1) // stride
+        exp = []
+        for c in range(n_chunks):
+            chunk = toks[c * stride: c * stride + size]
+            exp.append((c, c * stride, len(chunk), hashlib.md5(
+                " ".join(chunk).encode()).hexdigest()))
+        assert sorted(got[n]) == exp, f"n={n}"
+
+
+def test_chunk_docs_rejects_gapping_stride(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        text.chunk_docs(df, size=4, stride=5)

@@ -804,6 +804,11 @@ def chunk_docs(df: DataFrame, text_col: str = "text",
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError(
+            f"stride={stride} > size={size} would skip tokens between "
+            "chunks — the every-token-covered contract requires "
+            "stride <= size")
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     n_chunks = (F.lit(1)
