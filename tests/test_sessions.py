@@ -288,3 +288,86 @@ def test_streaming_scd2_matches_batch_on_inorder_stream(spark, tmp_path):
     assert got == batch
     assert [g[:3] for g in got] == [
         (1, 1, "x"), (1, 2, "y"), (1, 3, "x"), (2, 1, "z")]
+
+
+def test_streaming_scd2_sorts_across_arrow_chunks(spark, tmp_path):
+    """A group bigger than one Arrow chunk must be concatenated before
+    the (ts, event_id) sort — per-chunk sorting would fabricate
+    versions when later-timestamp rows land in an earlier chunk.  The
+    file stores one user's events in REVERSE timestamp order with
+    maxRecordsPerBatch=2, so any per-chunk processing order diverges."""
+    import pandas as pd
+
+    src = tmp_path / "scd2_chunks"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01 00:00:{10 + i:02d}",
+         "user_id": 1, "event_type": t}
+        for i, t in enumerate(["a", "a", "b", "b", "a", "c"])
+    ]
+    with open(src / "b0.json", "w") as f:
+        for r in reversed(rows):
+            f.write(json.dumps(r) + "\n")
+    from tilemaker_spark.streaming import jobs
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = jobs.streaming_scd2(spark, str(src))
+        q = (out.writeStream.format("memory").queryName("scd2_chunked")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            got = sorted(
+                (r["version"], r["event_type"]) for r in
+                spark.sql("SELECT * FROM scd2_chunked").collect())
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == [(1, "a"), (2, "b"), (3, "a"), (4, "c")]
+
+
+def test_streaming_scd2_null_attr_matches_batch(spark, tmp_path):
+    """Null event_type follows the batch twin's SQL-null lag filter: a
+    null after a value is dropped, the row after a null is kept, and a
+    leading null opens version 1."""
+    import pandas as pd
+
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:01", "user_id": 1,
+         "event_type": "x"},
+        {"event_id": 2, "ts": "2024-01-01 00:00:02", "user_id": 1,
+         "event_type": None},          # null after value: dropped
+        {"event_id": 3, "ts": "2024-01-01 00:00:03", "user_id": 1,
+         "event_type": "x"},           # after null: kept (v2, same value)
+        {"event_id": 4, "ts": "2024-01-01 00:00:04", "user_id": 2,
+         "event_type": None},          # leading null: v1
+        {"event_id": 5, "ts": "2024-01-01 00:00:05", "user_id": 2,
+         "event_type": "y"},           # after null: kept
+    ]
+    src = tmp_path / "scd2_nulls"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    from tilemaker_spark.streaming import jobs
+    out = jobs.streaming_scd2(spark, str(src))
+    q = (out.writeStream.format("memory").queryName("scd2_nulls")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["user_id"], r["version"], r["event_type"]) for r in
+            spark.sql("SELECT * FROM scd2_nulls").collect())
+    finally:
+        q.stop()
+
+    # batch twin over the same rows
+    from tilemaker_spark.operators import temporal
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    batch = sorted(
+        (r["user_id"], r["version"], r["event_type"]) for r in
+        temporal.scd2_history(spark.createDataFrame(pdf)).collect())
+    assert got == batch
+    assert got == [(1, 1, "x"), (1, 2, "x"), (2, 1, None), (2, 2, "y")]

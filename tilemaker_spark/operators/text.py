@@ -819,8 +819,8 @@ def chunk_docs(df: DataFrame, text_col: str = "text",
                      toks.alias("__toks"), n_chunks.alias("__nc"))
     exp = base.select(
         "doc_id",
-        F.posexplode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias(
-            "chunk_id", "__i"),
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias(
+            "chunk_id"),
         F.col("__toks"))
     chunk = F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, size)
     return exp.select(
@@ -882,13 +882,11 @@ def bigram_surprise(df: DataFrame, text_col: str = "text",
     counts = occ.groupBy("pfx", "bg").agg(F.count(F.lit(1)).alias("c_bg"))
     w_pfx = Window.partitionBy("pfx")
     model = counts.select(
-        "bg",
-        F.expr(f"CAST({int(scale)} AS BIGINT)") .alias("__s"),
-        F.col("c_bg"),
-        F.sum("c_bg").over(w_pfx).alias("c_pfx"))
+        "bg", "c_bg", F.sum("c_bg").over(w_pfx).alias("c_pfx"))
     scored = occ.join(model, "bg").select(
         "doc_id",
-        F.expr("__s * c_pfx div c_bg").alias("surprise"))
+        F.expr(f"CAST({int(scale)} AS BIGINT) * c_pfx div c_bg")
+        .alias("surprise"))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.sum("surprise").alias("surprise_sum"))

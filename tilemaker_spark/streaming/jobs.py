@@ -248,31 +248,62 @@ def streaming_scd2(spark: SparkSession, input_dir: str,
     store stays bounded at any key cardinality.
 
     Ordering contract: rows are applied in (ts, event_id) order WITHIN
-    each micro-batch, and batches are applied in arrival order — so the
-    emitted history equals the batch scd2_history change rows whenever
-    each user's events arrive in timestamp order across batches (the
-    usual CDC-log guarantee).  Late cross-batch reordering needs a
-    watermark-bounded reorder buffer upstream; this operator states the
-    in-order contract rather than hiding the divergence.
+    each micro-batch — the group's Arrow chunks are CONCATENATED before
+    the sort, because applyInPandasWithState hands a large group over
+    as several chunks in arbitrary order — and batches are applied in
+    arrival order, so the emitted history equals the batch scd2_history
+    change rows whenever each user's events arrive in timestamp order
+    across batches (the usual CDC-log guarantee).  Late cross-batch
+    reordering needs a watermark-bounded reorder buffer upstream; this
+    operator states the in-order contract rather than hiding the
+    divergence.
+
+    Null ``event_type`` mirrors the batch twin's SQL-null semantics
+    exactly: a null is kept only when the previous row's value is
+    missing-or-null (the lag-isNull branch), and any row FOLLOWING a
+    null is kept (null != x is SQL-null, so the batch filter keeps it).
+
+    Requires a UTC session timezone (this repo's session.py default):
+    pandas receives session-local naive timestamps, so a non-UTC
+    session would shift valid_from_us off epoch — rejected here rather
+    than silently diverging from the batch twin.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
 
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+        raise ValueError(
+            f"streaming_scd2 needs a UTC session timezone, got {tz!r}: "
+            "pandas sees session-local naive timestamps, so valid_from_us "
+            "would be offset from unix_micros in the batch twin")
+
     src = spark.readStream.schema(schema).json(input_dir)
 
     def scd2_fn(key, pdfs, state: GroupState):
-        cur, version = state.get if state.exists else (None, 0)
+        if state.exists:
+            prev, version = state.get
+            started = True
+        else:
+            prev, version, started = None, 0, False
+        chunks = [pdf for pdf in pdfs]
+        if not chunks:  # timeout-only invocation: nothing to apply
+            return
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].astype("int64") // 1000
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            ts_us = pdf["ts"].astype("int64") // 1000
-            for attr, t in zip(pdf["event_type"], ts_us):
-                if attr != cur:
-                    cur = attr
-                    version += 1
-                    out.append((key[0], attr, int(t), version))
-        state.update((cur, version))
+        for attr, t in zip(pdf["event_type"], ts_us):
+            attr = None if pd.isna(attr) else attr
+            # batch filter: lag(attr) IS NULL OR lag(attr) != attr,
+            # with SQL null semantics (null != x -> null -> dropped)
+            if (not started) or prev is None or (
+                    attr is not None and attr != prev):
+                version += 1
+                out.append((key[0], attr, int(t), version))
+            prev, started = attr, True
+        state.update((prev, version))
         if out:
             yield pd.DataFrame(out, columns=[
                 "user_id", "event_type", "valid_from_us", "version"])
