@@ -1979,7 +1979,7 @@ def sql_kmv_setops():
     return f"""
 WITH h AS (
   SELECT DISTINCT event_type AS t, {h} AS h FROM events
-  WHERE event_type IN ('view', 'purchase')
+  WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL
 ), r AS (
   SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rk,
          count(*) OVER (PARTITION BY t) AS nd

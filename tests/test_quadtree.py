@@ -151,3 +151,20 @@ def test_closed_form_equals_iterative_fixpoint_property():
         assert closed == iterative
 
     check()
+
+
+def test_adaptive_leaves_exclude_null_coords_explicitly(spark):
+    """NULL lon/lat rows are dropped up front — previously the
+    (NULL, NULL) fine cell silently vanished in the ancestor joins,
+    breaking the leaves-partition-the-input invariant."""
+    from pyspark.sql import functions as F
+    from tilemaker_spark.operators.quadtree import (adaptive_cells,
+                                                    assign_adaptive)
+    pts = spark.createDataFrame(
+        [(7.42, 43.73)] * 50 + [(None, 43.73), (7.42, None),
+                                (None, None)],
+        "lon double, lat double")
+    leaves = adaptive_cells(pts, z_coarse=2, z_max=6, cap=10)
+    assert leaves.agg(F.sum("n")).collect()[0][0] == 50
+    assigned = assign_adaptive(pts, z_coarse=2, z_max=6, cap=10)
+    assert assigned.count() == 50

@@ -101,3 +101,27 @@ def test_export_shards_job_main(spark, tmp_path):
     back = shards.read_shards(spark, out)
     assert back.count() == 24
     assert os.path.exists(os.path.join(out, "manifest.json"))
+
+
+def test_read_shards_ignores_stale_tars(spark, tmp_path):
+    """A re-run with fewer shards leaves old shard files behind; the
+    reader must follow the manifest, not the directory glob."""
+    out = str(tmp_path / "restale")
+    shards.write_shards(_samples(spark, 40), out, n_shards=8)
+    assert len([p for p in os.listdir(out) if p.endswith(".tar")]) == 8
+    # second run: half the samples into 2 shards; 6+ stale tars remain
+    shards.write_shards(_samples(spark, 20), out, n_shards=2)
+    stale = [p for p in os.listdir(out) if p.endswith(".tar")]
+    assert len(stale) == 8  # shard files 2..7 are stale on disk
+    back = shards.read_shards(spark, out).collect()
+    assert len(back) == 20  # manifest-driven: stale shards excluded
+    assert {r["image_id"] for r in back} == {
+        r["image_id"] for r in _samples(spark, 20).collect()}
+
+
+def test_write_shards_rejects_null_caption(spark, tmp_path):
+    bad = _samples(spark, 6).withColumn(
+        "caption", F.when(F.col("image_id").endswith("3"), None)
+        .otherwise(F.col("caption")))
+    with pytest.raises(Exception, match="null caption"):
+        shards.write_shards(bad, str(tmp_path / "nullcap"), n_shards=2)

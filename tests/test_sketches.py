@@ -447,3 +447,86 @@ def test_analyze_table_counts_and_ndv(spark):
     again = {r["column"]: tuple(r) for r in sketches.analyze_table(
         df.repartition(9), k=64).collect()}
     assert again == {c: tuple(r) for c, r in got.items()}
+
+
+# ---------------------------------------------------------------------------
+# NULL-handling and overflow regressions (round-5 review findings)
+# ---------------------------------------------------------------------------
+
+def test_kmv_distinct_ignores_null_keys_keeps_null_groups(spark):
+    rows = ([("g1", i) for i in range(30)] + [("g1", None)] * 5
+            + [(None, i) for i in range(10)])
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = {r["g"]: r for r in sketches.kmv_distinct(
+        df, "k", ["g"], k=64).collect()}
+    # nulls excluded from the distinct count (COUNT DISTINCT semantics)
+    assert got["g1"]["est_distinct"] == 30
+    # NULL group kept (SQL GROUP BY semantics)
+    assert got[None]["est_distinct"] == 10
+
+
+def test_kmv_set_ops_rejects_overflowing_k(spark):
+    df = spark.createDataFrame([("a", 1)], "t string, user long")
+    with pytest.raises(ValueError, match="1024"):
+        sketches.kmv_set_ops(df, "user", "t", "a", "b", k=1025)
+    # 1024 is the largest safe k: union count <= 2(k-1) = 2046 and
+    # 2046 * 2^52 < 2^63
+    sketches.kmv_set_ops(df, "user", "t", "a", "b", k=1024).collect()
+
+
+def test_bloom_prune_null_keys(spark):
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "zz")], "id long, k string")
+    dim = spark.createDataFrame([("a",), (None,)], "k string")
+    got = sorted(r["id"] for r in sketches.bloom_prune(
+        fact, dim, "k", "k", m_bits=1 << 12).collect())
+    # null dim key builds nothing (can't equi-join); null fact key is
+    # dropped (hit predicate is SQL-null) — exactly the semi-join rows
+    # plus deterministic false positives; id=1 must survive
+    assert 1 in got and 3 not in got
+
+
+def test_grouped_topk_null_groups_and_null_order(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    rows = [("g", 5, 1), ("g", None, 2), ("g", 7, 3), ("g", 1, 4),
+            (None, 3, 5), (None, None, 6)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    key = lambda t: (t[0] is None, t[0] or "", t[1], t[2])  # noqa: E731
+    for asc in (False, True):
+        got = sorted(
+            ((r["g"], r["rk"], r["id"]) for r in sketches.grouped_topk(
+                df.repartition(3), ["g"], "v", 2, "id",
+                ascending=asc).collect()), key=key)
+        order = (F.col("v").asc() if asc else F.col("v").desc())
+        w = Window.partitionBy("g").orderBy(order, F.col("id").asc())
+        want = sorted(
+            ((r["g"], r["rk"], r["id"]) for r in df.withColumn(
+                "rk", F.row_number().over(w))
+            .where(F.col("rk") <= 2).collect()), key=key)
+        assert got == want, f"ascending={asc}"
+
+
+def test_heavy_hitters_ignores_null_keys(spark):
+    rows = [(None,)] * 50 + [("a",)] * 40 + [("b",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["k"]: r["n"] for r in sketches.heavy_hitters(
+        df, "k", share_ppm=300_000).collect()}
+    # 'a' holds 40% of the FULL 100-row table -> kept; nulls never
+    # become a key but still count in the denominator
+    assert got == {"a": 40}
+
+
+def test_selection_quantiles_forked_ranges(spark):
+    # quantiles that diverge into different buckets after pass 1 —
+    # exercises the shared-histogram fork path
+    import numpy as np
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.integers(0, 100, 5000),
+                           rng.integers(10**9, 2 * 10**9, 5000)])
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long")
+    got = {r["q_ppm"]: r["value"] for r in sketches.selection_quantiles(
+        df, "x", q_ppms=(100000, 500000, 900000)).collect()}
+    s = np.sort(vals)
+    for q in (100000, 500000, 900000):
+        assert got[q] == int(s[q * (len(s) - 1) // 1_000_000]), q

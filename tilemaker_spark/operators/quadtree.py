@@ -51,7 +51,11 @@ def _fine_to_leaf(pts: DataFrame, lon_col: str, lat_col: str,
         raise ValueError(f"cap={cap} must be >= 1")
 
     lon, lat = F.col(lon_col), F.col(lat_col)
-    fine = (pts.select(
+    # drop null coordinates up front: a (NULL, NULL) fine cell would
+    # survive the groupBy but fail every ancestor-join equality and
+    # silently vanish, breaking the leaves-partition-the-input
+    # invariant — excluding unlocatable points is explicit instead
+    fine = (pts.where(lon.isNotNull() & lat.isNotNull()).select(
         TE.lon2tilex(lon, z_max).alias("fx"),
         TE.lat2tiley(lat, z_max).alias("fy"))
         .groupBy("fx", "fy").agg(F.count(F.lit(1)).alias("n"))
@@ -106,7 +110,10 @@ def assign_adaptive(pts: DataFrame, lon_col: str = "lon",
     and rollups group on.  The fine-cell -> leaf mapping is counts-
     table sized, so it BROADCASTS; the data itself takes one count
     shuffle (inside the mapping build) and one map-side broadcast
-    join — no skewed exchange ever sees the rows."""
+    join — no skewed exchange ever sees the rows.  Rows with NULL
+    lon/lat are excluded (unlocatable; same contract as
+    _fine_to_leaf's count table, so assigned rows == locatable
+    rows)."""
     mapping = _fine_to_leaf(pts, lon_col, lat_col, z_coarse, z_max,
                             cap).select("fx", "fy", "z", "x", "y")
     keyed = pts.withColumn(

@@ -72,6 +72,11 @@ def kmv_distinct(df: DataFrame, key_col: str, group_cols: list[str],
     ``est_distinct`` (bigint; exact when the group's distinct count is
     below k) and ``sketch_size`` (= min(distinct, k), the number of
     hashes the final sketch holds).
+
+    NULL keys are excluded (COUNT(DISTINCT) semantics, mirrored in the
+    oracle) — a null would hash to NULL and become float NaN inside the
+    pandas partial, corrupting the k-smallest trim.  NULL GROUP values
+    are kept (dropna=False below), matching SQL GROUP BY.
     """
     if not 2 <= k <= 2048:
         # (k-1) * 2^52 must stay inside int64 for the pure-integer
@@ -79,7 +84,7 @@ def kmv_distinct(df: DataFrame, key_col: str, group_cols: list[str],
         # literal would silently become a decimal and the div
         # semantics — and the DuckDB twin — diverge)
         raise ValueError(f"k={k} out of range [2, 2048]")
-    hashed = df.select(
+    hashed = df.where(F.col(key_col).isNotNull()).select(
         *[F.col(c) for c in group_cols],
         kmv_hash_col(key_col, salt).alias("__h"))
 
@@ -96,7 +101,7 @@ def kmv_distinct(df: DataFrame, key_col: str, group_cols: list[str],
         # per (group, partition) reach the shuffle.
         acc: dict[tuple, set] = {}
         for pdf in batches:
-            for key, sub in pdf.groupby(gcols, sort=False):
+            for key, sub in pdf.groupby(gcols, sort=False, dropna=False):
                 if not isinstance(key, tuple):
                     key = (key,)
                 s = acc.setdefault(key, set())
@@ -136,6 +141,7 @@ def kmv_distinct_oracle_sql(table: str, key_expr: str, group_cols: str,
     return f"""
 WITH h AS (
   SELECT DISTINCT {group_cols}, {h} AS h FROM {table}
+  WHERE {key_expr} IS NOT NULL
 ), r AS (
   SELECT {group_cols}, h,
          row_number() OVER (PARTITION BY {group_cols} ORDER BY h) AS rk,
@@ -190,7 +196,13 @@ def heavy_hitters(df: DataFrame, key_col: str, share_ppm: int,
 
     import numpy as np
 
-    keyed = df.select(F.col(key_col).alias("__k"))
+    # NULL keys are excluded on BOTH sides (here and in the oracle's
+    # WHERE): pandas value_counts drops NaN and an equi-semi-join can
+    # never recount a null, so "frequency of a key" is defined over
+    # present keys — but the DENOMINATOR stays the full table count,
+    # so a key's share is unaffected by how many nulls exist
+    keyed = df.where(F.col(key_col).isNotNull()) \
+        .select(F.col(key_col).alias("__k"))
 
     def mg_candidates(batches: Iterator[pd.DataFrame]
                       ) -> Iterator[pd.DataFrame]:
@@ -228,6 +240,7 @@ def heavy_hitters_oracle_sql(source: str, key_expr: str,
     return f"""
 SELECT {key_expr} AS {out_col}, count(*) AS n
 FROM {source}
+WHERE {key_expr} IS NOT NULL
 GROUP BY 1
 HAVING count(*) * 1000000 >= (SELECT count(*) FROM {source}) * {share_ppm}
 """
@@ -248,10 +261,14 @@ def kmv_set_ops(df: DataFrame, key_col: str, tag_col: str,
 
         est(|X|) = |{h in sketch_X : h < theta}| * SPACE div theta
 
-    in pure int64 (k <= 2048 keeps cnt * 2^52 inside int64).
-    When both populations hold < k distinct keys the sketches ARE the
-    sets, theta = SPACE, and every output is EXACT — the estimator
-    degrades to truth, which the oracle twin exploits.
+    in pure int64: the UNION count can reach 2(k-1) (two full disjoint
+    sketches), so k <= 1024 keeps 2(k-1) * 2^52 inside int64 — a
+    stricter cap than kmv_distinct's 2048, whose numerator is only
+    (k-1) * 2^52.  NULL keys are excluded (COUNT DISTINCT semantics,
+    same as kmv_distinct).  When both populations hold < k distinct
+    keys the sketches ARE the sets, theta = SPACE, and every output is
+    EXACT — the estimator degrades to truth, which the oracle twin
+    exploits.
 
     Plan: one tagged hash projection, one bounded groupBy (<= k rows
     per (tag, partition) reach it via the same map-side fold as
@@ -259,9 +276,12 @@ def kmv_set_ops(df: DataFrame, key_col: str, tag_col: str,
     the final merge input is already bounded), then a 1-row x 1-row
     join and pure Catalyst array algebra.  Raw rows never shuffle.
     """
-    if not 2 <= k <= 2048:
-        raise ValueError(f"k={k} out of range [2, 2048]")  # int64 bound
-    tagged = (df.where(F.col(tag_col).isin([tag_a, tag_b]))
+    if not 2 <= k <= 1024:
+        # union count <= 2(k-1); 2046 * 2^52 < 2^63 at k=1024, k=1025
+        # would let est_union overflow int64
+        raise ValueError(f"k={k} out of range [2, 1024]")
+    tagged = (df.where(F.col(tag_col).isin([tag_a, tag_b])
+                       & F.col(key_col).isNotNull())
               .select(F.col(tag_col).alias("__t"),
                       kmv_hash_col(key_col, salt).alias("__h")))
 
@@ -338,6 +358,13 @@ def grouped_topk(df: DataFrame, group_cols: list[str], order_col: str,
     break on ``tie_col`` ascending, making the result deterministic
     and partitioning-independent (and the oracle a plain ROW_NUMBER).
 
+    NULL handling: NULL group values form their own group (pandas
+    dropna=False, matching SQL GROUP BY); NULL order values sort where
+    Spark's window puts them (nulls first ascending, nulls last
+    descending — na_position mirrors it below so the local cut and the
+    global window agree).  ``tie_col`` must be non-null — a null
+    tie-break is ambiguous by definition.
+
     Adds a ``rk`` column (1-based rank within the group).
     """
     if k < 1:
@@ -354,9 +381,10 @@ def grouped_topk(df: DataFrame, group_cols: list[str], order_col: str,
             acc = pdf if acc is None else pd.concat((acc, pdf))
             # fold each Arrow batch into the running per-group top-k so
             # partition-local state stays <= k rows per group
-            acc = (acc.sort_values([order_col, tie_col],
-                                   ascending=[ascending, True])
-                   .groupby(gcols, sort=False).head(k))
+            acc = (acc.sort_values(
+                [order_col, tie_col], ascending=[ascending, True],
+                na_position="first" if ascending else "last")
+                .groupby(gcols, sort=False, dropna=False).head(k))
         yield acc if acc is not None else pd.DataFrame(
             {c: [] for c in colnames})
 
@@ -404,35 +432,40 @@ def selection_quantiles(df: DataFrame, col: str,
     n, vmin, vmax = stats[0], stats[1], stats[2]
     if n == 0:
         raise ValueError(f"no non-null rows in {col}")
-    # one histogram narrows ALL pending ranks that fall in its range —
-    # with shared [lo, hi] per pass the common case (all quantiles in
-    # one bucket chain) costs no extra scans vs a single quantile
-    out = []
-    for q in q_ppms:
-        rank = q * (n - 1) // 1_000_000
-        lo, hi, r = vmin, vmax, rank
-        iters = 0
-        while lo < hi:
-            iters += 1
-            if iters > max_iters:  # log_B(int64 range) <= 8 at B=256
-                raise RuntimeError("selection did not converge")
+    # one histogram narrows EVERY pending rank sharing a [lo, hi]
+    # range: all quantiles start from [vmin, vmax], so pass 1 is
+    # always a single scan, and later passes only fork when quantiles
+    # land in different buckets — |q| quantiles cost ~1 + forks scans
+    # per level instead of |q| full narrowing chains
+    pending = {q: [vmin, vmax, q * (n - 1) // 1_000_000] for q in q_ppms}
+    iters = 0
+    while any(lo < hi for lo, hi, _ in pending.values()):
+        iters += 1
+        if iters > max_iters:  # log_B(int64 range) <= 8 at B=256
+            raise RuntimeError("selection did not converge")
+        ranges: dict[tuple, list] = {}
+        for q, (lo, hi, _) in pending.items():
+            if lo < hi:
+                ranges.setdefault((lo, hi), []).append(q)
+        for (lo, hi), qs in ranges.items():
             width = (hi - lo) // n_buckets + 1
             hist = dict(
                 vals.where((F.col("v") >= lo) & (F.col("v") <= hi))
                 .groupBy(F.expr(f"(v - {lo}) div {width}").alias("b"))
                 .count().collect())
-            cum = 0
-            for b in range(n_buckets + 1):
-                c = hist.get(b, 0)
-                if cum + c > r:
-                    r -= cum
-                    lo = lo + b * width
-                    hi = min(hi, lo + width - 1)
-                    break
-                cum += c
-            else:
-                raise RuntimeError("rank outside surviving range")
-        out.append((q, lo))
+            for q in qs:
+                r, cum = pending[q][2], 0
+                for b in range(n_buckets + 1):
+                    c = hist.get(b, 0)
+                    if cum + c > r:
+                        nlo = lo + b * width
+                        pending[q] = [nlo, min(hi, nlo + width - 1),
+                                      r - cum]
+                        break
+                    cum += c
+                else:
+                    raise RuntimeError("rank outside surviving range")
+    out = [(q, pending[q][0]) for q in q_ppms]
     spark = df.sparkSession
     return spark.createDataFrame(out, "q_ppm int, value long")
 
@@ -510,7 +543,11 @@ def bloom_prune(fact: DataFrame, dim: DataFrame, fact_key: str,
     if not 1 <= k_hashes <= 8:
         raise ValueError(f"k_hashes={k_hashes} out of range")
     pos = _bloom_positions(F.col(dim_key), m_bits, k_hashes, salt)
-    bits_rows = (dim.select(F.explode(F.array(*pos)).alias("p"))
+    # a NULL dim key can never equal any fact key in the downstream
+    # join, so excluding it preserves semi-join semantics — and a null
+    # would hash to NULL positions and crash the word assembly below
+    bits_rows = (dim.where(F.col(dim_key).isNotNull())
+                 .select(F.explode(F.array(*pos)).alias("p"))
                  .groupBy((F.col("p") / 64).cast("long").alias("w"))
                  .agg(F.bit_or(F.call_function(
                      "shiftleft", F.lit(1).cast("long"),

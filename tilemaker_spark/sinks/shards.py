@@ -37,10 +37,18 @@ def _shard_tar_bytes(pdf: pd.DataFrame) -> bytes:
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
         for _, row in pdf.sort_values("image_id").iterrows():
+            cap = row["caption"]
+            if cap is None or (isinstance(cap, float) and pd.isna(cap)):
+                # str(None) would silently write the 4-byte literal
+                # "None" and the round trip would resurrect it as a
+                # non-null caption — reject instead of corrupting
+                raise ValueError(
+                    f"null caption for image_id={row['image_id']!r}: "
+                    "shards store caption BYTES (WebDataset .txt "
+                    "member); filter or fill nulls before write_shards")
             for name, payload in (
                     (f"{row['image_id']}.{row['fmt']}", bytes(row["bytes"])),
-                    (f"{row['image_id']}.txt",
-                     str(row["caption"]).encode("utf-8"))):
+                    (f"{row['image_id']}.txt", str(cap).encode("utf-8"))):
                 ti = tarfile.TarInfo(name=name)
                 ti.size = len(payload)
                 ti.mtime = 0
@@ -93,10 +101,30 @@ def read_shards(spark: SparkSession, out_dir: str,
     """Stream tar shards back as (image_id, bytes, fmt, caption) — one
     input row per shard file fans out to its samples inside the Arrow
     batch (map-only; a 1000-executor cluster parallelizes across
-    shards, the natural training-ingest unit)."""
-    paths = sorted(
-        os.path.join(out_dir, p) for p in os.listdir(out_dir)
-        if p.endswith(".tar"))
+    shards, the natural training-ingest unit).
+
+    Shard files come from the manifest, NOT a directory glob: a re-run
+    with fewer shards leaves stale shard-NNNNN.tar files behind, and a
+    glob would silently mix them into the round trip.  Falls back to
+    the glob only when no manifest exists (externally produced
+    shards)."""
+    import json
+
+    mpath = os.path.join(out_dir, MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            entries = json.load(f)
+        paths = [os.path.join(out_dir, f"shard-{e['shard_id']:05d}.tar")
+                 for e in entries]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"manifest lists {len(missing)} absent shard(s), e.g. "
+                f"{missing[0]} — the shard set is torn")
+    else:
+        paths = sorted(
+            os.path.join(out_dir, p) for p in os.listdir(out_dir)
+            if p.endswith(".tar"))
     pdf = spark.createDataFrame([(p,) for p in paths], schema="path string")
     if partitions:
         pdf = pdf.repartition(partitions)
