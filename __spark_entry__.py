@@ -1834,6 +1834,13 @@ def sql_concurrency():
   SELECT t0 AS t, 1 AS dd, 0 AS tie FROM iv
   UNION ALL
   SELECT t1, -1, 1 FROM iv
+  UNION ALL
+  -- spanned-midnight sentinels (zero delta, ordered first at the
+  -- instant): a quiet day inside a long session still reports the
+  -- sessions carried into it — same convention as max_concurrency
+  SELECT g.b * 86400000000, 0, -1
+  FROM iv, UNNEST(generate_series(t0 // 86400000000 + 1,
+                                  t1 // 86400000000)) AS g(b)
 ), c AS (
   SELECT t, sum(dd) OVER (ORDER BY t, tie ROWS UNBOUNDED PRECEDING)
            AS conc

@@ -186,8 +186,11 @@ def test_max_concurrency_matches_bruteforce(spark):
     rows, eid = [], 0
     # user u emits a burst starting at base + offset minutes lasting
     # dur minutes (events every 10 min keep one session per burst)
+    # burst 7 runs 23:00 day2 -> 01:00 day3: day3's peak happens
+    # BEFORE its first delta row (the -1), so only the midnight
+    # sentinel reports it — the continuous-time regression case
     bursts = [(1, 0, 50), (2, 20, 50), (3, 30, 5), (4, 23*60+30, 90),
-              (5, 24*60+10, 30), (6, 40, 0)]
+              (5, 24*60+10, 30), (6, 40, 0), (7, 47*60, 120)]
     for u, off, dur in bursts:
         t = 0
         while True:
@@ -219,6 +222,12 @@ def test_max_concurrency_matches_bruteforce(spark):
     for s, e in deltas:
         ev.append((s, 0, +1))
         ev.append((e, 1, -1))
+        # zero-delta sentinel at every midnight the session spans
+        # (tie -1: read the concurrency carried INTO the day)
+        for day in range(int(s.timestamp() // 86400) + 1,
+                         int(e.timestamp() // 86400) + 1):
+            ev.append((dt.datetime.fromtimestamp(day * 86400),
+                       -1, 0))
     ev.sort(key=lambda x: (x[0], x[1]))
     conc, best = 0, {}
     for t, _, d in ev:
@@ -226,6 +235,9 @@ def test_max_concurrency_matches_bruteforce(spark):
         day = int(t.timestamp() // 86400)
         best[day] = max(best.get(day, 0), conc)
     assert got == best
+    # day3 exists with exactly the spanning session counted
+    day3 = int((base + dt.timedelta(days=2)).timestamp() // 86400)
+    assert got[day3] == 1
 
 
 def test_streaming_scd2_matches_batch_on_inorder_stream(spark, tmp_path):

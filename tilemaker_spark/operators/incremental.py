@@ -38,17 +38,22 @@ def changed_point_tiles(old: DataFrame, new: DataFrame, zoom: int,
                    F.col(lon_col).alias("_nlon"),
                    F.col(lat_col).alias("_nlat"))
     j = o.join(n, on="_id", how="full")
+    # null-SAFE inequality: a plain != evaluates to SQL-null when one
+    # side is null, so a coordinate changing to/from NULL on a row
+    # present in both snapshots would silently never be marked dirty
     changed = j.filter(
-        F.col("_olon").isNull() | F.col("_nlon").isNull()
-        | (F.col("_olon") != F.col("_nlon"))
-        | (F.col("_olat") != F.col("_nlat")))
+        ~F.col("_olon").eqNullSafe(F.col("_nlon"))
+        | ~F.col("_olat").eqNullSafe(F.col("_nlat")))
+    # only locatable sides produce a tile (both coords present)
     sides = changed.select(F.explode(F.array(
-        F.when(F.col("_olon").isNotNull(), F.struct(
-            TE.lon2tilex(F.col("_olon"), zoom).alias("x"),
-            TE.lat2tiley(F.col("_olat"), zoom).alias("y"))),
-        F.when(F.col("_nlon").isNotNull(), F.struct(
-            TE.lon2tilex(F.col("_nlon"), zoom).alias("x"),
-            TE.lat2tiley(F.col("_nlat"), zoom).alias("y"))),
+        F.when(F.col("_olon").isNotNull() & F.col("_olat").isNotNull(),
+               F.struct(
+                   TE.lon2tilex(F.col("_olon"), zoom).alias("x"),
+                   TE.lat2tiley(F.col("_olat"), zoom).alias("y"))),
+        F.when(F.col("_nlon").isNotNull() & F.col("_nlat").isNotNull(),
+               F.struct(
+                   TE.lon2tilex(F.col("_nlon"), zoom).alias("x"),
+                   TE.lat2tiley(F.col("_nlat"), zoom).alias("y"))),
     )).alias("t")).filter(F.col("t").isNotNull())
     return (sides.select(F.col("t.x").alias("x"), F.col("t.y").alias("y"))
             .distinct())

@@ -90,7 +90,6 @@ def partition_extents(df: DataFrame, lon_col: str = "lon",
     """Per-partition bounding boxes + row counts — the observability
     hook for layout quality (sum of bbox areas ~ expected scan
     amplification of a random bbox probe)."""
-    from pyspark.sql import functions as F  # noqa: F811
     ext = (df.withColumn("_pid", F.spark_partition_id())
            .groupBy("_pid")
            .agg(F.min(lon_col).alias("min_lon"),

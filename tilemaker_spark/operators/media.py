@@ -71,10 +71,18 @@ def sample_frames(videos: DataFrame, target_fps: int = 5,
                 data = bytes(blob)
                 meta = R.decode_avi_header(data)
                 fps = meta["fps"]
+                if fps <= 0:
+                    raise ValueError(
+                        f"{vid}: non-positive fps {fps} in AVI header "
+                        "(strh rate < scale?) — cannot derive timestamps")
                 step = max(1, fps // max(target_fps, 1))
                 wanted = set(range(0, meta["n_frames"], step))
                 frames = R.avi_frames(data, wanted)
-                vseed = int(vid.rsplit("_", 1)[-1])
+                # the synth-seed convention only applies when verifying
+                # against the deterministic reference pixels; parsing it
+                # eagerly would reject real-world video ids even with
+                # verify=False
+                vseed = int(vid.rsplit("_", 1)[-1]) if verify else 0
                 for idx in sorted(frames):
                     px = P.decode_image(frames[idx], "jpeg")
                     h, w = px.shape[:2]

@@ -36,14 +36,17 @@ def hash_bucket(df: DataFrame, id_col: str, salt: int = 0,
     """Uniform deterministic bucket in [0, n_buckets) from the id."""
     field = df.schema[id_col].dataType
     if isinstance(field, NumericType):
-        mixed = ((F.col(id_col).cast("long") + F.lit(salt)) * F.lit(_A)
-                 + F.lit(_C)) % F.lit(_M)
+        # pmod, not %: Spark's % keeps the dividend's sign, so a
+        # negative id (or salt < -id) would yield a NEGATIVE bucket
+        # that silently passes every `bucket < threshold` filter
+        mixed = F.pmod((F.col(id_col).cast("long") + F.lit(salt))
+                       * F.lit(_A) + F.lit(_C), F.lit(_M))
     else:
         mixed = F.conv(
             F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
                                        F.lit(str(salt)))), 1, 8),
             16, 10).cast("long")
-    return (mixed % F.lit(n_buckets)).alias("bucket")
+    return F.pmod(mixed, F.lit(n_buckets)).alias("bucket")
 
 
 def hash_split(df: DataFrame, id_col: str,
@@ -106,7 +109,7 @@ def hash_split_oracle_sql(table: str = "documents",
     return f"""
 WITH b AS (
   SELECT {id_col},
-         ((({id_col} + {salt}) * {_A} + {_C}) % {_M}) % {_NB} AS bucket
+         (((((({id_col} + {salt}) * {_A} + {_C}) % {_M}) + {_M}) % {_M}) % {_NB} + {_NB}) % {_NB} AS bucket
   FROM {table}
 )
 SELECT {id_col}, {case} AS split FROM b
@@ -172,7 +175,7 @@ thr AS (
 )
 SELECT d.{id_col}, d.{source_col}
 FROM {table} d JOIN thr USING ({source_col})
-WHERE ((({id_col} + {salt}) * {_A} + {_C}) % {_M}) % {_NB} < thr
+WHERE (((((({id_col} + {salt}) * {_A} + {_C}) % {_M}) + {_M}) % {_M}) % {_NB} + {_NB}) % {_NB} < thr
 """
 
 
@@ -181,17 +184,28 @@ def stratified_sample_oracle_sql(table: str, strata_col: str,
                                  default: float = 0.0,
                                  salt: int = 0) -> str:
     """DuckDB twin of :func:`stratified_sample` for a NUMERIC id —
-    identical LCG arithmetic, identical per-stratum thresholds."""
+    identical LCG arithmetic, identical per-stratum thresholds.  String
+    stratum keys are quoted (the Spark side takes them via F.lit); the
+    output cast tracks the key type."""
+
+    def _sql_lit(k):
+        if isinstance(k, str):
+            return "'" + k.replace("'", "''") + "'"
+        return str(k)
+
     cases = " ".join(
-        f"WHEN {strata_col} = {k} THEN {int(round(frac * _NB))}"
+        f"WHEN {strata_col} = {_sql_lit(k)} THEN {int(round(frac * _NB))}"
         for k, frac in fractions.items())
+    out_strata = (strata_col
+                  if any(isinstance(k, str) for k in fractions)
+                  else f"CAST({strata_col} AS int) AS {strata_col}")
     return f"""
 WITH b AS (
   SELECT *,
-         ((({id_col} + {salt}) * {_A} + {_C}) % {_M}) % {_NB} AS bucket
+         (((((({id_col} + {salt}) * {_A} + {_C}) % {_M}) + {_M}) % {_M}) % {_NB} + {_NB}) % {_NB} AS bucket
   FROM {table}
 )
-SELECT {id_col}, CAST({strata_col} AS int) AS {strata_col} FROM b
+SELECT {id_col}, {out_strata} FROM b
 WHERE bucket < CASE {cases} ELSE {int(round(default * _NB))} END
 """
 
@@ -321,8 +335,10 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
     Scale shape: ``orderBy(key).limit(k)`` compiles to
     TakeOrderedAndProject — every partition keeps its local top-k and
     only k rows per partition reach the driver-side merge; there is no
-    global sort and no single-partition window.  Zero rows with
-    w <= 0 are excluded (E-S keys are undefined there).
+    global sort and no single-partition window.  Rows with w <= 0 OR
+    NaN are excluded (E-S keys are undefined there; Spark orders NaN
+    above every number, so an unfiltered NaN weight would crowd out
+    the entire sample).
     """
     if k <= 0:
         raise ValueError(f"k={k} must be positive")
@@ -331,7 +347,8 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col: str,
                                    F.lit(f":{salt}"))), 1, 13),
         16, 10).cast("double") + F.lit(1.0)) / F.lit(float(1 << 52))
     key = F.log(u) / F.col(weight_col).cast("double")
-    return (df.where(F.col(weight_col) > 0)
+    wd = F.col(weight_col).cast("double")
+    return (df.where((wd > 0) & ~F.isnan(wd))
             .withColumn("es_key", key)
             .orderBy(F.desc("es_key"), F.col(id_col))
             .limit(k))
@@ -347,7 +364,8 @@ def weighted_sample_oracle_sql(source: str, id_expr: str, weight_expr: str,
     return f"""
 SELECT {cols}, ln({u}) / CAST({weight_expr} AS DOUBLE) AS es_key
 FROM {source}
-WHERE {weight_expr} > 0
+WHERE CAST({weight_expr} AS DOUBLE) > 0
+  AND NOT isnan(CAST({weight_expr} AS DOUBLE))
 ORDER BY es_key DESC, {id_expr}
 LIMIT {k}
 """

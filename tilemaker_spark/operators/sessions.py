@@ -93,7 +93,10 @@ def sessionize_oracle_sql(table: str = "events",
                           user_col: str = "user_id", ts_col: str = "ts",
                           gap_minutes: float = 30.0) -> str:
     """DuckDB twin of :func:`session_stats` — identical lag/cumsum
-    formulation (epoch() = unix seconds, matching unix_timestamp)."""
+    formulation.  DuckDB's epoch() returns FRACTIONAL seconds, which is
+    exactly what the batch path's microsecond-exact _epoch computes —
+    NOT unix_timestamp, whose second truncation would split sub-second
+    gaps differently (see the comment in sessionize)."""
     gap_s = gap_minutes * 60.0
     return f"""
 WITH marked AS (
@@ -135,7 +138,8 @@ def event_funnel(events: DataFrame,
     rows, shrinking every stage), so the whole funnel is len(stages)
     compact-key shuffles — never a per-user sort of the raw event log.
     Output: (stage int, event_type, n_users), stage 1-based."""
-    spark = events.sparkSession
+    if not stages:
+        raise ValueError("stages must name at least one event type")
     counts = []
     prev = None  # (user, t_prev) of the last completed stage
     for i, st in enumerate(stages):
@@ -203,8 +207,14 @@ def max_concurrency(events: DataFrame, gap_minutes: float = 30.0,
     cumsum WITHIN fixed time ranges (``range_days`` buckets of the
     integer microsecond clock — data-independent boundaries), per-range
     totals to a tiny table, a window over only that table, broadcast
-    the offsets back.  Sessions spanning a day boundary carry into the
-    next day through the range offsets, so day maxima are exact.
+    the offsets back.
+
+    Day maxima are CONTINUOUS-TIME exact, not just event-sampled:
+    every session additionally emits a zero-delta SENTINEL at each
+    midnight it spans (ordered before that instant's real deltas), so
+    a day whose peak occurs before its first event — or a quiet day in
+    the middle of a long session — still reports the sessions active
+    at its start instead of under-reporting or going missing.
     Ties between equal (t, side) rows permute equal-signed deltas
     only, so the daily max is order-invariant.  Output:
     (day, max_concurrent), day = epoch-us // 86400e6."""
@@ -218,12 +228,25 @@ def max_concurrency(events: DataFrame, gap_minutes: float = 30.0,
     # explode, not union: a union of two selects over iv would plan the
     # whole sessionize+agg subtree TWICE (Spark duplicates shared
     # subtrees across union branches); the explode emits both deltas
-    # from one pass
-    deltas = iv.select(F.explode(F.array(
+    # AND the spanned-midnight sentinels from one pass.  Sentinel
+    # tie=-1 orders it before that instant's real deltas, so it reads
+    # the concurrency carried INTO the day (a session ending exactly
+    # at midnight still counts for the new day — closed intervals).
+    day_us = 86400000000
+    sent_t = "struct<t:bigint,d:int,tie:int>"
+    sentinels = F.when(
+        F.floor(F.col("t1") / day_us) > F.floor(F.col("t0") / day_us),
+        F.expr(f"transform(sequence(floor(t0 / {day_us}) + 1, "
+               f"floor(t1 / {day_us})), "
+               f"b -> struct(CAST(b * {day_us} AS BIGINT) AS t, "
+               f"0 AS d, -1 AS tie))")
+    ).otherwise(F.expr(f"CAST(array() AS array<{sent_t}>)"))
+    deltas = iv.select(F.explode(F.concat(F.array(
         F.struct(F.col("t0").alias("t"), F.lit(1).alias("d"),
                  F.lit(0).alias("tie")),
         F.struct(F.col("t1").alias("t"), F.lit(-1).alias("d"),
-                 F.lit(1).alias("tie")))).alias("x")).select("x.*")
+                 F.lit(1).alias("tie"))), sentinels)).alias("x")) \
+        .select("x.*")
     span_us = 86400000000 * range_days
     deltas = deltas.withColumn("rng", F.floor(F.col("t") / span_us))
     w_in = (Window.partitionBy("rng").orderBy("t", "tie")
