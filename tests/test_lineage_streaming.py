@@ -234,3 +234,19 @@ def test_vacuum_refuses_horizon_beyond_log(spark, tmp_path):
     with pytest.raises(ValueError, match="outside committed range"):
         sink.vacuum(before_snapshot=99)
     assert sink.read(spark).count() == 10
+
+
+def test_write_partitioned_rejects_null_keys(spark, tmp_path):
+    from tilemaker_spark.lineage import CheckpointedSink
+    sink = CheckpointedSink(str(tmp_path / "nullpk"))
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "part long, v string")
+    with pytest.raises(ValueError, match="NULL partition key"):
+        sink.write_partitioned(df, "part")
+
+
+def test_read_fresh_sink_is_empty_not_an_error(spark, tmp_path):
+    from tilemaker_spark.lineage import CheckpointedSink
+    sink = CheckpointedSink(str(tmp_path / "fresh"))
+    assert sink.read(spark).count() == 0
+    assert sink.read(spark, as_of=0).count() == 0

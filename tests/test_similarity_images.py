@@ -671,3 +671,17 @@ def test_embedding_near_dups_exact_matches_numpy(spark):
             if d >= 50:
                 expect[(i, j)] = d
     assert got == expect
+
+
+def test_filter_funnel_null_fields_rejected(spark):
+    from tilemaker_spark.operators import images as img_ops
+    rows = [(100, 100, "a caption long enough to pass the gate ok"),
+            (None, 100, "a caption long enough to pass the gate ok"),
+            (100, None, "a caption long enough to pass the gate ok"),
+            (100, 100, None)]
+    df = spark.createDataFrame(rows, "w int, h int, caption string")
+    got = {r["reason"]: r["n"] for r in
+           img_ops.filter_funnel(df).collect()}
+    # null fields must land in their own bucket, never fall through
+    # every SQL-null gate into 'ok'
+    assert got == {"ok": 1, "missing_fields": 3}

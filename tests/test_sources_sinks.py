@@ -340,13 +340,37 @@ def test_pmtiles_rle_and_tiny_dedup(spark, tmp_path):
     assert st["n_contents"] == 2          # sea blob written once + port
     # the 32x32 block is one contiguous Hilbert range at z8 -> few runs
     assert st["n_entries"] < 64
-    assert not st["clustered"]            # reused offsets point backwards
+    # adjacent-run dedup (every reuse points at the immediately
+    # preceding blob) keeps the data section in tile-id order, so the
+    # archive stays clustered — the ocean-tile common case
+    assert st["clustered"]
     assert os.path.getsize(path) < 1025 * len(sea)
     for x, y in [(0, 0), (31, 31), (17, 4)]:
         assert pmtiles.read_pmtiles_tile(path, 8, x, y) == sea
     assert gzip.decompress(
         pmtiles.read_pmtiles_tile(path, 8, 200, 200)) == b"port"
     assert pmtiles.read_pmtiles_tile(path, 8, 100, 100) is None
+
+
+def test_pmtiles_nonadjacent_reuse_unclusters(spark, tmp_path):
+    """A dedup hit pointing PAST the previous entry's blob (sea ...
+    port ... sea again in tile-id order) breaks tile-id data order and
+    must clear the clustered flag."""
+    import gzip
+    sea = gzip.compress(b"sea", 6, mtime=0)
+    port = gzip.compress(b"port", 6, mtime=0)
+    # (0,0) and (1,0) are tid 0,1; (0,1) is tid 3 at z8 (Hilbert visits
+    # (0,0),(1,0),(1,1),(0,1) in the first sub-square) — so the write
+    # order is sea, port, sea: the second sea reuses offset 0 behind
+    # port's blob
+    rows = [(8, 0, 0, sea), (8, 1, 0, port), (8, 0, 1, sea)]
+    tiles = spark.createDataFrame(rows, "z int, x int, y int, tile binary")
+    path = str(tmp_path / "nonadj.pmtiles")
+    assert pmtiles.write_pmtiles(tiles, path) == 3
+    st = pmtiles.pmtiles_stats(path)
+    assert st["n_contents"] == 2
+    assert not st["clustered"]
+    assert pmtiles.read_pmtiles_tile(path, 8, 0, 1) == sea
 
 
 def test_pmtiles_auto_dense_rule(spark, tmp_path):

@@ -194,19 +194,34 @@ class CheckpointedSink:
         spark = df.sparkSession
         t0 = time.time()
         done = self.committed_keys()
-        pending = df.withColumn("pk", F.col(pk_col).cast("long"))
-        all_keys = {r["pk"] for r in pending.select("pk").distinct().collect()}
-        todo = sorted(all_keys - done)
-        if not todo:
-            return {"written_keys": [], "skipped_keys": sorted(done),
-                    "snapshot_id": self.last_snapshot_id()}
-        sub = pending.filter(F.col("pk").isin([int(k) for k in todo]))
-        data_dir = os.path.join(self.root, "data")
-        before = self._list_data_files()
-        sub.write.mode("append").partitionBy("pk").parquet(data_dir)
-        added = sorted(self._list_data_files() - before)
-        counts = {r["pk"]: r["n"] for r in
-                  sub.groupBy("pk").agg(F.count("*").alias("n")).collect()}
+        # cache across the three actions below (keys collect, parquet
+        # write, lineage counts): without it Spark recomputes the input
+        # per action — 3x the cost, and a nondeterministic upstream
+        # could commit one row set while lineage records another
+        pending = df.withColumn("pk", F.col(pk_col).cast("long")).persist()
+        try:
+            all_keys = {r["pk"]
+                        for r in pending.select("pk").distinct().collect()}
+            if None in all_keys:
+                raise ValueError(
+                    f"NULL partition key in {pk_col!r} (or a value the "
+                    "cast to long nulled out): checkpoint partition keys "
+                    "must be non-null integers — filter or repair before "
+                    "write_partitioned")
+            todo = sorted(all_keys - done)
+            if not todo:
+                return {"written_keys": [], "skipped_keys": sorted(done),
+                        "snapshot_id": self.last_snapshot_id()}
+            sub = pending.filter(F.col("pk").isin([int(k) for k in todo]))
+            data_dir = os.path.join(self.root, "data")
+            before = self._list_data_files()
+            sub.write.mode("append").partitionBy("pk").parquet(data_dir)
+            added = sorted(self._list_data_files() - before)
+            counts = {r["pk"]: r["n"] for r in
+                      sub.groupBy("pk").agg(F.count("*").alias("n"))
+                      .collect()}
+        finally:
+            pending.unpersist()
 
         snap = self.last_snapshot_id() + 1
         lineage_rows = [
@@ -269,6 +284,11 @@ class CheckpointedSink:
         # it — columns added later are invisible, not null-filled.
         files = self._files_as_of(as_of)
         data = os.path.join(self.root, "data")
+        if not self._list_data_files():
+            # fresh sink (or fully vacuumed): no parquet exists, so the
+            # documented empty view cannot carry the data schema yet —
+            # a bare pk column is the only stable contract
+            return spark.createDataFrame([], "pk bigint")
         if files is not None and files:
             df = (spark.read.option("mergeSchema", "true")
                   .option("basePath", data)

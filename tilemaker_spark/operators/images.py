@@ -95,7 +95,12 @@ def image_quality(images: DataFrame, psnr_min: float = 40.0,
                 out["psnr_db"].append(
                     min(p, 99.0) if np.isfinite(p) else 99.0)
                 out["ssim"].append(s)
-                out["ok"].append(bool(p >= psnr_min and s >= ssim_min))
+                # enforce the documented lossless contract: a PNG that
+                # decodes but scores below exactly 1.0 is corrupted,
+                # not merely low-quality — the lossy threshold must not
+                # paper over it
+                floor = (1.0 - 1e-12) if fmt == "png" else ssim_min
+                out["ok"].append(bool(p >= psnr_min and s >= floor))
             yield pd.DataFrame(out)
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
@@ -464,28 +469,45 @@ def mixup_images(images: DataFrame, pairs: DataFrame,
     return joined.mapInPandas(run, schema=schema)
 
 
-def phash_near_dups(images: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """Near-dup image pairs by phash hamming distance, blocked on 16-bit
-    phash chunks (pigeonhole: hamming<=4 over 64 bits shares a chunk only
-    probabilistically — exact for <=3; chunk blocking is the standard
-    recall/cost tradeoff).  Uses the table's own phash column (JVM-only)."""
+def _phash_pairs(images: DataFrame, max_hamming: int,
+                 cell_col: str | None) -> DataFrame:
+    """Shared body of the two phash near-dup operators: 16-bit chunk
+    blocking, equi-join (optionally cell-fenced), bit_count verify —
+    one implementation so chunking/hamming fixes cannot diverge."""
+    cols = [F.col("image_id"), F.col("phash")]
+    if cell_col:
+        cols.append(F.col(cell_col).alias("cell"))
     chunks = images.select(
-        F.col("image_id"), F.col("phash"),
+        *cols,
         F.explode(F.array(*[
             F.shiftrightunsigned("phash", 16 * c)
             .bitwiseAND(F.lit(0xFFFF)).alias("k") for c in range(4)
         ])).alias("key"),
     )
     a, b = chunks.alias("a"), chunks.alias("b")
+    cond = ((F.col("a.key") == F.col("b.key"))
+            & (F.col("a.image_id") < F.col("b.image_id")))
+    out_cols = []
+    if cell_col:
+        cond = (F.col("a.cell") == F.col("b.cell")) & cond
+        out_cols.append(F.col("a.cell").alias("cell"))
     ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
     return (
-        a.join(b, (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.image_id") < F.col("b.image_id")))
-        .select(F.col("a.image_id").alias("id_a"),
+        a.join(b, cond)
+        .select(*out_cols,
+                F.col("a.image_id").alias("id_a"),
                 F.col("b.image_id").alias("id_b"), ham.alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-dup image pairs by phash hamming distance, blocked on 16-bit
+    phash chunks (pigeonhole: hamming<=4 over 64 bits shares a chunk only
+    probabilistically — exact for <=3; chunk blocking is the standard
+    recall/cost tradeoff).  Uses the table's own phash column (JVM-only)."""
+    return _phash_pairs(images, max_hamming, cell_col=None)
 
 
 def geo_phash_near_dups(images: DataFrame, cell_col: str = "h3_coarse",
@@ -502,26 +524,7 @@ def geo_phash_near_dups(images: DataFrame, cell_col: str = "h3_coarse",
     the heaviest urban cells are already salted upstream.  Pure
     Catalyst end to end (explode + equi-join + bit_count), zero
     Python.  Output: (cell, id_a, id_b, hamming)."""
-    chunks = images.select(
-        F.col("image_id"), F.col("phash"),
-        F.col(cell_col).alias("cell"),
-        F.explode(F.array(*[
-            F.shiftrightunsigned("phash", 16 * c)
-            .bitwiseAND(F.lit(0xFFFF)).alias("k") for c in range(4)
-        ])).alias("key"),
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-    return (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.image_id") < F.col("b.image_id")))
-        .select(F.col("a.cell").alias("cell"),
-                F.col("a.image_id").alias("id_a"),
-                F.col("b.image_id").alias("id_b"), ham.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return _phash_pairs(images, max_hamming, cell_col=cell_col)
 
 
 def reference_caption_expr(k):
@@ -724,12 +727,17 @@ def image_meta(images: DataFrame, prefix_bytes: int = 1024,
     * PNG: the IHDR chunk is at a FIXED offset (8-byte signature +
       4-byte length + "IHDR"), so width/height are
       ``conv(substr(hex, 33|41, 8), 16, 10)``.
-    * JPEG baseline: the SOF0 marker (FFC0) is located with a
-      byte-aligned non-greedy regexp over the hex prefix; height and
-      width are the two big-endian shorts after the 3-byte
-      length+precision field.  Pre-SOF segments (8-bit DQT tables,
-      APPn, DHT) cannot contain an aligned FFC0 in baseline files,
-      and entropy-coded data only starts after SOS.
+    * JPEG baseline: the FIRST byte-aligned SOF0 marker (FFC0) in the
+      hex prefix; height and width are the two big-endian shorts after
+      the 3-byte length+precision field.  This is exact for every file
+      this engine's own codec writes (kernels/jpeg.py emits no APPn
+      segments) and for typical camera baselines — but a regexp cannot
+      walk variable-length segments, so an APPn payload that itself
+      contains an aligned FFC0 (e.g. an EXIF-embedded THUMBNAIL jpeg)
+      matches first and yields the thumbnail's dimensions.  For
+      EXIF-rich crawled corpora, treat w_hdr/h_hdr as a triage hint
+      and take exact dims from the real decode stage
+      (scan_corrupt / decode_verify), which parses segments properly.
     * Anything else (or a truncated header): fmt_hdr='unknown',
       NULL dims — the triage bucket `scan_corrupt` decodes for real.
 
@@ -775,7 +783,12 @@ def filter_funnel(images: DataFrame, min_side: int = 32,
     all gates integer-exact, so the report is oracle-checkable."""
     w, h = F.col(w_col), F.col(h_col)
     reason = (
-        F.when((w < min_side) | (h < min_side), F.lit("too_small"))
+        # the null gate comes FIRST: every later predicate is SQL-null
+        # on a null field and would fall through to 'ok', silently
+        # admitting exactly the rows the funnel exists to reject
+        F.when(w.isNull() | h.isNull() | F.col(caption_col).isNull(),
+               F.lit("missing_fields"))
+        .when((w < min_side) | (h < min_side), F.lit("too_small"))
         .when((w * ar_den > h * ar_num) | (h * ar_den > w * ar_num),
               F.lit("bad_aspect"))
         .when(F.length(caption_col) < min_caption,

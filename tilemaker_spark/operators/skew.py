@@ -36,8 +36,11 @@ def salt_plan(df: DataFrame, key_col: str, target_rows: int) -> DataFrame:
     return (df.groupBy(key_col)
             .agg(n.alias("n_rows"))
             .select(key_col, "n_rows",
-                    ((F.col("n_rows") + F.lit(t - 1)) / F.lit(t))
-                    .cast("long").alias("n_salts")))
+                    # integer div, not /: Spark's Divide on longs is a
+                    # Double, exact only below ~2^53 — `div` keeps the
+                    # ceil pure int64 as the module contract promises
+                    F.expr(f"(n_rows + {t - 1}) div {t}")
+                    .alias("n_salts")))
 
 
 def apply_salt_plan(df: DataFrame, plan: DataFrame, key_col: str,

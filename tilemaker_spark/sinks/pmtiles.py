@@ -191,11 +191,11 @@ def write_pmtiles(tiles: DataFrame, path: str,
     if vector_layers is not None:
         metadata = dict(metadata or {})
         metadata["vector_layers"] = vector_layers
-    rows = (
-        tiles.select("z", "x", "y", "tile")
-        .orderBy("z", "x", "y")
-        .toLocalIterator()
-    )
+    # no cluster-side orderBy: the archive order is HILBERT tile id,
+    # which the driver-side items.sort below establishes anyway — a
+    # (z, x, y) orderBy here would add a full range-shuffle whose
+    # ordering the sort then discards
+    rows = tiles.select("z", "x", "y", "tile").toLocalIterator()
     items = []
     minz, maxz = 99, 0
     z6_cover = set()
@@ -220,7 +220,12 @@ def write_pmtiles(tiles: DataFrame, path: str,
         hit = tiny.get(blob) if len(blob) < TINY_LENGTH else None
         if hit is not None:
             off, ln = hit
-            clustered = False  # a reused offset points backwards
+            if not offs or off != offs[-1]:
+                # only a NON-adjacent reuse breaks tile-id data order;
+                # a run of identical tiles sharing the immediately
+                # preceding blob (the ocean-tile RLE case) stays
+                # clustered per the spec
+                clustered = False
         else:
             off, ln = len(blobs), len(blob)
             blobs += blob
